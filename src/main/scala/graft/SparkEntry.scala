@@ -11,9 +11,9 @@ import graft.{queries => gq}
   */
 object SparkEntry {
   private val defBlocks: Seq[Map[String, (SparkSession, String) => DataFrame]] =
-    Seq(gq.Agg.defs)
+    Seq(gq.Agg.defs, gq.Relational.defs)
   private val oracleBlocks: Seq[Map[String, String]] =
-    Seq(gq.Agg.oracles)
+    Seq(gq.Agg.oracles, gq.Relational.oracles)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -49,11 +49,111 @@ object Agg {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Whole-table aggregation — api.py:450 `aggregate` with no grouping
+    * (stupidb test_agg). */
+  def qAggGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("n_qty"),
+      sum(dec("l_quantity")).cast("double").as("sum_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      round(avg(col("l_quantity")), 6).as("avg_qty"))
+
+  /** Grouped aggregation over a join key — api.py:563 `group_by`. */
+  def qAggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(dec("c_acctbal")).cast("double").as("sum_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("c_nationkey"))
+
+  /** Statistical aggregates — functions/associative/__init__.py
+    * (SampleVariance, PopulationVariance, …Covariance, …StdDev).
+    * Computed on the small-magnitude columns so ROUND(…,6) absorbs
+    * float summation-order differences vs the oracle. */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(var_samp(col("l_quantity")), 6).as("var_samp_qty"),
+        round(var_pop(col("l_quantity")), 6).as("var_pop_qty"),
+        round(stddev_samp(col("l_quantity")), 6).as("stdev_samp_qty"),
+        round(stddev_pop(col("l_quantity")), 6).as("stdev_pop_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_samp_qd"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_pop_qd"))
+      .orderBy(col("l_returnflag"))
+
+  /** `total` — sum with empty-group → 0 instead of NULL
+    * (functions/associative/__init__.py Total; stupidb test_total_vs_sum).
+    * Customers with no qualifying orders get total 0, sum NULL. */
+  def qTotal(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).where(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(18,4)"))
+          .cast("double").as("total_price"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+      .orderBy(col("c_custkey"))
+
+  /** COUNT(DISTINCT) — exact distributed distinct (expand + two-phase
+    * aggregate in Spark; at 100 TB swap in approx_count_distinct). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_tpch1" -> (qTpch1 _)
-  )
+    "q_tpch1" -> (qTpch1 _),
+    "q_agg_global" -> (qAggGlobal _),
+    "q_agg_group" -> (qAggGroup _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_total" -> (qTotal _),
+    "q_count_distinct" -> (qCountDistinct _))
 
   def oracles: Map[String, String] = Map(
-    "q_tpch1" -> tpch1Oracle
-  )
+    "q_tpch1" -> tpch1Oracle,
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "q_agg_group" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(VAR_SAMP(l_quantity), 6) AS var_samp_qty,
+        |  ROUND(VAR_POP(l_quantity), 6) AS var_pop_qty,
+        |  ROUND(STDDEV_SAMP(l_quantity), 6) AS stdev_samp_qty,
+        |  ROUND(STDDEV_POP(l_quantity), 6) AS stdev_pop_qty,
+        |  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_samp_qd,
+        |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_pop_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_total" ->
+      """SELECT c_custkey,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
