@@ -25,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; read nanos as long and truncate to microseconds
+    * with integer division (DIV — double division would lose precision
+    * above 2^53 ns), matching DuckDB's ns→µs cast. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Dedup + similarity-search queries (SURVEY.md §2, LLM-pipeline block).
+  *
+  * SQL-expressible variants (exact dedup, bounded n-gram Jaccard,
+  * blocked cosine pairs, brute-force top-k) carry DuckDB oracles.
+  * MinHash-LSH and SimHash are not expressible in DuckDB SQL — the
+  * driver records rows-only for them; their correctness (recall vs the
+  * exact baselines) is asserted in ScalaTest.
+  */
+object DedupSim {
+
+  /** documents.parquet is a single small file → one input partition;
+    * the dedup operators are CPU-bound per row (shingling, hashing),
+    * so spread the scan across the cluster first. At real scale the
+    * source would already arrive in many splits and this is a no-op
+    * choice; locally it is the difference between 1 and 32 cores. */
+  private def docsParallel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  private def embParallel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** Exact dedup by normalized content hash — keep-first semantics. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("content_hash"), col("canonical_id"),
+        col("is_canonical"))
+      .orderBy(col("doc_id"))
+
+  /** Exact word-3-gram Jaccard near-dup pairs, blocked on (lang, source)
+    * — the correctness baseline MinHash approximates. */
+  def qDedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      docsParallel(s, d), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash-LSH near-dup pairs (rows-only for the driver). */
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
+      n = 3, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs, hamming ≤ 8 (rows-only for the driver). */
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docsParallel(s, d), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, blocked on label. */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-5 for a bounded query set (vec_id < 20). */
+  def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Hyperplane-LSH bucketed top-5 (rows-only; recall vs brute force
+    * asserted in the spec). */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    Similarity.lshTopK(
+      emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = 8)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash,
+        |  MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 3
+        |      THEN LIST_TRANSFORM(
+        |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 2),
+        |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+1] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+2])
+        |      ELSE [] END) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+        |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+        |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
+        |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) AS cos_sim
+        |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
+        |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(qv, c.v) /
+        |      GREATEST(SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v)), 1e-12), 6) AS sim
+        |  FROM q JOIN v c ON q.query_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM sims)
+        |SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event / time-series queries (SURVEY.md §2 events block).
+  *
+  * The reference has no native temporal operators; these extend its
+  * window/aggregate semantics to event streams the way a production
+  * pipeline needs them. `q_events_tumbling` uses Spark's `window()`
+  * bucketing — the exact construct its Structured Streaming twin uses
+  * (graft.streaming.EventsStream), so batch and stream share one plan
+  * shape. Sessionization is lag+cumsum gap detection: one shuffle on
+  * user_id, then two intra-partition window passes.
+  */
+object Events {
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  /** Tumbling 1-hour windows — batch twin of the streaming agg. */
+  def qEventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Sessionization: a new session starts after a >10 min gap per user.
+    * lag() marks boundaries, a cumulative sum numbers the sessions. */
+  def qEventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 600000000L, 1L).otherwise(0L))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("new_sess")).over(cum).as("session_id"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** JSON property extraction from the string `props` column. */
+  def qEventsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_k"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Per-user top-3 events by value — window rank + filter. */
+  def qEventsTopnUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> (qEventsTumbling _),
+    "q_events_sessionize" -> (qEventsSessionize _),
+    "q_events_json" -> (qEventsJson _),
+    "q_events_topn_user" -> (qEventsTopnUser _))
+
+  def oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      > 600000000 THEN 1
+        |      WHEN LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |FROM marked ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_topn_user" ->
+      """SELECT user_id, event_id, value, rk FROM (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis._
+
+/** Text-analysis queries over `documents` (SURVEY.md §2, text block).
+  * Everything is codegen'd column expressions; the SQL oracles mirror
+  * the exact arithmetic so results hash-match.
+  */
+object Text {
+
+  /** Per-document token/char/punctuation/stopword statistics. */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      charCount(col("text")).as("n_chars_m"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(meanTokenLen(col("text")), 6).as("mean_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score + keep/drop flag. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality"),
+      (qualityScore(col("text")) >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-word language ID (NOT the `lang` label — the heuristic). */
+  def qTextLangid(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val withHits = langs.foldLeft(Tables.documents(s, d)) {
+      case (df, l) => df.withColumn(s"hits_$l", markerHits(col("text"), l))
+    }
+    withHits.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => col(s"hits_$l")) :+
+        langId(langs.map(l => l -> col(s"hits_$l")).toMap).as("lang_pred")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Normalized md5 fingerprint + exact-duplicate cluster size. */
+  def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val sizes = fp.groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
+    fp.join(sizes, "fp")
+      .select(col("doc_id"), col("fp"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _))
+
+  // DuckDB twins. Tokenization: text is single-space-separated in the
+  // corpus; both sides split on whitespace runs.
+  private val nToks = "LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1"
+  private def hitsSql(lang: String): String = {
+    val words = graft.text.TextAnalysis.markers(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t IN ($words)))"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens,
+         |  LENGTH(text) AS n_chars_m,
+         |  ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+         |    / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+         |  ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |    t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+         |    / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1), 6) AS stopword_ratio,
+         |  ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) * 1.0
+         |    / GREATEST(LEN(STRING_SPLIT_REGEX(text, '\\s+')), 1), 6) AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    LEAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) / 64.0, 1.0) AS len_score,
+         |    1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+         |      / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) AS punct_score,
+         |    LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+         |      / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1)) * 5.0, 1.0) AS sw_score
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
+         |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) >= 0.5 AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${hitsSql("en")} AS hits_en, ${hitsSql("es")} AS hits_es,
+         |    ${hitsSql("de")} AS hits_de, ${hitsSql("fr")} AS hits_fr,
+         |    ${hitsSql("zh")} AS hits_zh
+         |  FROM documents)
+         |SELECT doc_id, lang, hits_en, hits_es, hits_de, hits_fr, hits_zh,
+         |  CASE WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'und'
+         |    WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+         |    WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'es'
+         |    WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'de'
+         |    WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'fr'
+         |    WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'zh'
+         |    ELSE 'und' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+        |FROM fp ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.api.Win
+
+/** Window-function queries (SURVEY.md §2, window block).
+  *
+  * The reference computes window aggregates serially with a segment tree
+  * (/root/reference/stupidb/associative/segmenttree.py,
+  * aggregation.py:383 `WindowAggregateSpecification.compute`); graft
+  * declares the same semantics through Spark's window spec, which runs
+  * partition-parallel after one shuffle on the PARTITION BY keys.
+  *
+  * Determinism rules for the oracle: every window ORDER BY is made total
+  * with a unique tiebreak column unless the function is frame-value-based
+  * (rank/dense_rank/range frames, which depend only on key values), and
+  * window sums are computed on DECIMAL so frame sums are exact.
+  */
+object Windows {
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  /** Sliding ROWS frames (preceding + following) — stupidb
+    * test_rows_window / Window.rows. */
+  def qWinRows(s: SparkSession, d: String): DataFrame = {
+    val byCust = Win.rows(
+      partitionBy = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")),
+      preceding = Some(2L))
+    val centered = Win.rows(
+      partitionBy = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")),
+      preceding = Some(1L), following = Some(1L))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec("o_totalprice")).over(byCust).cast("double").as("sum_3row"),
+      sum(dec("o_totalprice")).over(centered).cast("double").as("sum_centered"),
+      count(lit(1)).over(centered).as("n_centered"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Cumulative aggregate — stupidb test_cumagg (UNBOUNDED..CURRENT). */
+  def qWinCumsum(s: SparkSession, d: String): DataFrame = {
+    val w = Win.rows(
+      partitionBy = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec("o_totalprice")).over(w).cast("double").as("cum_price"),
+      count(lit(1)).over(w).as("cum_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** RANGE frame over a numeric ORDER key — stupidb test_range_window.
+    * Frame membership depends on values, not row positions, so ties are
+    * handled identically by both engines. */
+  def qWinRange(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      expr("""count(1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""").as("n_within_10k"),
+      expr("""sum(cast(o_totalprice AS DECIMAL(18,4))) OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice
+              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""")
+        .cast("double").as("sum_within_10k"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  /** Temporal RANGE frame — stupidb test_temporal_range_window
+    * (interval preceding over event time). */
+  def qWinRangeTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ts_sec", unix_seconds(col("ts")))
+      .select(
+        col("event_id"), col("user_id"), col("ts_sec"),
+        expr("""count(1) OVER (PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""").as("n_last_hour"),
+        expr("""sum(cast(value AS DECIMAL(18,4))) OVER (
+                PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""")
+          .cast("double").as("sum_last_hour"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+
+  /** row_number / rank / dense_rank (+ rank over a null-bearing key) —
+    * stupidb functions/ranking, test_rank_with_nulls. */
+  def qWinRank(s: SparkSession, d: String): DataFrame = {
+    val tieOrd = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_nationkey"))
+    val uniqueOrd = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+    val nullOrd = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).desc_nulls_last)
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+      row_number().over(uniqueOrd).as("rn"),
+      rank().over(tieOrd).as("rnk"),
+      dense_rank().over(tieOrd).as("drnk"),
+      rank().over(nullOrd).as("rnk_nulls_last"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** lead / lag with offset + default — stupidb functions/navigation
+    * (Lead, Lag), test_lead_lag. */
+  def qWinNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price_dflt"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      lead(col("o_totalprice"), 3, 0.0).over(w).as("next3_price_dflt"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** first / last / nth over explicit frames — stupidb
+    * functions/navigation (First, Last, Nth), test_first_last, test_nth;
+    * nth past the frame end yields NULL (test_nth_past_frame). */
+  def qWinFirstLast(s: SparkSession, d: String): DataFrame = {
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_totalprice")).over(full).as("first_price"),
+      last(col("o_totalprice")).over(full).as("last_price"),
+      nth_value(col("o_totalprice"), 3).over(full).as("third_price"),
+      nth_value(col("o_totalprice"), 40).over(full).as("price_40th"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Variance/stddev over window frames — stupidb test_variance_window. */
+  def qWinStats(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) alone is NOT unique in this corpus —
+    // partkey+suppkey complete the tiebreak so ROWS frames are total.
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val w = Win.rows(
+      partitionBy = Seq(col("l_returnflag")),
+      orderBy = ord,
+      preceding = Some(49L))
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), col("l_returnflag"),
+      round(var_samp(col("l_quantity")).over(w), 6).as("var_qty_50"),
+      round(stddev_samp(col("l_quantity")).over(w), 6).as("std_qty_50"),
+      round(avg(col("l_quantity")).over(w), 6).as("avg_qty_50"))
+      .orderBy(ord: _*)
+  }
+
+  /** Several differently-partitioned windows in one projection —
+    * stupidb test_multiple_windows. */
+  def qWinMulti(s: SparkSession, d: String): DataFrame = {
+    val byCust = Win.rows(
+      partitionBy = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")))
+    val byStatus = Win.rows(
+      partitionBy = Seq(col("o_orderstatus")),
+      orderBy = Seq(col("o_orderdate"), col("o_orderkey")))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      sum(dec("o_totalprice")).over(byCust).cast("double").as("cum_by_cust"),
+      sum(dec("o_totalprice")).over(byStatus).cast("double").as("cum_by_status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Whole-relation window (no PARTITION BY) — parity with stupidb's
+    * unpartitioned windows (test_rows_window). Single-partition exec by
+    * construction; documented in SURVEY.md §4 as driver-bounded. */
+  def qWinUnpartitioned(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_custkey"))
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      sum(dec("c_acctbal")).over(w).cast("double").as("running_bal"),
+      row_number().over(w).as("rn"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rows" -> (qWinRows _),
+    "q_win_cumsum" -> (qWinCumsum _),
+    "q_win_range" -> (qWinRange _),
+    "q_win_range_time" -> (qWinRangeTime _),
+    "q_win_rank" -> (qWinRank _),
+    "q_win_nav" -> (qWinNav _),
+    "q_win_firstlast" -> (qWinFirstLast _),
+    "q_win_stats" -> (qWinStats _),
+    "q_win_multi" -> (qWinMulti _),
+    "q_win_unpartitioned" -> (qWinUnpartitioned _))
+
+  def oracles: Map[String, String] = Map(
+    "q_win_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_3row,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS sum_centered,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_centered
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_cumsum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_price,
+        |  COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_within_10k
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+        |  COUNT(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
+    "q_win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_nationkey, c_custkey) AS rn,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS drnk,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+        |    DESC NULLS LAST) AS rnk_nulls_last
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_win_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price_dflt,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  LEAD(o_totalprice, 3, 0.0) OVER w AS next3_price_dflt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+        |  NTH_VALUE(o_totalprice, 3) OVER w AS third_price,
+        |  NTH_VALUE(o_totalprice, 40) OVER w AS price_40th
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_stats" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        |  ROUND(VAR_SAMP(l_quantity) OVER w, 6) AS var_qty_50,
+        |  ROUND(STDDEV_SAMP(l_quantity) OVER w, 6) AS std_qty_50,
+        |  ROUND(AVG(l_quantity) OVER w, 6) AS avg_qty_50
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "q_win_multi" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_by_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_by_status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_win_unpartitioned" ->
+      """SELECT c_custkey,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+        |    ORDER BY c_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal,
+        |  ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+}

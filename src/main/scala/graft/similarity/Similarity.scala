@@ -1,0 +1,127 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column
+  * (SURVEY.md §2, similarity block).
+  *
+  * Vector math is higher-order column expressions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs, accumulating in double. Two
+  * search paths:
+  *   - brute force: exact, for correctness baselines and small query
+  *     sets (cost = |queries| × |corpus|, distributed as a broadcast
+  *     join — fine when |queries| is bounded);
+  *   - random-hyperplane LSH: linear scan to bucket signatures, then
+  *     pairwise only within buckets — the 100 TB path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+
+  /** Exact top-k neighbors for each query vector: broadcast the bounded
+    * query set against the corpus, rank per query. Rank on the ROUNDED
+    * similarity (ties broken by id) so distributed float noise cannot
+    * reorder results. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold, blocked on a
+    * coarse key (label / IVF centroid id) so the pair join is bounded
+    * per bucket. */
+  def cosineNearDupPairs(
+      vecs: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val v = vecs.select(
+      col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("cos_sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos_sim"))
+  }
+
+  // ---- Random-hyperplane LSH ---------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component: a value in
+    * [-0.5, 0.5) derived from (plane, dim) via xxhash64 — reproducible
+    * across executors with no broadcast state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-of-projection bit signature (numPlanes bits) as an int; the
+    * `table` index offsets the plane seeds so multiple independent
+    * hash tables can be built from one formula. */
+  def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(table * numPlanes + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (table, bucket) pairs across `numTables` independent hash tables —
+    * standard multi-table LSH: a true neighbor missed by one table is
+    * usually caught by another, trading recall for candidate volume. */
+  private def lshBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
+    explode(array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), lshSignature(vec, numPlanes, t).as("bucket"))
+    }: _*))
+
+  /** Bucketed approximate top-k: candidates share ANY of the query's
+    * per-table LSH buckets; scan cost drops from |corpus| to the union
+    * of bucket sizes. Recall vs `bruteForceTopK` is tested in the spec. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
+      numTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBuckets(col(vecCol), numPlanes, numTables).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.tbl").as("q_tbl"), col("tb.bucket").as("q_bucket"))
+    val c = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).as("cv"),
+      lshBuckets(col(vecCol), numPlanes, numTables).as("tb"))
+      .select(col("vec_id"), col("cv"),
+        col("tb.tbl").as("c_tbl"), col("tb.bucket").as("c_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q),
+        col("q_tbl") === col("c_tbl") &&
+        col("q_bucket") === col("c_bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
+      .distinct() // a pair colliding in several tables scores once
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+}

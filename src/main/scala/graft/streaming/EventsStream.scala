@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twin of the batch event queries
+  * (SURVEY.md §2 events block).
+  *
+  * The same transformation works on a batch DataFrame and a streaming
+  * one — Spark's unified Dataset API — so correctness is asserted by
+  * running `tumblingAgg` over a MemoryStream in the spec and comparing
+  * with the batch result of the same input. With a real source this is
+  * `spark.readStream.format("kafka")...` + `writeStream` with a
+  * checkpoint; the watermark bounds state for late data.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour aggregate with a 2-hour watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Running per-user event counts — stateful aggregation in streaming
+    * (complete/update mode), plain groupBy in batch. */
+  def userCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+}

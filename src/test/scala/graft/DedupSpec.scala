@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** MinHash-LSH and SimHash against planted near-duplicates: the
+  * approximate methods must recover the pairs the exact Jaccard
+  * baseline finds. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    // long docs so one-token edits stay within a small hamming radius
+    val base = ("the quick brown fox jumps over the lazy dog and runs far " +
+      "away tonight while the moon rises over the quiet hills and rivers " +
+      "flow gently through the valley carrying leaves and small branches " +
+      "toward the distant sea where fishermen wait patiently for dawn")
+    val nearDup = base.replace("tonight", "today") // jaccard >> 0.5
+    val distinct1 = "completely different words about spark query engines and columnar storage"
+    val distinct2 = "yet another unrelated document describing window functions in detail here"
+    spark.createDataFrame(Seq(
+      (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2),
+      (4L, base) // exact dup of 0
+    )).toDF("doc_id", "text")
+  }
+
+  test("exact dedup marks lowest doc_id as canonical") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(0L) && !out(4L) && out(1L) && out(2L) && out(3L))
+  }
+
+  test("shingles handles docs shorter than n") {
+    val out = spark.createDataFrame(Seq((0L, "one two"))).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("minhash-LSH recovers the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(
+        corpus, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashDedup(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((0L, 4L)))
+    assert(exact == approx) // verify step makes LSH output exact-equal
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming 8") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 4L)) == 0) // exact dup → distance 0
+    assert(pairs.contains((0L, 1L))) // near dup within 8 bits
+    assert(!pairs.contains((2L, 3L)) || pairs((2L, 3L)) > 8)
+    ()
+  }
+}

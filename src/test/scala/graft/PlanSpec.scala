@@ -1,0 +1,54 @@
+package graft
+
+import graft.{queries => gq}
+
+/** Scale-posture assertions (SURVEY.md §4): filters and projections
+  * must reach the parquet scan, dim joins must broadcast, and
+  * window/agg plans must shuffle on their keys — checked on the
+  * physical plan text so regressions are caught by CI, not by a
+  * cluster bill. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val p = plan(gq.Relational.qFilter(spark, sf))
+    assert(p.contains("PushedFilters:"), "expected pushed filters")
+    assert(p.contains("GreaterThan(l_discount"), s"discount filter not pushed:\n$p")
+  }
+
+  test("q_tpch6 prunes columns at the scan") {
+    val p = plan(gq.Tpch.qTpch6(spark, sf))
+    // only the needed columns may be read
+    assert(!p.contains("l_orderkey"), "column pruning failed — reads l_orderkey")
+    assert(p.contains("l_extendedprice") && p.contains("l_discount"))
+  }
+
+  test("q_tpch3 broadcasts the customer dim") {
+    val p = plan(gq.Tpch.qTpch3(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$p")
+  }
+
+  test("q_agg_group is a two-phase (partial+final) hash aggregate") {
+    val p = plan(gq.Agg.qAggGroup(spark, sf))
+    assert(p.contains("HashAggregate"), "expected hash aggregate")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial + final aggregate phases")
+  }
+
+  test("windowed queries shuffle on the partition keys, not round-robin") {
+    val p = plan(gq.Windows.qWinCumsum(spark, sf))
+    assert(p.contains("hashpartitioning(o_custkey"),
+      s"window should hash-partition on o_custkey:\n$p")
+  }
+
+  test("whole-stage codegen covers the text-analysis expressions") {
+    // AQE wraps the plan before execution; codegen-mode explain compiles
+    // the current physical plan and reports the codegen subtrees.
+    val p = gq.Text.qTextStats(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), "text stats fell out of codegen")
+  }
+}

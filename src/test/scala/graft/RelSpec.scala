@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.api.Rel
+
+/** Semantics of the fluent Rel verbs, mirroring the reference's test
+  * expectations (/root/reference/stupidb/tests/test_stupidb.py,
+  * test_set_operations.py): set-op duplicate handling, limit/offset,
+  * full join completing the reference's unimplemented case, and
+  * total-vs-sum empty semantics.
+  */
+class RelSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(String, Int)]) = {
+    spark.createDataFrame(rows).toDF("name", "balance")
+  }
+
+  private val t = Seq("Bob" -> -300, "Bob" -> -100, "Alice" -> 400, "Alice" -> 700)
+
+  test("select computes new columns") {
+    val out = Rel(df(t)).select(
+      "lower_name" -> lower(col("name"))).toDF.collect().map(_.getString(0))
+    assert(out.toSeq == Seq("bob", "bob", "alice", "alice"))
+  }
+
+  test("sift filters rows") {
+    val out = Rel(df(t)).sift(col("name").startsWith("A")).toDF.count()
+    assert(out == 2)
+  }
+
+  test("union removes duplicates, unionAll keeps them") {
+    val a = Rel(df(t))
+    assert(a.union(a).toDF.count() == 4)
+    assert(a.unionAll(a).toDF.count() == 8)
+  }
+
+  test("intersectAll keeps min multiplicity; differenceAll saturates") {
+    val x = Rel(df(Seq("a" -> 1, "a" -> 1, "b" -> 2)))
+    val y = Rel(df(Seq("a" -> 1, "b" -> 2, "b" -> 2)))
+    assert(x.intersectAll(y).toDF.count() == 2) // one (a,1) + one (b,2)
+    assert(x.differenceAll(y).toDF.count() == 1) // one surplus (a,1)
+    assert(x.difference(y).toDF.count() == 0)
+  }
+
+  test("limit with offset skips rows in order") {
+    val out = Rel(df(t)).orderBy(col("balance"))
+      .limit(2, offset = 1).toDF.collect().map(_.getInt(1))
+    assert(out.toSeq == Seq(-100, 400))
+  }
+
+  test("full join keeps both unmatched sides (reference raises here)") {
+    val l = Rel(df(Seq("a" -> 1, "b" -> 2)).withColumnRenamed("balance", "lb"))
+    val r = Rel(df(Seq("b" -> 20, "c" -> 30))
+      .withColumnRenamed("name", "rname").withColumnRenamed("balance", "rb"))
+    val j = l.fullJoin(r, col("name") === col("rname")).toDF
+    assert(j.count() == 3)
+    assert(j.where(col("name").isNull).count() == 1)
+    assert(j.where(col("rname").isNull).count() == 1)
+  }
+
+  test("semi/anti join partition rows exactly") {
+    val l = Rel(df(t))
+    val r = Rel(df(Seq("Alice" -> 0))).select("rname" -> col("name"))
+    val semi = l.semiJoin(r, col("name") === col("rname")).toDF.count()
+    val anti = l.antiJoin(r, col("name") === col("rname")).toDF.count()
+    assert(semi == 2 && anti == 2)
+  }
+
+  test("total of empty group is 0, sum is NULL (stupidb test_total_vs_sum)") {
+    val empty = Rel(df(t)).sift(col("balance") > 10000)
+    val agg = empty.aggregate(
+      "total" -> coalesce(sum(col("balance")), lit(0L)),
+      "plain_sum" -> sum(col("balance"))).toDF.collect()(0)
+    assert(agg.getLong(0) == 0L)
+    assert(agg.isNullAt(1))
+  }
+
+  test("exists is a terminal boolean") {
+    assert(Rel(df(t)).sift(col("balance") > 500).exists)
+    assert(!Rel(df(t)).sift(col("balance") > 5000).exists)
+  }
+}

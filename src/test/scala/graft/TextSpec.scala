@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Hand-computed expectations for the text operators. */
+class TextSpec extends SparkSpec {
+
+  private def one(text: String) =
+    spark.createDataFrame(Seq((1L, text))).toDF("id", "text")
+
+  test("token and char counts") {
+    val r = one("the quick brown fox").select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.charCount(col("text")).as("c")).collect()(0)
+    assert(r.getInt(0) == 4 && r.getInt(1) == 19)
+  }
+
+  test("stopword ratio counts exact matches only") {
+    val r = one("the cat in the hat").select(
+      TextAnalysis.stopwordRatio(col("text")).as("r")).collect()(0)
+    assert(r.getDouble(0) == 3.0 / 5.0) // the, in, the
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different")
+    )).toDF("id", "text")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langid picks the dominant marker language; und when none") {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog of war"),
+      (2L, "el gato con la bota los dias"),
+      (3L, "xyzzy qwerty asdf")
+    )).toDF("id", "text")
+    val withHits = langs.foldLeft(df) { case (acc, l) =>
+      acc.withColumn(s"h_$l", TextAnalysis.markerHits(col("text"), l))
+    }
+    val out = withHits.select(col("id"),
+      TextAnalysis.langId(langs.map(l => l -> col(s"h_$l")).toMap).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("quality score is bounded in [0,1]") {
+    val r = one("the a of in and " * 20).select(
+      TextAnalysis.qualityScore(col("text")).as("q")).collect()(0).getDouble(0)
+    assert(r >= 0.0 && r <= 1.0)
+  }
+}

@@ -53,9 +53,9 @@ def main(sf_dir, out_dir):
         files = sorted(qdir.glob("*.parquet"))
         tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(qdir)
         s_names = list(tbl.schema.names)
-        s_rows = [tuple(c[i] for c in tbl.to_pydict().values())
-                  for i in range(tbl.num_rows)]
-        s_rows = [tuple(row) for row in zip(*[tbl.column(n).to_pylist() for n in s_names])] if tbl.num_rows else []
+        s_rows = ([tuple(row) for row in
+                   zip(*[tbl.column(n).to_pylist() for n in s_names])]
+                  if tbl.num_rows else [])
         try:
             res = con.execute(oracle[name])
             d_names = [d[0] for d in res.description]
