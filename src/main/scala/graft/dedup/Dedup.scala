@@ -51,8 +51,12 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    // compare 8-byte shingle hashes, not strings: set sizes are
+    // identical up to xxhash64 collisions (~n²/2⁶⁴ — negligible), and
+    // the pairwise intersect/union loop is the hot path
     val withShingles = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
+      (col(idCol) +: blockCols.map(col)) :+
+        shingleHashes(shingles(col(textCol), n)).as("sh"): _*)
     val a = withShingles.select(
       col(idCol).as("id_a") +: col("sh").as("sh_a") +:
         blockCols.map(c => col(c).as(s"${c}_a")): _*)
@@ -111,9 +115,8 @@ object Dedup {
         array((0 until NumBands).map { bnd =>
           struct(
             lit(bnd).as("band"),
-            xxhash64(concat_ws("_",
-              (0 until BandRows).map(r =>
-                element_at(col("sig"), bnd * BandRows + r + 1)): _*)).as("bucket"))
+            xxhash64((0 until BandRows).map(r =>
+              element_at(col("sig"), bnd * BandRows + r + 1)): _*).as("bucket"))
         }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("x").join(bands.as("y"),
@@ -129,7 +132,8 @@ object Dedup {
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id_sh"), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol).as("id_sh"),
+      shingleHashes(shingles(col(textCol), n)).as("sh"))
     minhashCandidates(docs, idCol, textCol, n)
       .join(sh.withColumnRenamed("id_sh", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id_sh", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

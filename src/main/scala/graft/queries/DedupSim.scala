@@ -55,14 +55,16 @@ object DedupSim {
 
   /** Embedding-cosine near-dup pairs, blocked on label. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95)
+    Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95,
+      cosineFn = Similarity.cosineIn(s))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Brute-force cosine top-5 for a bounded query set (vec_id < 20). */
   def qAnnBruteforce(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.bruteForceTopK(
-      emb.where(col("vec_id") < 20), emb, k = 5)
+      emb.where(col("vec_id") < 20), emb, k = 5,
+      cosineFn = Similarity.cosineIn(s))
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -71,7 +73,8 @@ object DedupSim {
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.lshTopK(
-      emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = 8)
+      emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = 8,
+      cosineFn = Similarity.cosineIn(s))
       .orderBy(col("query_id"), col("rk"))
   }
 

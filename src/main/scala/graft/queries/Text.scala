@@ -11,20 +11,37 @@ import graft.text.TextAnalysis._
   */
 object Text {
 
-  /** Per-document token/char/punctuation/stopword statistics. */
+  /** Single-file scan → one partition; the per-row regex/lambda work is
+    * CPU-bound, so spread it (same rationale as DedupSim.docsParallel). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** Per-document token/char/punctuation/stopword statistics.
+    * Token arrays are materialized once per row (own projection) —
+    * inlining `split()` into every stat would re-tokenize per
+    * expression (higher-order fns are interpreted; SURVEY §3.5). */
   def qTextStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      charCount(col("text")).as("n_chars_m"),
-      round(punctRatio(col("text")), 6).as("punct_ratio"),
-      round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      round(meanTokenLen(col("text")), 6).as("mean_tok_len"))
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        tokens(col("text")).as("toks"),
+        tokens(lower(col("text"))).as("toks_lower"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        charCount(col("text")).as("n_chars_m"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(size(filter(col("toks_lower"), t => t.isInCollection(stopwords)))
+          .cast("double") /
+          greatest(size(col("toks_lower")).cast("double"), lit(1.0)), 6)
+          .as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          greatest(size(col("toks")).cast("double"), lit(1.0)), 6)
+          .as("mean_tok_len"))
       .orderBy(col("doc_id"))
 
   /** Composite quality score + keep/drop flag. */
   def qTextQuality(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       qualityScore(col("text")).as("quality"),
       (qualityScore(col("text")) >= 0.5).as("keep"))
@@ -33,7 +50,7 @@ object Text {
   /** Marker-word language ID (NOT the `lang` label — the heuristic). */
   def qTextLangid(s: SparkSession, d: String): DataFrame = {
     val langs = Seq("en", "es", "de", "fr", "zh")
-    val withHits = langs.foldLeft(Tables.documents(s, d)) {
+    val withHits = langs.foldLeft(docs(s, d)) {
       case (df, l) => df.withColumn(s"hits_$l", markerHits(col("text"), l))
     }
     withHits.select(
@@ -45,7 +62,7 @@ object Text {
 
   /** Normalized md5 fingerprint + exact-duplicate cluster size. */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
-    val fp = Tables.documents(s, d)
+    val fp = docs(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val sizes = fp.groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
     fp.join(sizes, "fp")

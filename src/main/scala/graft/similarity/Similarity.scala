@@ -26,8 +26,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Portable cosine from higher-order built-ins (interpreted —
+    * CodegenFallback; fine for bounded work, see `cosineIn`). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+
+  /** Best cosine available in this session: graft's codegen'd
+    * VecCosine when GraftExtensions is installed (bit-identical
+    * semantics, one fused primitive loop), else the portable form. */
+  def cosineIn(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("vec_cosine")) call_function("vec_cosine", a, b)
+    else cosine(a, b)
 
   /** Exact top-k neighbors for each query vector: broadcast the bounded
     * query set against the corpus, rank per query. Rank on the ROUNDED
@@ -35,14 +44,15 @@ object Similarity {
     * reorder results. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineFn(col("qv"), col("cv")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
@@ -54,12 +64,13 @@ object Similarity {
   def cosineNearDupPairs(
       vecs: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      blockCol: String = "label"): DataFrame = {
+      blockCol: String = "label",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val v = vecs.select(
       col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
     v.as("x").join(v.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("cos_sim", round(cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("cos_sim", round(cosineFn(col("x.v"), col("y.v")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cos_sim"))
   }
@@ -100,7 +111,8 @@ object Similarity {
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
       numTables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBuckets(col(vecCol), numPlanes, numTables).as("tb"))
@@ -119,7 +131,7 @@ object Similarity {
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("cv"))
       .distinct() // a pair colliding in several tables scores once
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineFn(col("qv"), col("cv")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Columnar/text sources and sinks (SURVEY.md §2 infrastructure).
+  *
+  * The reference engine's only ingress is an in-memory iterable
+  * (/root/reference/stupidb/api.py:104 `table`); graft reads and
+  * writes real formats. Defaults are the scale-sane ones: snappy
+  * parquet, schema inferred only when asked (inference is a full
+  * extra scan at 100 TB), and partitioned writes for downstream
+  * partition pruning.
+  */
+object Sources {
+
+  /** In-memory rows → DataFrame: the reference's `table()` verb. */
+  def table(spark: SparkSession, rows: Seq[Map[String, Any]]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(rows.nonEmpty, "table() needs at least one row to infer a schema")
+    val cols = rows.head.keys.toSeq.sorted
+    val data = rows.map(r => org.apache.spark.sql.Row.fromSeq(cols.map(r(_))))
+    val fields = cols.map { c =>
+      val v = rows.head(c)
+      val dt = v match {
+        case _: Int => org.apache.spark.sql.types.IntegerType
+        case _: Long => org.apache.spark.sql.types.LongType
+        case _: Double => org.apache.spark.sql.types.DoubleType
+        case _: Boolean => org.apache.spark.sql.types.BooleanType
+        case _ => org.apache.spark.sql.types.StringType
+      }
+      org.apache.spark.sql.types.StructField(c, dt, nullable = true)
+    }
+    spark.createDataFrame(
+      data.asJava, org.apache.spark.sql.types.StructType(fields))
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      header: Boolean = true, inferSchema: Boolean = false): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Parquet write, optionally hive-partitioned by low-cardinality
+    * columns so downstream readers prune partitions at the source. */
+  def writeParquet(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}

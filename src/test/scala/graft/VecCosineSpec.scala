@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** The native codegen'd VecCosine must be registered by GraftExtensions
+  * and bit-identical to the portable higher-order-function cosine. */
+class VecCosineSpec extends SparkSpec {
+
+  test("GraftExtensions registers vec_cosine in the session") {
+    assert(spark.catalog.functionExists("vec_cosine"))
+  }
+
+  test("native cosine is bit-identical to the portable cosine") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .limit(5000)
+    val diffs = pairs.select(
+      Similarity.cosine(col("x.embedding"), col("y.embedding")).as("portable"),
+      call_function("vec_cosine", col("x.embedding"), col("y.embedding")).as("native"))
+      .where(col("portable") =!= col("native"))
+      .count()
+    assert(diffs == 0, "native and portable cosine diverged")
+  }
+
+  test("vec_cosine participates in whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = emb.select(call_function("vec_cosine", col("embedding"), col("embedding")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"))
+    assert(!p.contains("Found 0 WholeStageCodegen"), s"no codegen subtree:\n$p")
+  }
+
+  test("type check rejects non-float arrays") {
+    val bad = spark.range(1).select(array(lit(1L)).as("v"))
+    val e = intercept[Exception] {
+      bad.select(call_function("vec_cosine", col("v"), col("v"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("vec_cosine") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+}
