@@ -45,29 +45,45 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)).cast("double"), lit(1.0))
 
-  /** Near-dup pairs by exact Jaccard within blocking buckets.
-    * `blockCols` bounds the join (same-bucket pairs only) — the
-    * correctness baseline that MinHash-LSH approximates. */
+  /** Near-dup pairs by exact Jaccard within blocking buckets —
+    * the correctness baseline that MinHash-LSH approximates.
+    *
+    * Distributed shape: explode each doc's distinct shingle hashes and
+    * self-join on (block, shingle) — a pair's match count IS its
+    * intersection size, and |A∪B| = |A|+|B|−|A∩B|. This is one shuffle
+    * on the shingle hash + one aggregation on the pair key; per-pair
+    * array intersection (the naive form) re-walks both arrays for
+    * every pair and was ~2× slower even at sf0.1. Pairs sharing no
+    * shingle never materialize at all. Comparing 8-byte hashes instead
+    * of shingle strings is exact up to xxhash64 collisions (~n²/2⁶⁴). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    // compare 8-byte shingle hashes, not strings: set sizes are
-    // identical up to xxhash64 collisions (~n²/2⁶⁴ — negligible), and
-    // the pairwise intersect/union loop is the hot path
-    val withShingles = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        shingleHashes(shingles(col(textCol), n)).as("sh"): _*)
-    val a = withShingles.select(
-      col(idCol).as("id_a") +: col("sh").as("sh_a") +:
+    val withShingles = docs
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          shingles(col(textCol), n).as("shs"): _*)
+      .select(
+        (col("id") +: blockCols.map(col)) :+ shingleHashes(col("shs")).as("sh"): _*)
+      .withColumn("sz", size(col("sh")))
+    val ex = withShingles.select(
+      (col("id") +: col("sz") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
+    val a = ex.select(
+      col("id").as("id_a") +: col("sz").as("sz_a") +: col("h").as("h_a") +:
         blockCols.map(c => col(c).as(s"${c}_a")): _*)
-    val b = withShingles.select(
-      col(idCol).as("id_b") +: col("sh").as("sh_b") +:
+    val b = ex.select(
+      col("id").as("id_b") +: col("sz").as("sz_b") +: col("h").as("h_b") +:
         blockCols.map(c => col(c).as(s"${c}_b")): _*)
     val joinCond = blockCols
       .map(c => col(s"${c}_a") === col(s"${c}_b"))
-      .foldLeft(col("id_a") < col("id_b"))(_ && _)
+      .foldLeft(col("id_a") < col("id_b") && col("h_a") === col("h_b"))(_ && _)
     a.join(b, joinCond)
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),
+            lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

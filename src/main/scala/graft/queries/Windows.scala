@@ -133,22 +133,28 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Variance/stddev over window frames — stupidb test_variance_window. */
+  /** Variance/stddev over sliding frames — stupidb test_variance_window.
+    * Computed with graft's O(n) prefix-sum sliding operator
+    * (operators.SlidingAgg) instead of Spark's O(n·frame) per-row frame
+    * recompute; same values as the direct form (exact decimal prefix
+    * sums), checked against the conventionally-computed oracle. */
   def qWinStats(s: SparkSession, d: String): DataFrame = {
     // (l_orderkey, l_linenumber) alone is NOT unique in this corpus —
     // partkey+suppkey complete the tiebreak so ROWS frames are total.
     val ord = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"))
-    val w = Win.rows(
-      partitionBy = Seq(col("l_returnflag")),
-      orderBy = ord,
-      preceding = Some(49L))
-    Tables.lineitem(s, d).select(
-      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-      col("l_suppkey"), col("l_returnflag"),
-      round(var_samp(col("l_quantity")).over(w), 6).as("var_qty_50"),
-      round(stddev_samp(col("l_quantity")).over(w), 6).as("std_qty_50"),
-      round(avg(col("l_quantity")).over(w), 6).as("avg_qty_50"))
+    graft.operators.SlidingAgg.slidingStats(
+        Tables.lineitem(s, d),
+        partitionBy = Seq(col("l_returnflag")),
+        orderBy = ord,
+        valueCol = col("l_quantity"),
+        w = 50)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"),
+        col("sl_var_samp").as("var_qty_50"),
+        col("sl_stddev_samp").as("std_qty_50"),
+        col("sl_avg").as("avg_qty_50"))
       .orderBy(ord: _*)
   }
 
