@@ -70,11 +70,27 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language document-length distribution: exact interpolated
+    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`). At 100 TB
+    * the same query swaps in `approx_percentile` (KLL/GK sketch) —
+    * asserted within tolerance in TextSpec. */
+  def qTextQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+      .orderBy(col("lang"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_quantiles" -> (qTextQuantiles _))
 
   // DuckDB twins. Tokenization: text is single-space-separated in the
   // corpus; both sides split on whitespace runs.
@@ -86,6 +102,13 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.25), 4) AS p25,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.5), 4) AS p50,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.75), 4) AS p75,
+        |  ROUND(QUANTILE_CONT(n_chars, 0.95), 4) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens,

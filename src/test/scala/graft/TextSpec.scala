@@ -50,6 +50,18 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("approx sketches track exact values (the 100 TB swap-ins)") {
+    val docs = Tables.documents(spark, sf)
+    val r = docs.select(
+      expr("percentile(n_chars, 0.5)").as("exact_p50"),
+      expr("approx_percentile(n_chars, 0.5, 10000)").as("approx_p50"),
+      countDistinct(col("source")).as("exact_nd"),
+      approx_count_distinct(col("source")).as("approx_nd")).collect()(0)
+    assert(math.abs(r.getDouble(0) - r.getAs[Number](1).doubleValue())
+      <= math.max(1.0, r.getDouble(0) * 0.02))
+    assert(math.abs(r.getLong(2) - r.getLong(3)) <= math.max(1L, r.getLong(2) / 20))
+  }
+
   test("quality score is bounded in [0,1]") {
     val r = one("the a of in and " * 20).select(
       TextAnalysis.qualityScore(col("text")).as("q")).collect()(0).getDouble(0)
