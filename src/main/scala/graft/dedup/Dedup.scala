@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines
@@ -8,15 +9,27 @@ import org.apache.spark.sql.functions._
   * they extend its relational surface with the operators a 100 TB
   * corpus cleanup actually needs.
   *
+  * ARCHITECTURE (SURVEY.md §3.5): the hot pipelines are fully
+  * RELATIONAL — `posexplode` tokens (the regex split runs once, in the
+  * Generate node), shingle hashes via `lead()` windows, MinHash as 64
+  * codegen'd `min()` aggregates, SimHash as 64 codegen'd conditional
+  * `sum()`s. No higher-order array functions in hot paths: those are
+  * CodegenFallback (interpreted) AND Catalyst freely re-inlines their
+  * subtrees into every consumer (profiled: the array-based MinHash
+  * spent 657s where this shape spends ~2s at sf0.1).
+  *
   * Scale design: every variant is linear-scan + shuffle-by-key. The
   * quadratic work (pair comparison) only ever happens inside small
-  * candidate buckets produced by a blocking key (hash, LSH band,
-  * SimHash prefix, label), never across the whole corpus.
+  * candidate buckets produced by a blocking key (shingle hash, LSH
+  * band, SimHash chunk, label), never across the whole corpus.
   */
 object Dedup {
 
-  /** Word-level n-gram shingles, distinct, as a column expression.
-    * 1-based `element_at`; size(words)-(n-1) shingles per doc. */
+  /** Word-level n-gram shingles, distinct, as a column expression —
+    * the API-level convenience (1-based `element_at`). NOTE: references
+    * the `split` subtree n+1 times (Catalyst expressions are trees, not
+    * DAGs) — fine for one-off use, wrong for hot paths; the pipelines
+    * below use the relational shape instead. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, "\\s+")
     // sequence(1, k) with k < 1 would DESCEND in Spark; guard short docs.
@@ -28,11 +41,15 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exact Jaccard similarity between two pre-computed shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)).cast("double"), lit(1.0))
+
   /** Exact dedup: canonical = lowest doc_id per normalized-text hash.
     * One shuffle on the 128-bit content hash; no pairwise work at all. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash"))
+    val w = Window.partitionBy(col("content_hash"))
     docs
       .withColumn("content_hash",
         md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
@@ -40,39 +57,58 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
-  /** Exact word-3-gram Jaccard similarity between two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)).cast("double"), lit(1.0))
+  // ---- relational token/shingle backbone ---------------------------
+
+  /** One row per token: (id, blockCols…, pos, h) with h = xxhash64 of
+    * the word. The split runs exactly once per document, inside the
+    * Generate (posexplode) operator — whole-stage codegen'd. */
+  def tokenRows(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil): DataFrame =
+    docs
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")): _*)
+      .select(
+        (col("id") +: blockCols.map(col)) :+
+          col("pos") :+ xxhash64(col("word")).as("h"): _*)
+
+  /** One row per DISTINCT n-gram shingle: (id, blockCols…, h3) where
+    * h3 = xxhash64 over n consecutive word hashes (set-identical to
+    * hashing the string shingle, no concatenation). The neighbor
+    * lookup is `lead()` over (id, pos) — one shuffle on id, then a
+    * codegen'd window pass. */
+  def shingleRows(
+      tok: DataFrame, blockCols: Seq[String], n: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("h") +: (1 until n).map(k => lead(col("h"), k).over(w))
+    tok
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("h3", xxhash64(parts: _*))
+      // xxhash64 skips NULL inputs rather than nulling out, so trailing
+      // positions (where lead() is null) must be filtered by position
+      .where(col("pos") <= col("np") - n)
+      .select((col("id") +: blockCols.map(col)) :+ col("h3"): _*)
+      .distinct()
+  }
 
   /** Near-dup pairs by exact Jaccard within blocking buckets —
     * the correctness baseline that MinHash-LSH approximates.
     *
-    * Distributed shape: explode each doc's distinct shingle hashes and
-    * self-join on (block, shingle) — a pair's match count IS its
-    * intersection size, and |A∪B| = |A|+|B|−|A∩B|. This is one shuffle
-    * on the shingle hash + one aggregation on the pair key; per-pair
-    * array intersection (the naive form) re-walks both arrays for
-    * every pair and was ~2× slower even at sf0.1. Pairs sharing no
-    * shingle never materialize at all. Comparing 8-byte hashes instead
-    * of shingle strings is exact up to xxhash64 collisions (~n²/2⁶⁴). */
+    * Distributed shape: self-join shingle rows on (block, shingle) — a
+    * pair's match count IS its intersection size, and |A∪B| =
+    * |A|+|B|−|A∩B|. One shuffle + one aggregation on the pair key;
+    * pairs sharing no shingle never materialize. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val withShingles = docs
-      .select(
-        (col(idCol).as("id") +: blockCols.map(col)) :+
-          shingles(col(textCol), n).as("shs"): _*)
-      .select(
-        (col("id") +: blockCols.map(col)) :+ shingleHashes(col("shs")).as("sh"): _*)
-      .withColumn("sz", size(col("sh")))
-    val ex = withShingles.select(
-      (col("id") +: col("sz") +: blockCols.map(col)) :+ explode(col("sh")).as("h"): _*)
-    val a = ex.select(
-      col("id").as("id_a") +: col("sz").as("sz_a") +: col("h").as("h_a") +:
+    val sh = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val a = sh.select(
+      col("id").as("id_a") +: col("sz").as("sz_a") +: col("h3").as("h_a") +:
         blockCols.map(c => col(c).as(s"${c}_a")): _*)
-    val b = ex.select(
-      col("id").as("id_b") +: col("sz").as("sz_b") +: col("h").as("h_b") +:
+    val b = sh.select(
+      col("id").as("id_b") +: col("sz").as("sz_b") +: col("h3").as("h_b") +:
         blockCols.map(c => col(c).as(s"${c}_b")): _*)
     val joinCond = blockCols
       .map(c => col(s"${c}_a") === col(s"${c}_b"))
@@ -96,44 +132,34 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** MinHash signature as a NumHashes-long array column.
-    *
-    * PERFORMANCE CONTRACT: `hashes` must be a *materialized* column of
-    * `array<long>` (one xxhash64 per shingle, see `shingleHashes`), not
-    * an inline expression tree — higher-order functions are interpreted
-    * (CodegenFallback), so an inline subtree would be re-evaluated once
-    * per hash family member (64×). The i-th family member re-mixes the
-    * precomputed long with xxhash64(h, i); min over the array. */
-  def minhashSignature(hashes: Column): Column = {
-    val sigs = (0 until NumHashes).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))
+  /** MinHash signatures as a WIDE table (id, m0…m63): the i-th hash
+    * family member is xxhash64(shingle, i); the signature element is
+    * its min over the doc's shingles. 64 `min()` aggregate functions in
+    * one codegen'd hash aggregate — partial aggregation happens
+    * map-side, so the shuffle carries 64 longs per doc, not the
+    * shingle set. */
+  def minhashSigTable(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { i =>
+      min(xxhash64(col("h3"), lit(i))).as(s"m$i")
     }
-    array(sigs: _*)
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** One 64-bit hash per shingle — evaluate ONCE per row and reuse. */
-  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
-
-  /** LSH candidate pairs: explode signatures into (band, band-hash)
-    * buckets, self-join buckets, dedup pairs. Linear in corpus size;
-    * pairwise work only inside buckets. */
+  /** LSH candidate pairs: band the wide signature into NumBands bucket
+    * hashes, explode to (band, bucket) rows, self-join buckets. Linear
+    * in corpus size; pairwise work only inside buckets. */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // two explicit projection steps so shingling + hashing run once per
-    // row; only then fan out into the 64 signature expressions
-    val sig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("hs"))
-      .select(col("id"), minhashSignature(col("hs")).as("sig"))
+    val sig = minhashSigTable(
+      shingleRows(tokenRows(docs, idCol, textCol), Nil, n))
     val bands = sig.select(
       col("id"),
-      explode(
-        array((0 until NumBands).map { bnd =>
-          struct(
-            lit(bnd).as("band"),
-            xxhash64((0 until BandRows).map(r =>
-              element_at(col("sig"), bnd * BandRows + r + 1)): _*).as("bucket"))
-        }: _*)).as("bb"))
+      explode(array((0 until NumBands).map { bnd =>
+        struct(
+          lit(bnd).as("band"),
+          xxhash64((0 until BandRows).map(r =>
+            col(s"m${bnd * BandRows + r}")): _*).as("bucket"))
+      }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -144,30 +170,53 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates re-checked with
-    * exact Jaccard (the standard verify step). */
+    * exact Jaccard (the standard verify step), computed relationally:
+    * join the candidate pairs back to the shingle rows of both sides
+    * and count matches. */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id_sh"),
-      shingleHashes(shingles(col(textCol), n)).as("sh"))
-    minhashCandidates(docs, idCol, textCol, n)
-      .join(sh.withColumnRenamed("id_sh", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id_sh", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+    val sh = shingleRows(tokenRows(docs, idCol, textCol), Nil, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = minhashCandidates(docs, idCol, textCol, n)
+      .join(sh.select(col("id").as("id_a"), col("h3").as("ha")), "id_a")
+      .join(sh.select(col("id").as("idb2"), col("h3").as("hb")),
+        col("id_b") === col("idb2") && col("ha") === col("hb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),
+            lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash from a MATERIALIZED `array<long>` token-hash
-    * column: per bit, sign of the sum of ±1 contributions. The 64
-    * per-bit passes only do long arithmetic over the precomputed
-    * array — the tokenization/hashing cost is paid once in
-    * `tokenHashes`. (At true 100 TB scale this is the one operator
-    * worth a native codegen Expression; the bucketing/join topology
-    * around it is already the scalable part.) */
-  def simhashFromHashes(hashes: Column): Column = {
+  /** 64-bit SimHash per document from token rows: per bit, the sign of
+    * the sum of ±1 contributions across tokens — 64 conditional `sum()`
+    * aggregates in one codegen'd hash aggregate, then one projection
+    * assembling the bits (references only cheap long columns). */
+  def simhashTable(tok: DataFrame): DataFrame = {
+    val aggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"c$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"c$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), bits.reduce(_ + _).as("sig"))
+  }
+
+  /** 64-bit SimHash as a column-level convenience (interpreted — use
+    * `simhashTable` for corpora). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(text, "\\s+"), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val contrib = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -175,14 +224,6 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
-
-  /** One xxhash64 per whitespace token — evaluate once per row. */
-  def tokenHashes(text: Column): Column =
-    transform(split(text, "\\s+"), t => xxhash64(t))
-
-  /** 64-bit SimHash over whitespace tokens (convenience; for hot paths
-    * materialize `tokenHashes` first — see simhashPairs). */
-  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -193,11 +234,7 @@ object Dedup {
     * with the full hamming distance. Linear scan + bucket joins. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    // materialize token hashes in their own projection so the 64 bit
-    // expressions share one tokenization pass (see simhashFromHashes)
-    val sigs = docs
-      .select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
-      .select(col("id"), simhashFromHashes(col("th")).as("sig"))
+    val sigs = simhashTable(tokenRows(docs, idCol, textCol))
     val blocks = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
