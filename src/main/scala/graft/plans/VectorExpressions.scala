@@ -91,6 +91,96 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH signature over an `array<float>` vector:
+  * `numPlanes` sign-of-projection bits packed into an int.
+  *
+  * The planes are deterministic pseudo-random components in [-0.5,0.5)
+  * generated from (globalPlaneIndex, dim) — identical to
+  * graft.similarity.Similarity.planeComponent, so this expression and
+  * the portable column formula produce the same buckets. Codegen emits
+  * one fused loop over (planes × dims) against a reference-object
+  * plane matrix; the portable form pays an interpreted zip_with +
+  * aggregate per plane.
+  */
+case class VecLshSignature(child: Expression, numPlanes: Int, table: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_lsh expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "vec_lsh"
+
+  /** plane p, dim i — must stay in lockstep with
+    * Similarity.planeComponent (spec-asserted). */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numPlanes, 4096) { (p, i) =>
+      VecLshSignature.component(table * numPlanes + p, i)
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0
+    var p = 0
+    while (p < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        proj += v.getFloat(i).toDouble * planes(p)(i)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v => {
+      val fn = ctx.freshName("vecLsh")
+      val funcName = ctx.addNewFunction(fn,
+        s"""
+           |private int $fn(org.apache.spark.sql.catalyst.util.ArrayData v) {
+           |  int n = v.numElements();
+           |  int sig = 0;
+           |  for (int p = 0; p < $numPlanes; p++) {
+           |    double proj = 0.0;
+           |    double[] plane = $planesRef[p];
+           |    for (int i = 0; i < n; i++) {
+           |      proj += ((double) v.getFloat(i)) * plane[i];
+           |    }
+           |    if (proj >= 0) sig |= (1 << p);
+           |  }
+           |  return sig;
+           |}
+         """.stripMargin)
+      s"$funcName($v)"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VecLshSignature {
+  /** Deterministic pseudo-random component in [-0.5, 0.5) from
+    * (globalPlane, dim), via the same xxhash64 mix Spark's XxHash64
+    * column function computes — keeps native and portable signatures
+    * identical. */
+  def component(globalPlane: Int, dim: Int): Double = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(dim, org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(globalPlane, 42L))
+    (math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+  }
+}
+
 /** Registers graft's native expressions via the public extension point:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `SparkSession.builder.withExtensions`). */
@@ -100,5 +190,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (children: Seq[Expression]) => VecCosine(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_lsh"),
+      new ExpressionInfo(classOf[VecLshSignature].getName, "vec_lsh"),
+      (children: Seq[Expression]) => {
+        def toInt(e: Expression): Int =
+          e.eval(null).asInstanceOf[Number].intValue()
+        VecLshSignature(children.head, toInt(children(1)), toInt(children(2)))
+      }))
   }
 }

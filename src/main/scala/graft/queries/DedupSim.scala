@@ -74,7 +74,8 @@ object DedupSim {
     val emb = embParallel(s, d)
     Similarity.lshTopK(
       emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = 8,
-      cosineFn = Similarity.cosineIn(s))
+      cosineFn = Similarity.cosineIn(s),
+      sigFn = Similarity.lshSignatureIn(s))
       .orderBy(col("query_id"), col("rk"))
   }
 

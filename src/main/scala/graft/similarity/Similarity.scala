@@ -79,9 +79,20 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component: a value in
     * [-0.5, 0.5) derived from (plane, dim) via xxhash64 — reproducible
-    * across executors with no broadcast state. */
+    * across executors with no broadcast state. Kept in lockstep with
+    * graft.plans.VecLshSignature.component (spec-asserted) so the
+    * native and portable signatures agree. */
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Best LSH signature available in this session: the codegen'd
+    * vec_lsh expression when GraftExtensions is installed, else the
+    * portable per-plane column formula. */
+  def lshSignatureIn(spark: org.apache.spark.sql.SparkSession)(
+      vec: Column, numPlanes: Int, table: Int): Column =
+    if (spark.catalog.functionExists("vec_lsh"))
+      call_function("vec_lsh", vec, lit(numPlanes), lit(table))
+    else lshSignature(vec, numPlanes, table)
 
   /** Sign-of-projection bit signature (numPlanes bits) as an int; the
     * `table` index offsets the plane seeds so multiple independent
@@ -100,9 +111,11 @@ object Similarity {
   /** (table, bucket) pairs across `numTables` independent hash tables —
     * standard multi-table LSH: a true neighbor missed by one table is
     * usually caught by another, trading recall for candidate volume. */
-  private def lshBuckets(vec: Column, numPlanes: Int, numTables: Int): Column =
+  private def lshBuckets(
+      vec: Column, numPlanes: Int, numTables: Int,
+      sigFn: (Column, Int, Int) => Column): Column =
     explode(array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), lshSignature(vec, numPlanes, t).as("bucket"))
+      struct(lit(t).as("tbl"), sigFn(vec, numPlanes, t).as("bucket"))
     }: _*))
 
   /** Bucketed approximate top-k: candidates share ANY of the query's
@@ -112,15 +125,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
       numTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+      cosineFn: (Column, Column) => Column = cosine,
+      sigFn: (Column, Int, Int) => Column = lshSignature): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBuckets(col(vecCol), numPlanes, numTables).as("tb"))
+      lshBuckets(col(vecCol), numPlanes, numTables, sigFn).as("tb"))
       .select(col("query_id"), col("qv"),
         col("tb.tbl").as("q_tbl"), col("tb.bucket").as("q_bucket"))
     val c = corpus.select(
       col(idCol).as("vec_id"), col(vecCol).as("cv"),
-      lshBuckets(col(vecCol), numPlanes, numTables).as("tb"))
+      lshBuckets(col(vecCol), numPlanes, numTables, sigFn).as("tb"))
       .select(col("vec_id"), col("cv"),
         col("tb.tbl").as("c_tbl"), col("tb.bucket").as("c_bucket"))
     val w = Window.partitionBy(col("query_id"))

@@ -32,4 +32,13 @@ object EventsStream {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Streaming exact-dedup: drop events whose id was already seen,
+    * with state bounded by the watermark (ids older than the horizon
+    * are evicted — the streaming twin of Dedup.exactDedup's keep-first
+    * semantics, scoped to the watermark window). */
+  def dedupStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
 }

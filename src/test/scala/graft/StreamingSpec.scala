@@ -34,6 +34,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming dedup drops repeated ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val df = stream.toDF().toDF("event_id", "ts", "value")
+    val q = EventsStream.dedupStream(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    try {
+      stream.addData((1L, t, 1.0), (2L, t, 2.0), (1L, t, 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, t, 2.0), (3L, t, 3.0)) // 2 is a cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("stateful user counts run in update mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

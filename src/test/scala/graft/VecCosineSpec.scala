@@ -33,6 +33,16 @@ class VecCosineSpec extends SparkSpec {
     assert(!p.contains("Found 0 WholeStageCodegen"), s"no codegen subtree:\n$p")
   }
 
+  test("native vec_lsh signature equals the portable formula") {
+    val emb = Tables.embeddings(spark, sf).limit(300)
+    val diffs = emb.select(
+      Similarity.lshSignature(col("embedding"), 8, table = 2).as("portable"),
+      call_function("vec_lsh", col("embedding"), lit(8), lit(2)).as("native"))
+      .where(col("portable") =!= col("native"))
+      .count()
+    assert(diffs == 0, "native and portable LSH signatures diverged")
+  }
+
   test("type check rejects non-float arrays") {
     val bad = spark.range(1).select(array(lit(1L)).as("v"))
     val e = intercept[Exception] {
