@@ -186,7 +186,29 @@ object Windows {
       .orderBy(col("c_custkey"))
   }
 
+  /** lead/lag with PER-ROW offsets — stupidb api.py:842 allows callable
+    * offsets; Spark's lead() is constant-only, so graft's VarNav
+    * expresses it as a rank self-join (operators.VarNav). */
+  def qWinNavVar(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("o_orderdate"), col("o_orderkey"))
+    val stepped = graft.operators.VarNav.varLead(
+      Tables.orders(s, d), Seq("o_custkey"), ord,
+      valueCol = col("o_totalprice"),
+      offset = pmod(col("o_orderkey"), lit(3)).cast("int"),
+      out = "lead_var")
+    graft.operators.VarNav.varLag(
+      stepped, Seq("o_custkey"), ord,
+      valueCol = col("o_totalprice"),
+      offset = pmod(col("o_orderkey"), lit(2)).cast("int"),
+      out = "lag_var",
+      default = Some(lit(-1.0)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("lead_var"), col("lag_var"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_nav_var" -> (qWinNavVar _),
     "q_win_rows" -> (qWinRows _),
     "q_win_cumsum" -> (qWinCumsum _),
     "q_win_range" -> (qWinRange _),
@@ -199,6 +221,13 @@ object Windows {
     "q_win_unpartitioned" -> (qWinUnpartitioned _))
 
   def oracles: Map[String, String] = Map(
+    "q_win_nav_var" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_totalprice, CAST(o_orderkey % 3 AS INT)) OVER w AS lead_var,
+        |  COALESCE(LAG(o_totalprice, CAST(o_orderkey % 2 AS INT)) OVER w, -1.0) AS lag_var
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_rows" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
