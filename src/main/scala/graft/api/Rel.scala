@@ -110,5 +110,32 @@ final case class Rel(df: DataFrame) {
   /** Whether any rows satisfy the plan — terminal action. */
   def exists: Boolean = !df.isEmpty
 
+  /** Driver-side row iterator — the reference's iterator protocol
+    * (core.py:50 `Relation.__iter__`). Streams partitions to the
+    * driver one at a time; still a terminal action, use sparingly. */
+  def iterator: Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  /** Pretty-format the first `n` rows — stupidb api.py:1018 `pretty`. */
+  def pretty(n: Int = 10): String = {
+    val names = df.columns
+    val rows = df.limit(n).collect().map(_.toSeq.map {
+      case null => ""
+      case v => v.toString
+    })
+    val widths = names.indices.map { i =>
+      (names(i).length +: rows.map(_(i).length)).max
+    }
+    def fmt(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("  ")
+    (fmt(names.toSeq) +: widths.map("-" * _).mkString("  ") +: rows.map(fmt))
+      .mkString("\n")
+  }
+
+  /** Pretty-print — stupidb api.py:1060 `show`. */
+  def show(n: Int = 10): Unit = println(pretty(n))
+
   def toDF: DataFrame = df
 }

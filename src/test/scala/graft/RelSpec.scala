@@ -77,6 +77,14 @@ class RelSpec extends SparkSpec {
     assert(agg.isNullAt(1))
   }
 
+  test("iterator and pretty mirror the reference's presentation verbs") {
+    val r = Rel(df(t)).orderBy(col("balance"))
+    assert(r.iterator.size == 4)
+    val p = r.pretty(2)
+    assert(p.contains("name") && p.contains("balance"))
+    assert(p.contains("-300") && !p.contains("700")) // limited to 2 rows
+  }
+
   test("exists is a terminal boolean") {
     assert(Rel(df(t)).sift(col("balance") > 500).exists)
     assert(!Rel(df(t)).sift(col("balance") > 5000).exists)
