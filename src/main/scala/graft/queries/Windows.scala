@@ -139,23 +139,24 @@ object Windows {
     * recompute; same values as the direct form (exact decimal prefix
     * sums), checked against the conventionally-computed oracle. */
   def qWinStats(s: SparkSession, d: String): DataFrame = {
-    // (l_orderkey, l_linenumber) alone is NOT unique in this corpus —
-    // partkey+suppkey complete the tiebreak so ROWS frames are total.
-    val ord = Seq(col("l_orderkey"), col("l_linenumber"),
-      col("l_partkey"), col("l_suppkey"))
+    // Partitioned by supplier — a HIGH-CARDINALITY key, so the window
+    // work spreads across the cluster (partitioning by l_returnflag
+    // would funnel 100 TB into 3 tasks). (l_orderkey, l_linenumber) is
+    // not unique in this corpus — partkey completes the tiebreak.
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
     graft.operators.SlidingAgg.slidingStats(
         Tables.lineitem(s, d),
-        partitionBy = Seq(col("l_returnflag")),
+        partitionBy = Seq(col("l_suppkey")),
         orderBy = ord,
         valueCol = col("l_quantity"),
         w = 50)
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_returnflag"),
+        col("l_suppkey"),
         col("sl_var_samp").as("var_qty_50"),
         col("sl_stddev_samp").as("std_qty_50"),
         col("sl_avg").as("avg_qty_50"))
-      .orderBy(ord: _*)
+      .orderBy(col("l_suppkey") +: ord: _*)
   }
 
   /** Several differently-partitioned windows in one projection —
@@ -298,15 +299,15 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_stats" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  ROUND(VAR_SAMP(l_quantity) OVER w, 6) AS var_qty_50,
         |  ROUND(STDDEV_SAMP(l_quantity) OVER w, 6) AS std_qty_50,
         |  ROUND(AVG(l_quantity) OVER w, 6) AS avg_qty_50
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag
-        |  ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_orderkey, l_linenumber, l_partkey
         |  ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "q_win_multi" ->
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
