@@ -145,13 +145,12 @@ object Dedup {
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: band the wide signature into NumBands bucket
-    * hashes, explode to (band, bucket) rows, self-join buckets. Linear
-    * in corpus size; pairwise work only inside buckets. */
-  def minhashCandidates(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sig = minhashSigTable(
-      shingleRows(tokenRows(docs, idCol, textCol), Nil, n))
+  /** LSH candidate pairs from a shingle-row table: band the wide
+    * signature into NumBands bucket hashes, explode to (band, bucket)
+    * rows, self-join buckets. Linear in corpus size; pairwise work only
+    * inside buckets. */
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val sig = minhashSigTable(sh)
     val bands = sig.select(
       col("id"),
       explode(array((0 until NumBands).map { bnd =>
@@ -169,16 +168,25 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs straight from documents. */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    minhashCandidatesFromShingles(
+      shingleRows(tokenRows(docs, idCol, textCol), Nil, n))
+
   /** Full MinHash-LSH near-dup pipeline: LSH candidates re-checked with
     * exact Jaccard (the standard verify step), computed relationally:
     * join the candidate pairs back to the shingle rows of both sides
-    * and count matches. */
+    * and count matches. The shingle table feeds three consumers
+    * (signatures, sizes, intersection counts), so it is cached for the
+    * duration — at corpus scale this is the persist(DISK) checkpoint
+    * every MinHash pipeline materializes anyway. */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(tokenRows(docs, idCol, textCol), Nil, n)
+    val sh = shingleRows(tokenRows(docs, idCol, textCol), Nil, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = minhashCandidates(docs, idCol, textCol, n)
+    val inter = minhashCandidatesFromShingles(sh)
       .join(sh.select(col("id").as("id_a"), col("h3").as("ha")), "id_a")
       .join(sh.select(col("id").as("idb2"), col("h3").as("hb")),
         col("id_b") === col("idb2") && col("ha") === col("hb"))
