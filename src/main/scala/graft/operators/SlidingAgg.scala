@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   * float cancellation drift as the window slides (the classic pitfall
   * of prefix-sum sliding aggregates), and results match a direct
   * per-frame computation bit-for-bit after the final rounding.
+  *
+  * Null handling matches SQL window aggregates: `n` is the count of
+  * NON-NULL values in the frame (a third cumulative count prefix-sum),
+  * and a frame with zero non-null values yields NULL stats.
+  *
+  * INPUT CONTRACT: values are snapped to DECIMAL(18,4) before the
+  * prefix sums — inputs with more than 4 decimal places are rounded at
+  * ingestion (that is the precision the oracle comparison runs at).
   */
 object SlidingAgg {
 
@@ -47,22 +55,25 @@ object SlidingAgg {
     val x2 = (x * x).cast("decimal(28,8)")
 
     val withPrefix = df
-      .withColumn("_rn", row_number().over(seq))
+      .withColumn("_c", count(x).over(cum))
       .withColumn("_s", sum(x).over(cum))
       .withColumn("_q", sum(x2).over(cum))
-    val n = least(col("_rn"), lit(w)).cast("double")
-    val fSum = (col("_s") - coalesce(lag(col("_s"), w).over(seq),
-      lit(0).cast("decimal(18,4)"))).cast("double")
-    val fSumSq = (col("_q") - coalesce(lag(col("_q"), w).over(seq),
-      lit(0).cast("decimal(28,8)"))).cast("double")
+    val n = (col("_c") - coalesce(lag(col("_c"), w).over(seq), lit(0L)))
+      .cast("double")
+    val fSum = (coalesce(col("_s"), lit(0).cast("decimal(18,4)")) -
+      coalesce(lag(col("_s"), w).over(seq),
+        lit(0).cast("decimal(18,4)"))).cast("double")
+    val fSumSq = (coalesce(col("_q"), lit(0).cast("decimal(28,8)")) -
+      coalesce(lag(col("_q"), w).over(seq),
+        lit(0).cast("decimal(28,8)"))).cast("double")
     val varSamp = when(n > 1,
       greatest((fSumSq - fSum * fSum / n) / (n - 1), lit(0.0)))
 
     withPrefix
       .withColumn(s"${prefix}n", n.cast("long"))
-      .withColumn(s"${prefix}avg", round(fSum / n, roundTo))
+      .withColumn(s"${prefix}avg", when(n > 0, round(fSum / n, roundTo)))
       .withColumn(s"${prefix}var_samp", round(varSamp, roundTo))
       .withColumn(s"${prefix}stddev_samp", round(sqrt(varSamp), roundTo))
-      .drop("_rn", "_s", "_q")
+      .drop("_c", "_s", "_q")
   }
 }

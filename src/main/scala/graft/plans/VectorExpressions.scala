@@ -116,22 +116,32 @@ case class VecLshSignature(child: Expression, numPlanes: Int, table: Int)
   override def prettyName: String = "vec_lsh"
 
   /** plane p, dim i — must stay in lockstep with
-    * Similarity.planeComponent (spec-asserted). */
+    * Similarity.planeComponent (spec-asserted). Pre-tabulated for the
+    * first [[VecLshSignature.PlaneDims]] dims (covers every real
+    * embedding model); dims beyond that fall back to computing the
+    * component on demand, so arbitrary-length vectors stay correct and
+    * identical to the portable column formula. */
   @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(numPlanes, 4096) { (p, i) =>
+    Array.tabulate(numPlanes, VecLshSignature.PlaneDims) { (p, i) =>
       VecLshSignature.component(table * numPlanes + p, i)
     }
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val lim = math.min(n, VecLshSignature.PlaneDims)
     var sig = 0
     var p = 0
     while (p < numPlanes) {
+      val gp = table * numPlanes + p
       var proj = 0.0
       var i = 0
-      while (i < n) {
+      while (i < lim) {
         proj += v.getFloat(i).toDouble * planes(p)(i)
+        i += 1
+      }
+      while (i < n) {
+        proj += v.getFloat(i).toDouble * VecLshSignature.component(gp, i)
         i += 1
       }
       if (proj >= 0) sig |= (1 << p)
@@ -142,18 +152,24 @@ case class VecLshSignature(child: Expression, numPlanes: Int, table: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val comp = "graft.plans.VecLshSignature$.MODULE$"
     defineCodeGen(ctx, ev, v => {
       val fn = ctx.freshName("vecLsh")
       val funcName = ctx.addNewFunction(fn,
         s"""
            |private int $fn(org.apache.spark.sql.catalyst.util.ArrayData v) {
            |  int n = v.numElements();
+           |  int lim = java.lang.Math.min(n, ${VecLshSignature.PlaneDims});
            |  int sig = 0;
            |  for (int p = 0; p < $numPlanes; p++) {
            |    double proj = 0.0;
            |    double[] plane = $planesRef[p];
-           |    for (int i = 0; i < n; i++) {
+           |    for (int i = 0; i < lim; i++) {
            |      proj += ((double) v.getFloat(i)) * plane[i];
+           |    }
+           |    for (int i = lim; i < n; i++) {
+           |      proj += ((double) v.getFloat(i))
+           |        * $comp.component(${table * numPlanes} + p, i);
            |    }
            |    if (proj >= 0) sig |= (1 << p);
            |  }
@@ -169,6 +185,9 @@ case class VecLshSignature(child: Expression, numPlanes: Int, table: Int)
 }
 
 object VecLshSignature {
+  /** Pre-tabulated plane width — dims past this are computed on demand. */
+  val PlaneDims: Int = 4096
+
   /** Deterministic pseudo-random component in [-0.5, 0.5) from
     * (globalPlane, dim), via the same xxhash64 mix Spark's XxHash64
     * column function computes — keeps native and portable signatures

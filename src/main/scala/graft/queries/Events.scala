@@ -96,13 +96,13 @@ object Events {
         |      IS NULL THEN 1 ELSE 0 END AS new_sess
         |  FROM events)
         |SELECT event_id, user_id, ts_us,
-        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM marked ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

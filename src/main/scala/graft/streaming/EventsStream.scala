@@ -36,9 +36,14 @@ object EventsStream {
   /** Streaming exact-dedup: drop events whose id was already seen,
     * with state bounded by the watermark (ids older than the horizon
     * are evicted — the streaming twin of Dedup.exactDedup's keep-first
-    * semantics, scoped to the watermark window). */
+    * semantics, scoped to the watermark window).
+    *
+    * Keyed on event_id ALONE: the same id at a different timestamp is
+    * still a duplicate. `dropDuplicatesWithinWatermark` lets state
+    * expire by event time without `ts` being part of the key —
+    * plain `dropDuplicates("event_id")` would keep every id forever. */
   def dedupStream(events: DataFrame, watermarkDelay: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 }

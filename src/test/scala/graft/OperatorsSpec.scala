@@ -50,4 +50,26 @@ class OperatorsSpec extends SparkSpec {
           greatest(abs(col("var_d")) * 1e-9, lit(1e-9))))
     assert(joined.isEmpty, joined.limit(5).collect().mkString("\n"))
   }
+
+  test("sliding stats skip nulls like SQL window aggregates") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = Seq(
+      (1, 1, Some(10.0)), (1, 2, None), (1, 3, Some(30.0)), (1, 4, None),
+      (1, 5, Some(50.0)), (2, 1, None), (2, 2, None), (2, 3, Some(7.0)))
+      .toDF("k", "seq", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("seq")).rowsBetween(-2, 0)
+    val direct = df.select(col("k"), col("seq"),
+      count(col("v")).over(w).as("n_d"),
+      round(avg(col("v")).over(w), 6).as("avg_d"),
+      round(var_samp(col("v")).over(w), 6).as("var_d"))
+    val fast = SlidingAgg.slidingStats(
+      df, Seq(col("k")), Seq(col("seq")), col("v"), w = 3)
+      .select(col("k"), col("seq"), col("sl_n"), col("sl_avg"), col("sl_var_samp"))
+    val joined = direct.join(fast, Seq("k", "seq"))
+      .where(col("n_d") =!= col("sl_n") ||
+        !(col("avg_d") <=> col("sl_avg")) ||
+        !(col("var_d") <=> col("sl_var_samp")))
+    assert(joined.isEmpty, joined.collect().mkString("\n"))
+  }
 }

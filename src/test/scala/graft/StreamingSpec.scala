@@ -46,7 +46,10 @@ class StreamingSpec extends SparkSpec {
     try {
       stream.addData((1L, t, 1.0), (2L, t, 2.0), (1L, t, 1.0))
       q.processAllAvailable()
-      stream.addData((2L, t, 2.0), (3L, t, 3.0)) // 2 is a cross-batch dup
+      // 2 is a cross-batch dup; the second 2 has a DIFFERENT ts and must
+      // still be dropped (dedup is keyed on event_id alone)
+      val t2 = Timestamp.valueOf("2024-01-01 10:05:00")
+      stream.addData((2L, t2, 2.0), (3L, t, 3.0))
       q.processAllAvailable()
     } finally q.stop()
     val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted

@@ -43,6 +43,22 @@ class VecCosineSpec extends SparkSpec {
     assert(diffs == 0, "native and portable LSH signatures diverged")
   }
 
+  test("vec_lsh handles vectors wider than the pre-tabulated plane matrix") {
+    // 5000 dims > PlaneDims (4096): the tail must be computed on demand
+    // and still agree with the portable formula (which has no cap)
+    val wide = spark.range(20).select(
+      col("id"),
+      transform(sequence(lit(0), lit(4999)),
+        i => (i.cast("float") * lit(0.37f) - col("id").cast("float"))
+          .cast("float")).as("embedding"))
+    val diffs = wide.select(
+      Similarity.lshSignature(col("embedding"), 8, table = 1).as("portable"),
+      call_function("vec_lsh", col("embedding"), lit(8), lit(1)).as("native"))
+      .where(col("portable") =!= col("native"))
+      .count()
+    assert(diffs == 0, "wide-vector native and portable LSH diverged")
+  }
+
   test("type check rejects non-float arrays") {
     val bad = spark.range(1).select(array(lit(1L)).as("v"))
     val e = intercept[Exception] {

@@ -57,15 +57,42 @@ def main(sf_dir, out_dir):
                    zip(*[tbl.column(n).to_pylist() for n in s_names])]
                   if tbl.num_rows else [])
         try:
-            res = con.execute(oracle[name])
-            d_names = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            dtbl = con.execute(oracle[name]).arrow()
+            d_names = list(dtbl.schema.names)
+            d_rows = ([tuple(row) for row in
+                       zip(*[dtbl.column(n).to_pylist() for n in d_names])]
+                      if dtbl.num_rows else [])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
         sn, sr = canon(s_names, s_rows)
         dn, dr = canon(d_names, d_rows)
         if sn != dn:
             print(f"FAIL {name}: schema {sn} vs {dn}"); n_fail += 1; continue
+        # Typed compare, mirroring the driver: arrow types must line up too.
+        # Coarse classes: the driver is lenient on timestamp unit/tz (r1
+        # q_events_tumbling passed) but strict on int64 vs decimal128 (r1
+        # q_events_json / q_events_sessionize failed on exactly that).
+        def tclass(t):
+            s = str(t)
+            if s.startswith("timestamp"):
+                return "timestamp"
+            if s.startswith("decimal"):
+                return "decimal"
+            if s in ("float", "double"):
+                return "float"
+            if s.startswith(("int", "uint")):
+                return "int"
+            if s in ("string", "large_string"):
+                return "string"
+            return s
+        s_types = [tclass(tbl.schema.field(n).type) for n in sn]
+        d_types = [tclass(dtbl.schema.field(n).type) for n in dn]
+        if s_types != d_types:
+            print(f"FAIL {name}: arrow type mismatch:")
+            print(f"  cols : {sn}")
+            print(f"  spark: {s_types}")
+            print(f"  duck : {d_types}")
+            n_fail += 1; continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}"); n_fail += 1; continue
         if sr != dr:
