@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed AS-OF join: for each left row, attach the payload of the
+  * latest right row with the same key and `rightTime <= leftTime`.
+  *
+  * Spark has no ASOF JOIN operator (DuckDB/kdb/QuestDB do). The naive
+  * encoding — theta-join on `key = key AND r.t <= l.t` + keep rank 1 —
+  * is O(|L|·|R|) per key and explodes on hot keys. The scale shape is
+  * UNION + SORT: tag both sides, union them, and run ONE window pass
+  * per key ordered by (time, side) carrying the last non-null right
+  * payload forward. Cost: one shuffle on the key + a per-partition
+  * sort — O(n log n) total regardless of how many right rows precede
+  * each left row. Right rows sort BEFORE left rows at equal times, so
+  * the join is inclusive (`<=`).
+  *
+  * The right side must be unique per (key, time) — pre-aggregate it
+  * (e.g. `groupBy(key, time).agg(max(...))`) or the "latest" row at a
+  * tied time is undefined in any engine.
+  */
+object AsofJoin {
+
+  /** @param left       probe rows (kept in full)
+    * @param right      reference rows, unique per (key, time)
+    * @param keyCol     equi-key present on both sides
+    * @param timeCol    ordering column present on both sides (numeric
+    *                   or timestamp; compared with `<=`)
+    * @param payloadCols right-side columns to carry to matching left
+    *                   rows (NULL when no right row precedes)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // one unified schema: left columns + payload columns + side tag
+    val taggedLeft = payloadCols
+      .foldLeft(left)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("_side", lit(1))
+      .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
+    val taggedRight = leftCols
+      .filterNot(c => c == keyCol || c == timeCol || payloadCols.contains(c))
+      .foldLeft(right)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("_side", lit(0))
+      .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_side")
+  }
+
+  /** Column-renaming convenience: as-of join where the right payload
+    * lands under `asof_<name>` and the matched right time under
+    * `asof_<timeCol>`. */
+  def asofPrefixed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val r = payloadCols.foldLeft(
+      right.withColumn(s"asof_$timeCol", col(timeCol))) {
+      (df, c) => df.withColumnRenamed(c, s"asof_$c")
+    }
+    asof(left, r, keyCol, timeCol,
+      payloadCols.map(c => s"asof_$c") :+ s"asof_$timeCol")
+  }
+}

@@ -42,6 +42,18 @@ object DedupSim {
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (graft.dedup.Cluster min-label propagation), the step
+    * that turns pairwise candidates into keep/drop decisions. */
+  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      docsParallel(s, d), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+    graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash-LSH near-dup pairs (rows-only for the driver). */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
@@ -81,12 +93,38 @@ object DedupSim {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _))
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingles per document.
+    * Kept as a plain (non-interpolated) literal so `\s` stays verbatim;
+    * interpolating it as a VALUE below leaves it untouched. */
+  private val ShingleCte: String =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 3
+      |      THEN LIST_TRANSFORM(
+      |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 2),
+      |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
+      |             STRING_SPLIT_REGEX(text, '\s+')[i+1] || ' ' ||
+      |             STRING_SPLIT_REGEX(text, '\s+')[i+2])
+      |      ELSE [] END) AS sh
+      |  FROM documents)""".stripMargin
+
+  /** Near-dup pairs at jaccard >= 0.3 from the shared shingle CTE. */
+  private val PairSelect: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+      |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
+      |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) >= 0.3""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -99,24 +137,22 @@ object DedupSim {
         |  doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
         |FROM h ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, lang, source,
-        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 3
-        |      THEN LIST_TRANSFORM(
-        |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 2),
-        |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
-        |             STRING_SPLIT_REGEX(text, '\s+')[i+1] || ' ' ||
-        |             STRING_SPLIT_REGEX(text, '\s+')[i+2])
-        |      ELSE [] END) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
-        |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) AS jaccard
-        |FROM sh a JOIN sh b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
-        |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ShingleCte
+         |SELECT id_a, id_b, jaccard FROM ($PairSelect)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // connected components over the same pair graph, as a transitive-
+    // closure recursive CTE (independent of Spark's label propagation)
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |pairs AS ($PairSelect),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, b AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT id AS doc_id, MIN(reach) AS cluster_id
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,

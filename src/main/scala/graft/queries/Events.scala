@@ -61,6 +61,39 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** AS-OF join: each event picks up the user's latest purchase value
+    * at-or-before its own timestamp — graft.operators.AsofJoin's
+    * union-sort shape (one shuffle on user_id, no quadratic per-key
+    * work). The purchase side is pre-aggregated per (user, ts) so the
+    * "latest" row at a tied time is well-defined in every engine. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("value"))
+    graft.operators.AsofJoin.asofPrefixed(
+      ev.select("event_id", "user_id", "ts_us"), purchases,
+      keyCol = "user_id", timeCol = "ts_us", payloadCols = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Banded temporal range join: per event, how many other events of
+    * the same type fall within ±1 minute — graft.operators.RangeJoin
+    * (equi-join on time bins, never a nested-loop theta join). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    graft.operators.RangeJoin.neighborCounts(
+      ev, partCols = Seq("event_type"), idCol = "event_id",
+      timeCol = "ts_us", radius = 60000000L)
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user top-3 events by value — window rank + filter. */
   def qEventsTopnUser(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -76,7 +109,9 @@ object Events {
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_json" -> (qEventsJson _),
-    "q_events_topn_user" -> (qEventsTopnUser _))
+    "q_events_topn_user" -> (qEventsTopnUser _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_events_tumbling" ->
@@ -112,5 +147,28 @@ object Events {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events) t
-        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin)
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    // independent implementation: DuckDB's NATIVE asof join operator
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts_us, MAX(value) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  p.ts_us AS asof_ts_us, p.p_value AS asof_value
+        |FROM ev e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    // independent implementation: DuckDB plans the inequality join
+    // directly (IEJoin); Spark side uses the banded equi-join shape
+    "q_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.event_id, COUNT(b.event_id) AS n_near
+        |FROM ev a LEFT JOIN ev b
+        |  ON a.event_type = b.event_type AND b.event_id <> a.event_id
+        |  AND ABS(a.ts_us - b.ts_us) <= 60000000
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)
 }

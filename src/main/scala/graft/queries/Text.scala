@@ -85,7 +85,43 @@ object Text {
         round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
       .orderBy(col("lang"))
 
+  /** Deterministic stratified hash sample: md5-fraction membership per
+    * doc_id with per-language keep rates — reproducible across runs,
+    * partitionings, and engines (graft.operators.Sampling). */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      Tables.documents(s, d), keyCol = "doc_id", strataCol = "lang",
+      rates = Map("en" -> 0.2, "de" -> 0.5), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level top-10 bigrams per language. The bigram table comes
+    * from the relational token backbone (posexplode + lead — the split
+    * runs once per doc); counts are map-side partial aggregated, and
+    * only the per-language count table reaches the rank window. */
+  def qTextTopkNgrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(col("doc_id"), col("lang"),
+      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = tok
+      .withColumn("w2", lead(col("word"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("lang"),
+        concat_ws(" ", col("word"), col("w2")).as("bigram"))
+    val counts = bigrams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    counts
+      .withColumn("rk", row_number().over(rw))
+      .where(col("rk") <= 10)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_text_topk_ngrams" -> (qTextTopkNgrams _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
@@ -102,6 +138,28 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |    AS INTEGER) / 16777216.0
+        |  < CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_topk_ngrams" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    UNNEST(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 2
+        |      THEN LIST_TRANSFORM(
+        |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 1),
+        |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+1])
+        |      ELSE [] END) AS bigram
+        |  FROM documents),
+        |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |  FROM c)
+        |SELECT lang, bigram, n, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
     "q_text_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  ROUND(QUANTILE_CONT(n_chars, 0.25), 4) AS p25,

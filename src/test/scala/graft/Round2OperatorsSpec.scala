@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Cluster
+import graft.operators.{AsofJoin, RangeJoin, Sampling}
+
+/** Round-2 operators: as-of join, banded range join, connected
+  * components, deterministic sampling — each checked against a naive
+  * (non-scalable) reference computation of the same semantics. */
+class Round2OperatorsSpec extends SparkSpec {
+
+  private def eventsUs = Tables.events(spark, sf)
+    .withColumn("ts_us", unix_micros(col("ts")))
+
+  test("as-of join equals the naive theta-join + keep-latest") {
+    val ev = eventsUs.select("event_id", "user_id", "ts_us")
+    val right = eventsUs.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("value"))
+
+    val fast = AsofJoin.asofPrefixed(ev, right, "user_id", "ts_us", Seq("value"))
+      .select(col("event_id"), col("asof_ts_us"), col("asof_value"))
+
+    // naive: all right rows at-or-before, rank desc, keep first
+    val r = right.select(col("user_id").as("r_uid"),
+      col("ts_us").as("r_ts"), col("value").as("r_value"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("r_ts").desc)
+    val naive = ev.join(r,
+        col("user_id") === col("r_uid") && col("r_ts") <= col("ts_us"), "left")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("event_id"), col("r_ts").as("asof_ts_us"),
+        col("r_value").as("asof_value"))
+
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("banded range join equals the direct theta-join neighbor count") {
+    val ev = eventsUs.limit(2000)
+    val fast = RangeJoin.neighborCounts(
+      ev, Seq("event_type"), "event_id", "ts_us", radius = 60000000L)
+    val a = ev.select(col("event_type").as("t_a"), col("event_id").as("id_a"),
+      col("ts_us").as("ts_a"))
+    val b = ev.select(col("event_type").as("t_b"), col("event_id").as("id_b"),
+      col("ts_us").as("ts_b"))
+    val naive = a.join(b,
+        col("t_a") === col("t_b") && col("id_a") =!= col("id_b") &&
+          abs(col("ts_a") - col("ts_b")) <= 60000000L, "left")
+      .groupBy(col("id_a").as("event_id"))
+      .agg(count(col("id_b")).as("n_near"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("connected components label chains, cliques, and separate parts") {
+    import spark.implicits._
+    // chain 1-2-3, clique 10-11-12, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedupClusters keeps non-paired docs as singleton canonicals") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "t")
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val got = Cluster.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 2L, true), (3L, 1L, false),
+      (9L, 9L, true)))
+  }
+
+  test("hash sampling is deterministic, nested by rate, and unbiased-ish") {
+    val docs = Tables.documents(spark, sf)
+    val s20 = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20b = Sampling.hashSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20 == s20b, "not deterministic")
+    assert(s20.subsetOf(s50), "rates are not nested")
+    val n = docs.count().toDouble
+    assert(math.abs(s50.size / n - 0.5) < 0.2, s"rate off: ${s50.size / n}")
+  }
+}
