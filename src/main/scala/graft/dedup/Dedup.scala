@@ -132,14 +132,16 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** MinHash signatures as a WIDE table (id, m0…m63): the i-th hash
+  /** MinHash signatures as a WIDE table (id, sz, m0…m63): the i-th hash
     * family member is xxhash64(shingle, i); the signature element is
-    * its min over the doc's shingles. 64 `min()` aggregate functions in
-    * one codegen'd hash aggregate — partial aggregation happens
-    * map-side, so the shuffle carries 64 longs per doc, not the
-    * shingle set. */
+    * its min over the doc's shingles. 64 `min()` aggregate functions
+    * (plus the shingle-set size, which downstream Jaccard verification
+    * needs anyway) in ONE codegen'd hash aggregate — partial
+    * aggregation happens map-side, so the shuffle carries 65 longs per
+    * doc, not the shingle set, and no second pass over the shingle
+    * table is ever needed for sizes. */
   def minhashSigTable(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { i =>
+    val aggs = count(lit(1)).as("sz") +: (0 until NumHashes).map { i =>
       min(xxhash64(col("h3"), lit(i))).as(s"m$i")
     }
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -148,23 +150,26 @@ object Dedup {
   /** LSH candidate pairs from a shingle-row table: band the wide
     * signature into NumBands bucket hashes, explode to (band, bucket)
     * rows, self-join buckets. Linear in corpus size; pairwise work only
-    * inside buckets. */
+    * inside buckets. Each side's shingle-set size rides along so the
+    * verify step needs no extra join. */
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val sig = minhashSigTable(sh)
     val bands = sig.select(
-      col("id"),
+      col("id"), col("sz"),
       explode(array((0 until NumBands).map { bnd =>
         struct(
           lit(bnd).as("band"),
           xxhash64((0 until BandRows).map(r =>
             col(s"m${bnd * BandRows + r}")): _*).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("sz"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(col("x.id").as("id_a"), col("x.sz").as("sz_a"),
+        col("y.id").as("id_b"), col("y.sz").as("sz_b"))
       .distinct()
   }
 
@@ -177,24 +182,21 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: LSH candidates re-checked with
     * exact Jaccard (the standard verify step), computed relationally:
     * join the candidate pairs back to the shingle rows of both sides
-    * and count matches. The shingle table feeds three consumers
-    * (signatures, sizes, intersection counts), so it is cached for the
-    * duration — at corpus scale this is the persist(DISK) checkpoint
-    * every MinHash pipeline materializes anyway. */
+    * and count matches. The shingle table feeds two consumers
+    * (signatures+sizes in one aggregate, intersection counts), so it
+    * is cached for the duration — at corpus scale this is the
+    * persist(DISK) checkpoint every MinHash pipeline materializes
+    * anyway. */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleRows(tokenRows(docs, idCol, textCol), Nil, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = minhashCandidatesFromShingles(sh)
+    minhashCandidatesFromShingles(sh)
       .join(sh.select(col("id").as("id_a"), col("h3").as("ha")), "id_a")
       .join(sh.select(col("id").as("idb2"), col("h3").as("hb")),
         col("id_b") === col("idb2") && col("ha") === col("hb"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", round(
         col("n_inter").cast("double") /
           greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed rows for the stateful operators (top-level so Spark derives
+  * Encoders without an outer scope). */
+case class UserEvent(user_id: Long, value: Double)
+case class UserState(n: Long, sum: Double)
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -32,6 +39,41 @@ object EventsStream {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Gap-based sessions with Spark's NATIVE session_window state — the
+    * streaming twin of the batch lag+cumsum sessionization: adjacent
+    * windows within `gap` merge in the state store, the watermark
+    * closes and emits finished sessions. */
+  def sessionAgg(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals
+    * held in explicit GroupState — the API for state machines that
+    * windowed aggregation can't express (per-key counters, custom
+    * eviction, cross-batch transitions). State is partitioned by key
+    * across executors and checkpointed; NoTimeout because totals never
+    * expire. Batch twin: `userCounts`. */
+  def statefulUserTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var s = prev.sum
+          rows.foreach { r => n += 1; s += r.value }
+          state.update(UserState(n, s))
+          UserTotals(uid, n, s)
+      }
+  }
 
   /** Streaming exact-dedup: drop events whose id was already seen,
     * with state bounded by the watermark (ids older than the horizon

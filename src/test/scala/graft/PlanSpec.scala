@@ -44,6 +44,27 @@ class PlanSpec extends SparkSpec {
       s"window should hash-partition on o_custkey:\n$p")
   }
 
+  test("as-of join is one shuffle on the key — never a nested loop") {
+    val p = plan(gq.Events.qAsofJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join degenerated to a quadratic join:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"as-of union-sort should shuffle on user_id:\n$p")
+  }
+
+  test("range join is a banded equi-join — never a nested loop") {
+    val p = plan(gq.Events.qRangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a quadratic join:\n$p")
+  }
+
+  test("stratified sampling is a shuffle-free per-row filter") {
+    val p = plan(graft.operators.Sampling.stratifiedSample(
+      Tables.documents(spark, sf), "doc_id", "lang",
+      Map("en" -> 0.2), 1.0))
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the text-analysis expressions") {
     // AQE wraps the plan before execution; codegen-mode explain compiles
     // the current physical plan and reports the codegen subtrees.

@@ -71,4 +71,52 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L) == ((2L, 3.0)))
     assert(out(2L) == ((1L, 5.0)))
   }
+
+  test("streaming session_window agg equals batch session_window agg") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two users; user 1 has two sessions separated by a >10 min gap
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:02:00"), 4.0))
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(rows)
+    val df = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStream.sessionAgg(df)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_out")
+      .orderBy("user_id", "session_start").collect()
+    val batch = EventsStream.sessionAgg(
+      rows.toDF("user_id", "ts", "value"))
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.length == 3, "expected 3 sessions (2 for user 1)")
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{UserEvent, UserTotals}
+    val stream = MemoryStream[UserEvent]
+    val q = EventsStream.statefulUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(UserEvent(1L, 1.0), UserEvent(1L, 2.0), UserEvent(2L, 5.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(1L, 4.0)) // state must carry across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode appends one row per key per batch; the row with the
+    // highest running count is the latest state (order-independent)
+    val last = spark.table("state_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    assert(last(1L) == ((3L, 7.0)), s"got $last")
+    assert(last(2L) == ((1L, 5.0)))
+  }
 }
