@@ -77,4 +77,42 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** STUB resize: a real pipeline decodes + bilinear-resamples the
+    * image here. The stub scales the metadata and re-tags the codec —
+    * deterministic, so the plumbing (schema in = schema out, per-
+    * partition execution) is exactly testable. */
+  def resizeStub(rec: MediaRecord, w: Int, h: Int): MediaRecord =
+    rec.copy(width = w, height = h, codec = s"${rec.codec};resized")
+
+  /** Typed resize over a media table — same mapPartitions shape as
+    * extractFeatures; at scale the decoder init amortizes per
+    * partition, not per row. */
+  def resizeAll(
+      spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(resizeStub(_, w, h)))
+  }
+
+  /** STUB frame sampling: every `stride`-th byte stands in for every
+    * stride-th video frame. Keeps payload size proportional, so
+    * partition-size reasoning stays realistic. */
+  def frameSampleStub(rec: MediaRecord, stride: Int): MediaRecord = {
+    val sampled = rec.payload.indices.collect {
+      case i if i % stride == 0 => rec.payload(i)
+    }.toArray
+    rec.copy(payload = sampled, codec = s"${rec.codec};sampled/$stride")
+  }
+
+  /** Frame-sample the video rows, pass others through — the mixed-
+    * modality branch a real pipeline runs (filter pushdown applies:
+    * only `video` rows pay the sampling cost). */
+  def frameSampleVideos(
+      spark: SparkSession, media: DataFrame, stride: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val typed = media.as[MediaRecord]
+    typed.mapPartitions(_.map { r =>
+      if (r.modality == "video") frameSampleStub(r, stride) else r
+    })
+  }
 }

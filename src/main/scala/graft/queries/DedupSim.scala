@@ -91,6 +91,17 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF coarse-quantized top-5 (rows-only; recall vs brute force
+    * asserted in the spec): 16 cells, 4 probed per query. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    Similarity.ivfTopK(
+      emb.where(col("vec_id") < 20), emb, k = 5,
+      numCells = 16, nProbe = 4,
+      cosineFn = Similarity.cosineIn(s))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -99,7 +110,8 @@ object DedupSim {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   /** Shared DuckDB CTE: distinct word-3-gram shingles per document.
     * Kept as a plain (non-interpolated) literal so `\s` stays verbatim;

@@ -108,6 +108,67 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // ---- IVF (inverted-file) coarse quantization ----------------------
+
+  /** Deterministic centroid pick: the `k` corpus vectors with the
+    * smallest xxhash64(id) — reproducible, no RNG state, and only the
+    * narrow (id, hash) projection passes through the global top-k
+    * (at 100 TB that is a few GB of longs, not the vectors). A real
+    * index would k-means-refine these seeds; for cell ROUTING the seed
+    * quality only shifts recall/nProbe trade-off, not correctness. */
+  def ivfCentroids(
+      corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.orderBy(col("_h"), col(idCol))
+    val picked = corpus
+      .select(col(idCol), xxhash64(col(idCol)).as("_h"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+    picked.join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .select(col("_rk").as("cell_id"), col(vecCol).as("centroid"))
+  }
+
+  /** Assign every vector to its nearest centroid: broadcast the K
+    * centroids against the corpus (K dot products per row — the linear
+    * IVF build scan), keep the argmax-similarity cell. */
+  def ivfAssign(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      nProbe: Int = 1,
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_sim").desc, col("cell_id"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosineFn(col(vecCol), col("centroid")))
+      .withColumn("_crk", row_number().over(w))
+      .where(col("_crk") <= nProbe)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** IVF approximate top-k: corpus rows live in their 1 nearest cell,
+    * each query probes its `nProbe` nearest cells — scan cost drops
+    * from |corpus| to |corpus|·nProbe/K per query, the standard
+    * trade of recall for throughput (FAISS IVF-Flat shape). */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val centroids = ivfCentroids(corpus, numCells, idCol, vecCol)
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol, 1, cosineFn)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"), col("cell_id"))
+    val probes = ivfAssign(queries, centroids, idCol, vecCol, nProbe, cosineFn)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(cells, "cell_id")
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosineFn(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** (table, bucket) pairs across `numTables` independent hash tables —
     * standard multi-table LSH: a true neighbor missed by one table is
     * usually caught by another, trading recall for candidate volume. */

@@ -26,4 +26,33 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(mods == Set("image", "audio", "video"))
   }
+
+  test("resize keeps schema and rewrites metadata") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeAll(spark, media, 224, 224)
+    // same columns and types in, same out (nullability flags may
+    // tighten through the typed Encoder round-trip)
+    assert(resized.schema.map(f => (f.name, f.dataType)) ==
+      media.schema.map(f => (f.name, f.dataType)))
+    val dims = resized.toDF().select("width", "height").distinct().collect()
+    assert(dims.length == 1 && dims(0).getInt(0) == 224 && dims(0).getInt(1) == 224)
+    assert(resized.toDF().where(org.apache.spark.sql.functions
+      .col("codec").endsWith(";resized")).count() == media.count())
+  }
+
+  test("frame sampling shrinks only video payloads, by the stride") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val sampled = Multimodal.frameSampleVideos(spark, media, stride = 4).toDF()
+    val joined = media.select(col("media_id"), col("modality"),
+        length(col("payload")).as("len0"))
+      .join(sampled.select(col("media_id"), length(col("payload")).as("len1")),
+        "media_id")
+    // video payloads shrink to ceil(n/4); others are untouched
+    val badVideo = joined.where(col("modality") === "video" &&
+      col("len1") =!= ceil(col("len0") / 4.0).cast("int")).count()
+    val badOther = joined.where(col("modality") =!= "video" &&
+      col("len1") =!= col("len0")).count()
+    assert(badVideo == 0 && badOther == 0)
+  }
 }

@@ -48,4 +48,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
     assert(approx.nonEmpty)
   }
+
+  test("IVF top-k achieves reasonable recall and bounded cell scans") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, k = 5,
+        numCells = 8, nProbe = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 3 of 8 cells probed: cosine-nearest corpus vectors mostly share
+    // the query's nearest centroids
+    assert(recall >= 0.5, s"recall $recall too low")
+    // every corpus vector lands in exactly one cell
+    val cells = Similarity.ivfAssign(
+      emb, Similarity.ivfCentroids(emb, 8), "vec_id", "embedding")
+    assert(cells.count() == emb.count())
+    assert(cells.select("cell_id").distinct().count() <= 8)
+  }
 }
