@@ -48,17 +48,17 @@ object Cluster {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("label")).as("nbr_label"))
+      // the old label is already on the row — fold the convergence flag
+      // into the same pass instead of a join-per-iteration change check
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("_chg"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      labels = next
+      val changed = next.where(col("_chg")).limit(1).count()
+      labels = next.drop("_chg")
       converged = changed == 0
       iter += 1
     }

@@ -102,8 +102,15 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // cached: feeds the size aggregate and both join sides
+    val shRows = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
+      .cache()
+    // per-doc shingle counts as an aggregate + join, NOT a window over
+    // the full shingle table: the aggregate is map-side partial and
+    // produces one row per doc, which AQE then broadcasts — vs a
+    // window's full shuffle of every shingle row by id
+    val sizes = shRows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sh = shRows.join(sizes, "id")
     val a = sh.select(
       col("id").as("id_a") +: col("sz").as("sz_a") +: col("h3").as("h_a") +:
         blockCols.map(c => col(c).as(s"${c}_a")): _*)
