@@ -93,6 +93,14 @@ final case class Rel(df: DataFrame) {
   /** Multiset difference (saturating count subtraction) — api.py:704. */
   def differenceAll(right: Rel): Rel = Rel(df.exceptAll(right.df))
 
+  /** Windowed aggregates/navigation — stupidb api.py `over`: the
+    * reference chains `agg >> over(Window.rows(...))`; here the window
+    * spec applies to each named expression in one projection (ONE
+    * WindowExec pass when the specs share partitioning). */
+  def over(win: org.apache.spark.sql.expressions.WindowSpec)(
+      cols: (String, Column)*): Rel =
+    Rel(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c.over(win)) })
+
   /** Duplicate elimination. */
   def distinct: Rel = Rel(df.distinct())
 

@@ -89,4 +89,18 @@ class RelSpec extends SparkSpec {
     assert(Rel(df(t)).sift(col("balance") > 500).exists)
     assert(!Rel(df(t)).sift(col("balance") > 5000).exists)
   }
+
+  test("over applies windowed aggregates like the reference's >> over(...)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("balance"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = Rel(df(t))
+      .over(w)("running_sum" -> sum(col("balance")),
+        "rk" -> row_number())
+      .orderBy(col("rk")).toDF.collect()
+    val balances = rows.map(_.getAs[Int]("balance").toLong)
+    val running = rows.map(_.getAs[Long]("running_sum"))
+    assert(running.toSeq == balances.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+  }
 }
