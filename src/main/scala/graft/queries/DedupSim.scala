@@ -91,8 +91,10 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** IVF coarse-quantized top-5 (rows-only; recall vs brute force
-    * asserted in the spec): 16 cells, 4 probed per query. */
+  /** IVF coarse-quantized top-5: 16 cells, 4 probed per query. Fully
+    * oracle-checked — the md5-fraction centroid pick and the rounded
+    * argmax assignment are engine-portable, so DuckDB rebuilds the
+    * identical index. */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.ivfTopK(
@@ -174,6 +176,44 @@ object DedupSim {
         |WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
         |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |picked AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+        |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
+        |        AS INTEGER) / 16777216.0,
+        |      vec_id) AS cell_id
+        |  FROM v QUALIFY cell_id <= 16),
+        |cent AS (SELECT p.cell_id, v.ve AS cv
+        |  FROM picked p JOIN v ON p.vec_id = v.vec_id),
+        |sims AS (
+        |  SELECT v.vec_id, v.ve, c.cell_id,
+        |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
+        |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
+        |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
+        |  FROM v CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, ve, cell_id FROM (
+        |    SELECT vec_id, ve, cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+        |    FROM sims) t WHERE crk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, ve AS qv, cell_id FROM (
+        |    SELECT vec_id, ve, cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+        |    FROM sims WHERE vec_id < 20) t WHERE crk <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(p.qv, a.ve) /
+        |      GREATEST(SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) *
+        |        SQRT(LIST_DOT_PRODUCT(a.ve, a.ve)), 1e-12), 6) AS sim
+        |  FROM probes p JOIN asg a
+        |    ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM cand) t WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),

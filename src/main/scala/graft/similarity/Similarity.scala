@@ -111,17 +111,21 @@ object Similarity {
   // ---- IVF (inverted-file) coarse quantization ----------------------
 
   /** Deterministic centroid pick: the `k` corpus vectors with the
-    * smallest xxhash64(id) — reproducible, no RNG state, and only the
-    * narrow (id, hash) projection passes through the global top-k
-    * (at 100 TB that is a few GB of longs, not the vectors). A real
-    * index would k-means-refine these seeds; for cell ROUTING the seed
-    * quality only shifts recall/nProbe trade-off, not correctness. */
+    * smallest md5-fraction of their id (graft.operators.Sampling's
+    * engine-portable hash — DuckDB computes the identical value, which
+    * is what makes the whole IVF pipeline oracle-checkable).
+    * Reproducible, no RNG state, and only the narrow (id, fraction)
+    * projection passes through the global top-k (at 100 TB that is a
+    * few GB, not the vectors). A real index would k-means-refine these
+    * seeds; for cell ROUTING the seed quality only shifts the
+    * recall/nProbe trade-off, not correctness. */
   def ivfCentroids(
       corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.orderBy(col("_h"), col(idCol))
     val picked = corpus
-      .select(col(idCol), xxhash64(col(idCol)).as("_h"))
+      .select(col(idCol),
+        graft.operators.Sampling.hashFraction(col(idCol)).as("_h"))
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= k)
     picked.join(corpus.select(col(idCol), col(vecCol)), idCol)
@@ -138,8 +142,11 @@ object Similarity {
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_sim").desc, col("cell_id"))
+    // argmax on the ROUNDED similarity (cell_id tiebreak): distributed
+    // float noise below 1e-6 can never flip a cell choice, so the
+    // assignment is bit-stable across engines and cluster sizes
     vecs.crossJoin(broadcast(centroids))
-      .withColumn("_sim", cosineFn(col(vecCol), col("centroid")))
+      .withColumn("_sim", round(cosineFn(col(vecCol), col("centroid")), 6))
       .withColumn("_crk", row_number().over(w))
       .where(col("_crk") <= nProbe)
       .select(col(idCol), col(vecCol), col("cell_id"))
