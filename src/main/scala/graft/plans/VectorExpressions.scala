@@ -188,15 +188,16 @@ object VecLshSignature {
   /** Pre-tabulated plane width — dims past this are computed on demand. */
   val PlaneDims: Int = 4096
 
-  /** Deterministic pseudo-random component in [-0.5, 0.5) from
-    * (globalPlane, dim), via the same xxhash64 mix Spark's XxHash64
-    * column function computes — keeps native and portable signatures
-    * identical. */
+  /** Deterministic pseudo-random component in [-0.5, 0.5): the
+    * md5-fraction of "globalPlane:dim" — identical to the portable
+    * Similarity.planeComponent column formula AND to what DuckDB
+    * computes, so the native expression, the portable fallback, and
+    * the SQL oracle all build the same hyperplanes. */
   def component(globalPlane: Int, dim: Int): Double = {
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashInt(dim, org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashInt(globalPlane, 42L))
-    (math.floorMod(h, 1000000L).toDouble / 1000000.0) - 0.5
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$globalPlane:$dim".getBytes("UTF-8"))
+    val parsed = ((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)
+    parsed / 16777216.0 - 0.5
   }
 }
 

@@ -80,8 +80,10 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** Hyperplane-LSH bucketed top-5 (rows-only; recall vs brute force
-    * asserted in the spec). */
+  /** Hyperplane-LSH bucketed top-5. Fully oracle-checked: the
+    * md5-fraction plane components are engine-portable, so DuckDB
+    * rebuilds the identical hyperplanes, signatures, and buckets
+    * (recall vs brute force additionally asserted in the spec). */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.lshTopK(
@@ -176,6 +178,34 @@ object DedupSim {
         |WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
         |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |sigs AS (
+        |  SELECT vec_id, t.tbl,
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 7), p ->
+        |      CASE WHEN LIST_DOT_PRODUCT(ve,
+        |        LIST_TRANSFORM(GENERATE_SERIES(0, LEN(ve) - 1), i ->
+        |          CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(t.tbl * 8 + p, ':', i)), 1, 6))
+        |            AS INTEGER) / 16777216.0 - 0.5)) >= 0
+        |      THEN 1 << p ELSE 0 END)) AS bucket
+        |  FROM v CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS tbl) t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM sigs q JOIN sigs c
+        |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 20),
+        |scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(qv.ve, cv.ve) /
+        |      GREATEST(SQRT(LIST_DOT_PRODUCT(qv.ve, qv.ve)) *
+        |        SQRT(LIST_DOT_PRODUCT(cv.ve, cv.ve)), 1e-12), 6) AS sim
+        |  FROM cand JOIN v qv ON cand.query_id = qv.vec_id
+        |            JOIN v cv ON cand.vec_id = cv.vec_id)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT query_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+        |  FROM scored) t WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "q_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         |picked AS (

@@ -78,12 +78,16 @@ object Similarity {
   // ---- Random-hyperplane LSH ---------------------------------------
 
   /** Deterministic pseudo-random hyperplane component: a value in
-    * [-0.5, 0.5) derived from (plane, dim) via xxhash64 — reproducible
-    * across executors with no broadcast state. Kept in lockstep with
-    * graft.plans.VecLshSignature.component (spec-asserted) so the
-    * native and portable signatures agree. */
+    * [-0.5, 0.5) derived from (plane, dim) via the md5-fraction of
+    * "plane:dim" — reproducible across executors with no broadcast
+    * state, and ENGINE-PORTABLE (DuckDB computes the identical double,
+    * which is what lets q_ann_lsh carry a full hash-checked oracle).
+    * Kept in lockstep with graft.plans.VecLshSignature.component
+    * (spec-asserted) so the native and portable signatures agree. */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    conv(substring(md5(
+      concat(lit(s"$plane:"), dim.cast("string"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / 16777216.0 - 0.5
 
   /** Best LSH signature available in this session: the codegen'd
     * vec_lsh expression when GraftExtensions is installed, else the
