@@ -32,13 +32,28 @@ object Cluster {
       maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // both directions once; reused by every round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val rawEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    // the eager checkpoint makes the edge count free — size the loop's
+    // parallelism to the graph, not to spark.sql.shuffle.partitions:
+    // a near-dup graph is usually a few thousand edges, and iterating
+    // with 32-task shuffles over that is pure scheduling overhead
+    // (measured 2.8s for an 8-edge graph). ~500k edges per partition,
+    // capped at the session default for genuinely huge graphs.
+    val nEdges = rawEdges.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (nEdges / 500000L).toInt + 1))
+    val edges = rawEdges.repartition(parts, col("src")).localCheckpoint()
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // fused round 0: initialize each vertex straight to
+    // min(id, min neighbor) — one aggregation instead of an identity
+    // init plus a full propagation round (cliques converge immediately)
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("label"))
       .localCheckpoint()
     var converged = false
     var iter = 0

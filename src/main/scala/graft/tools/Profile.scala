@@ -38,6 +38,11 @@ object Profile {
       Dedup.simhashTable(Dedup.tokenRows(docs, "doc_id", "text")).count())
     time("full simhash pairs")(
       Dedup.simhashPairs(docs, "doc_id", "text", 8).count())
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), 3, 0.3)
+    time("jaccard pairs (again)")(pairs.count())
+    time("cc over pairs")(
+      graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b").count())
     spark.stop()
   }
 }
