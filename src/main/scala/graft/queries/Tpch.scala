@@ -75,11 +75,40 @@ object Tpch {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q14: promotion effect — selective fact scan ⋈ broadcast part dim,
+    * conditional aggregate ratio. */
+  def qTpch14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+             col("l_shipdate") < to_timestamp(lit("1996-07-01")))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast("decimal(18,8)"))).cast("double") * 100.0 /
+          sum(revenue).cast("double"), 6).as("promo_revenue"))
+
+  /** Q18: large-volume customers — aggregate-then-join with a HAVING
+    * threshold; the heavy groupBy runs on the fact before any join. */
+  def qTpch18(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 300.0)
+    Tables.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch3" -> (qTpch3 _),
     "q_tpch5" -> (qTpch5 _),
     "q_tpch6" -> (qTpch6 _),
-    "q_tpch10" -> (qTpch10 _))
+    "q_tpch10" -> (qTpch10 _),
+    "q_tpch14" -> (qTpch14 _),
+    "q_tpch18" -> (qTpch18 _))
 
   private val revSql =
     "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)))"
@@ -115,6 +144,25 @@ object Tpch {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.04 AND l_discount <= 0.06
         |  AND l_quantity < 24.0""".stripMargin,
+    "q_tpch14" ->
+      s"""SELECT ROUND(
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8))
+         |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) * 100.0 /
+         |  CAST($revSql AS DOUBLE), 6) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "q_tpch18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "q_tpch10" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  CAST($revSql AS DOUBLE) AS revenue
