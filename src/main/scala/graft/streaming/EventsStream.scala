@@ -75,6 +75,26 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks within the following `window` — the attribution
+    * join. Both sides carry watermarks and the join condition bounds
+    * event time on BOTH ends, so Spark can size the state store and
+    * evict rows older than the watermark (an unbounded stream-stream
+    * join would buffer forever). */
+  def purchaseClickJoin(
+      purchases: DataFrame, clicks: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** Streaming exact-dedup: drop events whose id was already seen,
     * with state bounded by the watermark (ids older than the horizon
     * are evicted — the streaming twin of Dedup.exactDedup's keep-first

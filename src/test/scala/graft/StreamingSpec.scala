@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 3, "expected 3 sessions (2 for user 1)")
   }
 
+  test("stream-stream interval join attributes clicks to purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsStream.purchaseClickJoin(
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      clicks.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val in5 = Timestamp.valueOf("2024-01-01 10:05:00")
+    val in20 = Timestamp.valueOf("2024-01-01 10:20:00")
+    try {
+      purchases.addData((1L, t0, 9.99))
+      clicks.addData((1L, in5, 0.0),   // within 10 min -> joins
+        (1L, in20, 0.0),               // outside window -> dropped
+        (2L, in5, 0.0))                // other user -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_out").collect()
+    assert(rows.length == 1, s"expected 1 attributed click, got ${rows.toSeq}")
+    assert(rows(0).getAs[Long]("p_user") == 1L)
+    assert(rows(0).getAs[Timestamp]("c_ts") == in5)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
