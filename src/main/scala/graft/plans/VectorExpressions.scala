@@ -206,6 +206,7 @@ object VecLshSignature {
   * `SparkSession.builder.withExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => BandedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
