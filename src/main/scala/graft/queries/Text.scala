@@ -119,7 +119,27 @@ object Text {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** End-to-end curation pipeline — the LLM-corpus flow users actually
+    * run, composed from graft operators in one Catalyst plan: quality
+    * filter → exact dedup keep-first → deterministic stratified
+    * sample. Each stage is individually oracle-checked; this query
+    * checks their COMPOSITION (filter-before-dedup ordering, canonical
+    * selection within the filtered set, sampling on the survivors). */
+  def qPipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .withColumn("quality", qualityScore(col("text")))
+      .where(col("quality") >= 0.5)
+    val deduped = graft.dedup.Dedup.exactDedup(scored, "doc_id", "text")
+      .where(col("is_canonical"))
+    graft.operators.Sampling.stratifiedSample(
+      deduped, keyCol = "doc_id", strataCol = "lang",
+      rates = Map("en" -> 0.5), defaultRate = 1.0)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate" -> (qPipelineCurate _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
     "q_text_stats" -> (qTextStats _),
@@ -138,6 +158,30 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    ROUND((LEAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) / 64.0, 1.0) +
+         |      1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+         |        / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) +
+         |      LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+         |        / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1)) * 5.0, 1.0)) / 3.0, 6) AS quality
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang, quality,
+         |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM scored WHERE quality >= 0.5),
+         |canon AS (
+         |  SELECT doc_id, lang, quality,
+         |    MIN(doc_id) OVER (PARTITION BY h) AS cid
+         |  FROM kept)
+         |SELECT doc_id, lang, quality FROM canon
+         |WHERE doc_id = cid
+         |  AND CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
+         |    AS INTEGER) / 16777216.0
+         |    < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END
+         |ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
