@@ -77,6 +77,10 @@ object Cluster {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents stopped at maxIter=$maxIter before " +
+          "convergence — labels are an upper bound on the true components")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

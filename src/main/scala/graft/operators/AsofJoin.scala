@@ -38,6 +38,9 @@ object AsofJoin {
       timeCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} " +
+        "collide with left-side columns — rename them (or use asofPrefixed)")
     // one unified schema: left columns + payload columns + side tag
     val taggedLeft = payloadCols
       .foldLeft(left)((df, c) => df.withColumn(c, lit(null)))
