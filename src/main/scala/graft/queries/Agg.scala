@@ -113,7 +113,32 @@ object Agg {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** ROLLUP hierarchy totals — subtotal rows per returnflag and a grand
+    * total, in ONE aggregation pass (Spark plans rollup as an Expand +
+    * single hash aggregate, not one pass per level). */
+  def qAggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** PIVOT: order counts by priority × status, statuses as columns —
+    * Spark's groupBy().pivot() with an explicit value list (no extra
+    * distinct-scan pass; at 100 TB always pass the values). */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_pivot" -> (qPivot _),
     "q_tpch1" -> (qTpch1 _),
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_group" -> (qAggGroup _),
@@ -123,6 +148,18 @@ object Agg {
 
   def oracles: Map[String, String] = Map(
     "q_tpch1" -> tpch1Oracle,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_global" ->
       """SELECT COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -208,7 +208,23 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Distribution window functions: percent_rank / cume_dist / ntile —
+    * same partition-parallel WindowExec as ranking (one shuffle on the
+    * partition key). Order keys are unique per partition, so ntile's
+    * bucket boundaries are deterministic. */
+  def qWinDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_dist" -> (qWinDist _),
     "q_win_nav_var" -> (qWinNavVar _),
     "q_win_rows" -> (qWinRows _),
     "q_win_cumsum" -> (qWinCumsum _),
@@ -222,6 +238,15 @@ object Windows {
     "q_win_unpartitioned" -> (qWinUnpartitioned _))
 
   def oracles: Map[String, String] = Map(
+    "q_win_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  NTILE(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_win_nav_var" ->
       """SELECT o_custkey, o_orderkey,
         |  LEAD(o_totalprice, CAST(o_orderkey % 3 AS INT)) OVER w AS lead_var,
