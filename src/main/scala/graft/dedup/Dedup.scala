@@ -214,30 +214,60 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash per document from token rows: per bit, the sign of
-    * the sum of ±1 contributions across tokens — 64 conditional `sum()`
-    * aggregates in one codegen'd hash aggregate, then one projection
-    * assembling the bits (references only cheap long columns). */
+  /** One row per token with an ENGINE-PORTABLE 64-bit hash, split into
+    * two 32-bit halves (h_hi = md5 hex digits 1-8, h_lo = digits 9-16)
+    * so neither engine needs unsigned-64 arithmetic. This portability
+    * is what gives q_dedup_simhash a full DuckDB oracle; the md5 is
+    * ~5× slower per token than xxhash64, which only SimHash pays —
+    * the MinHash/Jaccard paths keep the faster non-portable hashes. */
+  def tokenRowsPortable(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+      .select(col("id"),
+        conv(substring(md5(col("word")), 1, 8), 16, 10)
+          .cast("long").as("h_hi"),
+        conv(substring(md5(col("word")), 9, 8), 16, 10)
+          .cast("long").as("h_lo"))
+
+  /** Signature bit value for bit `b` — bit 63 is Long.MinValue (the
+    * two's-complement wrap both Spark and DuckDB agree on when summed). */
+  private def bitValue(b: Int): Column =
+    if (b == 63) lit(Long.MinValue) else lit(1L << b)
+
+  /** 64-bit SimHash per document from portable token rows: per bit,
+    * the sign of the sum of ±1 contributions across tokens — 64
+    * conditional `sum()` aggregates in one codegen'd hash aggregate,
+    * then one projection assembling the bits (references only cheap
+    * long columns). Bits 0-31 come from h_lo, 32-63 from h_hi. */
   def simhashTable(tok: DataFrame): DataFrame = {
     val aggs = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+      val h = if (b < 32) col("h_lo") else col("h_hi")
+      sum(when(shiftright(h, b % 32).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"c$b")
     }
     val bits = (0 until 64).map { b =>
-      when(col(s"c$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      when(col(s"c$b") > 0, bitValue(b)).otherwise(lit(0L))
     }
     tok.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(col("id"), bits.reduce(_ + _).as("sig"))
   }
 
   /** 64-bit SimHash as a column-level convenience (interpreted — use
-    * `simhashTable` for corpora). */
+    * `simhashTable` for corpora). Bit-identical to the table form. */
   def simhash(text: Column): Column = {
-    val hashes = transform(split(text, "\\s+"), t => xxhash64(t))
+    val words = split(text, "\\s+")
+    val his = transform(words,
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val los = transform(words,
+      w => conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
     val bits = (0 until 64).map { b =>
-      val contrib = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val hs = if (b < 32) los else his
+      val contrib = aggregate(hs, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, b % 32).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib > 0, bitValue(b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -251,7 +281,7 @@ object Dedup {
     * with the full hamming distance. Linear scan + bucket joins. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhashTable(tokenRows(docs, idCol, textCol))
+    val sigs = simhashTable(tokenRowsPortable(docs, idCol, textCol))
     val blocks = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -60,7 +60,9 @@ object DedupSim {
       n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs, hamming ≤ 8 (rows-only for the driver). */
+  /** SimHash near-dup pairs, hamming ≤ 8. Fully oracle-checked: the
+    * two-half md5 token hash is engine-portable, so DuckDB rebuilds
+    * identical signatures, chunk buckets, and hamming distances. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(docsParallel(s, d), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
@@ -177,6 +179,33 @@ object DedupSim {
         |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
         |WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
         |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '\s+'), w ->
+        |    [CAST(CONCAT('0x', SUBSTR(MD5(w), 1, 8)) AS BIGINT),
+        |     CAST(CONCAT('0x', SUBSTR(MD5(w), 9, 8)) AS BIGINT)]) AS hs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 63), b ->
+        |      CASE WHEN LIST_SUM(LIST_TRANSFORM(hs, h ->
+        |          CASE WHEN ((CASE WHEN b < 32 THEN h[2] ELSE h[1] END)
+        |            >> (b % 32)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN CASE WHEN b = 63 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << b END
+        |      ELSE 0 END))::BIGINT AS sig
+        |  FROM tok),
+        |blocks AS (
+        |  SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS blk
+        |  FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS chunk) c),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    x.sig AS sig_a, y.sig AS sig_b
+        |  FROM blocks x JOIN blocks y
+        |    ON x.chunk = y.chunk AND x.blk = y.blk AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_lsh" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),

@@ -35,7 +35,7 @@ object Profile {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         Seq("lang", "source"), 3, 0.3).count())
     time("simhash table")(
-      Dedup.simhashTable(Dedup.tokenRows(docs, "doc_id", "text")).count())
+      Dedup.simhashTable(Dedup.tokenRowsPortable(docs, "doc_id", "text")).count())
     time("full simhash pairs")(
       Dedup.simhashPairs(docs, "doc_id", "text", 8).count())
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
