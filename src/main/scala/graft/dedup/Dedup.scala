@@ -139,17 +139,57 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = NumHashes / BandRows
 
-  /** MinHash signatures as a WIDE table (id, sz, m0…m63): the i-th hash
-    * family member is xxhash64(shingle, i); the signature element is
-    * its min over the doc's shingles. 64 `min()` aggregate functions
-    * (plus the shingle-set size, which downstream Jaccard verification
-    * needs anyway) in ONE codegen'd hash aggregate — partial
-    * aggregation happens map-side, so the shuffle carries 65 longs per
-    * doc, not the shingle set, and no second pass over the shingle
-    * table is ever needed for sizes. */
+  /** Mersenne prime 2^31−1: the modulus of the universal hash family.
+    * Family hashes are plain integer arithmetic — `(aᵢ·h + bᵢ) mod p`
+    * over a 31-bit reduction of the shingle id — so Spark and DuckDB
+    * compute bit-identical signatures (no engine-specific hash
+    * function anywhere in the MinHash path), which is what gives
+    * q_dedup_minhash a full oracle. Products stay < 2^62: ANSI-safe. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic family coefficients (aᵢ ≠ 0). Quality requirements
+    * on a/b are mild (pairwise independence); fixed constants keep the
+    * family reproducible everywhere. */
+  def familyA(i: Int): Long = ((2L * i + 1L) * 1000003L) % MinhashP
+  def familyB(i: Int): Long = (i * 7368787L + 11L) % MinhashP
+
+  /** One row per DISTINCT shingle with an ENGINE-PORTABLE 60-bit id:
+    * the first 15 md5 hex digits of the shingle STRING (collision odds
+    * ~n²/2^61 — negligible; the 31-bit reduction happens only inside
+    * the family hash where collisions merely perturb the signature).
+    * Words ride as strings through one lead() window; concat + md5
+    * run once per shingle in the projection. */
+  def minhashShingleRows(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("pos"), col("np"),
+        concat_ws(" ",
+          col("word") +: (1 until n).map(k => lead(col("word"), k).over(byPos)): _*)
+          .as("sh"))
+      // concat_ws skips the NULL leads at partition end — filter by
+      // position so truncated shingles never appear
+      .where(col("pos") <= col("np") - n)
+      .select(col("id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("s_id"))
+      .distinct()
+  }
+
+  /** MinHash signatures as a WIDE table (id, sz, m0…m63): the i-th
+    * family member is `(aᵢ·(s_id mod p) + bᵢ) mod p`; the signature
+    * element is its min over the doc's shingles. 64 `min()` aggregate
+    * functions (plus the shingle-set size, which downstream Jaccard
+    * verification needs anyway) in ONE codegen'd hash aggregate —
+    * partial aggregation happens map-side, so the shuffle carries 65
+    * longs per doc, not the shingle set, and no second pass over the
+    * shingle table is ever needed for sizes. */
   def minhashSigTable(sh: DataFrame): DataFrame = {
+    val h31 = col("s_id") % MinhashP
     val aggs = count(lit(1)).as("sz") +: (0 until NumHashes).map { i =>
-      min(xxhash64(col("h3"), lit(i))).as(s"m$i")
+      min((lit(familyA(i)) * h31 + lit(familyB(i))) % MinhashP).as(s"m$i")
     }
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -161,13 +201,16 @@ object Dedup {
     * verify step needs no extra join. */
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val sig = minhashSigTable(sh)
+    // band bucket = polynomial fold of the band's signature rows mod p
+    // (portable integer arithmetic; acc·1000003 + m < 2^52, ANSI-safe)
+    def bucket(bnd: Int): Column =
+      (0 until BandRows).foldLeft(lit(bnd.toLong)) { (acc, r) =>
+        (acc * 1000003L + col(s"m${bnd * BandRows + r}")) % MinhashP
+      }
     val bands = sig.select(
       col("id"), col("sz"),
       explode(array((0 until NumBands).map { bnd =>
-        struct(
-          lit(bnd).as("band"),
-          xxhash64((0 until BandRows).map(r =>
-            col(s"m${bnd * BandRows + r}")): _*).as("bucket"))
+        struct(lit(bnd).as("band"), bucket(bnd).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sz"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -184,7 +227,7 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     minhashCandidatesFromShingles(
-      shingleRows(tokenRows(docs, idCol, textCol), Nil, n))
+      minhashShingleRows(docs, idCol, textCol, n))
 
   /** Full MinHash-LSH near-dup pipeline: LSH candidates re-checked with
     * exact Jaccard (the standard verify step), computed relationally:
@@ -197,10 +240,10 @@ object Dedup {
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(tokenRows(docs, idCol, textCol), Nil, n).cache()
+    val sh = minhashShingleRows(docs, idCol, textCol, n).cache()
     minhashCandidatesFromShingles(sh)
-      .join(sh.select(col("id").as("id_a"), col("h3").as("ha")), "id_a")
-      .join(sh.select(col("id").as("idb2"), col("h3").as("hb")),
+      .join(sh.select(col("id").as("id_a"), col("s_id").as("ha")), "id_a")
+      .join(sh.select(col("id").as("idb2"), col("s_id").as("hb")),
         col("id_b") === col("idb2") && col("ha") === col("hb"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("n_inter"))

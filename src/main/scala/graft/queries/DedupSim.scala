@@ -54,7 +54,10 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash-LSH near-dup pairs (rows-only for the driver). */
+  /** MinHash-LSH near-dup pairs. Fully oracle-checked: 60-bit md5
+    * shingle ids + a universal (a·h+b mod p) hash family are pure
+    * portable arithmetic, so DuckDB rebuilds identical signatures,
+    * band buckets, candidates, and verified Jaccard scores. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
       n = 3, threshold = 0.3)
@@ -144,7 +147,68 @@ object DedupSim {
       |WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
       |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) >= 0.3""".stripMargin
 
+  /** Generated MinHash oracle — the 64 family columns, 16 band-bucket
+    * expressions, and all constants come from the same Scala code the
+    * Spark pipeline uses (graft.dedup.Dedup.familyA/familyB/MinhashP),
+    * so the two sides cannot drift. Shingles are UNBLOCKED here
+    * (minhash blocks globally, unlike the lang/source-blocked exact
+    * Jaccard baseline). */
+  private def minhashOracle: String = {
+    val p = Dedup.MinhashP
+    val mCols = (0 until Dedup.NumHashes).map { i =>
+      s"LIST_MIN(LIST_TRANSFORM(ids, h -> (${Dedup.familyA(i)} * (h % $p) + ${Dedup.familyB(i)}) % $p)) AS m$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until Dedup.NumBands).map { bnd =>
+      val e = (0 until Dedup.BandRows).foldLeft(s"$bnd") { (acc, r) =>
+        s"(($acc) * 1000003 + m${bnd * Dedup.BandRows + r}) % $p"
+      }
+      s"WHEN ${bnd} THEN $e"
+    }.mkString("\n      ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\\s+')) >= 3
+       |      THEN LIST_TRANSFORM(
+       |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\\s+')) - 2),
+       |        i -> STRING_SPLIT_REGEX(text, '\\s+')[i] || ' ' ||
+       |             STRING_SPLIT_REGEX(text, '\\s+')[i+1] || ' ' ||
+       |             STRING_SPLIT_REGEX(text, '\\s+')[i+2])
+       |      ELSE [] END) AS shl
+       |  FROM documents),
+       |sids AS (
+       |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(shl, s ->
+       |    CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS ids
+       |  FROM sh WHERE LEN(shl) > 0),
+       |sigs AS (
+       |  SELECT doc_id, LEN(ids) AS sz,
+       |    $mCols
+       |  FROM sids),
+       |bands AS (
+       |  SELECT doc_id, sz, b.band,
+       |    CASE b.band
+       |      $bandExprs
+       |    END AS bucket
+       |  FROM sigs CROSS JOIN
+       |    (SELECT UNNEST(GENERATE_SERIES(0, ${Dedup.NumBands - 1})) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
+       |    y.doc_id AS id_b, y.sz AS sz_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+       |    LEN(LIST_INTERSECT(sa.ids, sb.ids)) AS n_inter
+       |  FROM cand c
+       |  JOIN sids sa ON c.id_a = sa.doc_id
+       |  JOIN sids sb ON c.id_b = sb.doc_id)
+       |SELECT id_a, id_b,
+       |  ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6) AS jaccard
+       |FROM inter
+       |WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracle,
     "q_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,

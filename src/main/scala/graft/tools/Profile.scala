@@ -28,7 +28,7 @@ object Profile {
       Dedup.shingleRows(Dedup.tokenRows(docs, "doc_id", "text"), Nil, 3).count())
     time("minhash sig table")(
       Dedup.minhashSigTable(
-        Dedup.shingleRows(Dedup.tokenRows(docs, "doc_id", "text"), Nil, 3)).count())
+        Dedup.minhashShingleRows(docs, "doc_id", "text", 3)).count())
     time("full minhash")(
       Dedup.minhashDedup(docs, "doc_id", "text", 3, 0.3).count())
     time("full jaccard")(
