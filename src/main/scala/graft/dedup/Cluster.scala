@@ -36,17 +36,11 @@ object Cluster {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    // the eager checkpoint makes the edge count free — size the loop's
-    // parallelism to the graph, not to spark.sql.shuffle.partitions:
-    // a near-dup graph is usually a few thousand edges, and iterating
-    // with 32-task shuffles over that is pure scheduling overhead
-    // (measured 2.8s for an 8-edge graph). ~500k edges per partition,
-    // capped at the session default for genuinely huge graphs.
-    val nEdges = rawEdges.count()
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism,
-      (nEdges / 500000L).toInt + 1))
-    val edges = rawEdges.repartition(parts, col("src")).localCheckpoint()
+    // loop shuffles stay at spark.sql.shuffle.partitions; AQE coalesces
+    // the (usually tiny) per-round exchanges at runtime, so no explicit
+    // repartition pass — an extra eager materialization measured slower
+    // than letting AQE handle it.
+    val edges = rawEdges
 
     // fused round 0: initialize each vertex straight to
     // min(id, min neighbor) — one aggregation instead of an identity
