@@ -104,6 +104,26 @@ final case class Rel(df: DataFrame) {
   /** Duplicate elimination. */
   def distinct: Rel = Rel(df.distinct())
 
+  // ---- beyond-the-reference verbs (graft.operators wrappers) -------
+
+  /** AS-OF join — latest right payload at-or-before each left row
+    * (graft.operators.AsofJoin union-sort shape). */
+  def asofJoin(right: Rel, keyCol: String, timeCol: String,
+      payloadCols: Seq[String]): Rel =
+    Rel(graft.operators.AsofJoin.asofPrefixed(
+      df, right.df, keyCol, timeCol, payloadCols))
+
+  /** Deterministic hash sample — reproducible membership by key
+    * (graft.operators.Sampling). */
+  def sample(keyCol: String, rate: Double): Rel =
+    Rel(graft.operators.Sampling.hashSample(df, keyCol, rate))
+
+  /** Stratified deterministic sample with per-stratum rates. */
+  def stratifiedSample(keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): Rel =
+    Rel(graft.operators.Sampling.stratifiedSample(
+      df, keyCol, strataCol, rates, defaultRate))
+
   /** Total order — stupidb api.py:275 `order_by` with Nulls.FIRST/LAST
     * (aggregation.py:43). Use asc_nulls_first / desc_nulls_last etc. */
   def orderBy(keys: Column*): Rel = Rel(df.orderBy(keys: _*))

@@ -124,6 +124,20 @@ object Agg {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** CUBE: all 2^2 grouping combinations in one pass (Expand + single
+    * hash aggregate), with GROUPING() flags disambiguating subtotal
+    * rows from genuine NULL groups. */
+  def qAggCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   /** PIVOT: order counts by priority × status, statuses as columns —
     * Spark's groupBy().pivot() with an explicit value list (no extra
     * distinct-scan pass; at 100 TB always pass the values). */
@@ -138,6 +152,7 @@ object Agg {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
     "q_pivot" -> (qPivot _),
     "q_tpch1" -> (qTpch1 _),
     "q_agg_global" -> (qAggGlobal _),
@@ -154,6 +169,13 @@ object Agg {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
