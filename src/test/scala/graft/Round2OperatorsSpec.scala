@@ -74,6 +74,32 @@ class Round2OperatorsSpec extends SparkSpec {
       (9L, 9L, true)))
   }
 
+  test("sharded HLL sketches merge to the same estimate as one pass") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sf)
+    // shard by day, merge back per event_type
+    val sketches = Sketches.shardedSketches(
+      ev.withColumn("day", to_date(col("ts"))),
+      groupCols = Seq("event_type"), shardCol = "day", valueCol = "user_id")
+    val merged = Sketches.mergedEstimates(sketches, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-pass sketch over the unsharded data must agree exactly
+    // (HLL union is lossless for same-lgK sketches)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(Sketches.hllEstimate(
+        Sketches.hllSketch(col("user_id"))).as("approx_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"merge lost information: $merged vs $direct")
+    // and the estimate is close to the exact distinct count
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n) <= math.max(3, n * 0.05),
+        s"$k: estimate ${merged(k)} vs exact $n")
+    }
+  }
+
   test("hash sampling is deterministic, nested by rate, and unbiased-ish") {
     val docs = Tables.documents(spark, sf)
     val s20 = Sampling.hashSample(docs, "doc_id", 0.2)
