@@ -255,6 +255,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- benchmark decontamination ------------------------------------
+
+  /** Flag training documents that share any word-n-gram with an
+    * evaluation/benchmark corpus — the decontamination pass every
+    * training-data pipeline runs before export. Returns (id,
+    * n_overlap): the number of DISTINCT training-doc shingles that
+    * also appear anywhere in the eval set.
+    *
+    * Scale shape: distinct shingle ids per side, equi-join on the
+    * shingle id, count per training doc — the eval side is tiny
+    * relative to the corpus (benchmarks are small), so AQE broadcasts
+    * it and the pass is one scan of the training shingles. */
+  def contaminationCounts(
+      train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainSh = minhashShingleRows(train, idCol, textCol, n)
+    val evalSh = minhashShingleRows(eval_, idCol, textCol, n)
+      .select(col("s_id")).distinct()
+    trainSh.join(evalSh, "s_id")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** One row per token with an ENGINE-PORTABLE 64-bit hash, split into

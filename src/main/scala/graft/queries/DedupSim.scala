@@ -70,6 +70,19 @@ object DedupSim {
     Dedup.simhashPairs(docsParallel(s, d), "doc_id", "text", maxHamming = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Benchmark decontamination: training docs (source ≠ src0) sharing
+    * any word-5-gram with the eval slice (source = src0), with the
+    * overlap count — the pre-export contamination pass. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    Dedup.contaminationCounts(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"),
+      "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on label. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95,
@@ -118,6 +131,7 @@ object DedupSim {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _))
@@ -209,6 +223,24 @@ object DedupSim {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> minhashOracle,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 5
+        |      THEN LIST_TRANSFORM(
+        |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 4),
+        |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+1] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+2] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+3] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+4])
+        |      ELSE [] END) AS shl
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT UNNEST(shl) AS s FROM sh WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, UNNEST(shl) AS s FROM sh WHERE source <> 'src0')
+        |SELECT tr.doc_id, COUNT(*) AS n_overlap
+        |FROM tr JOIN ev USING (s)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,
