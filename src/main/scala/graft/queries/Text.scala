@@ -138,7 +138,28 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing: assign docs to 2048-token training bins by
+    * contiguous fill — each doc's bin is where the per-language
+    * running token total stood when it started (exclusive prefix sum
+    * DIV budget). One window pass per language; the deterministic,
+    * shuffle-light approximation of first-fit packing (real packers
+    * may split docs at boundaries; bin assignment is the distributed
+    * part either way). */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 2048.0).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (qPackSequences _),
     "q_pipeline_curate" -> (qPipelineCurate _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
@@ -158,6 +179,17 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    LEN(STRING_SPLIT_REGEX(text, '\s+')) AS n_tokens,
+        |    SUM(LEN(STRING_SPLIT_REGEX(text, '\s+'))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "q_pipeline_curate" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text,
