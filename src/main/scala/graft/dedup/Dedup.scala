@@ -268,10 +268,10 @@ object Dedup {
     * relative to the corpus (benchmarks are small), so AQE broadcasts
     * it and the pass is one scan of the training shingles. */
   def contaminationCounts(
-      train: DataFrame, eval_ : DataFrame,
+      train: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val trainSh = minhashShingleRows(train, idCol, textCol, n)
-    val evalSh = minhashShingleRows(eval_, idCol, textCol, n)
+    val evalSh = minhashShingleRows(evalDocs, idCol, textCol, n)
       .select(col("s_id")).distinct()
     trainSh.join(evalSh, "s_id")
       .groupBy(col("id"))
