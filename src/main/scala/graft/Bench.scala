@@ -35,7 +35,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       // a failed query reports -1, never a misleading partial elapsed time
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release caches and checkpoint blocks the query left behind so
+      // later queries don't pay its GC bill (dedup pipelines cache
+      // their shingle tables; CC loops leave localCheckpoint RDDs)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      (name, if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
