@@ -63,6 +63,33 @@ class Round2OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val nVerts = 30 + rnd.nextInt(40)
+      val edges = List.fill(25 + rnd.nextInt(50))(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Cluster.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial diverged (edges=$edges)")
+    }
+  }
+
   test("dedupClusters keeps non-paired docs as singleton canonicals") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")).toDF("doc_id", "t")
