@@ -8,17 +8,27 @@ import org.apache.spark.sql.functions._
   * SimHash / exact Jaccard) become duplicate CLUSTERS, and one
   * canonical document (the minimum id) survives per cluster.
   *
-  * Algorithm: iterative min-label propagation. Each vertex starts
-  * labeled with its own id; every round it takes the min of its label
-  * and its neighbors' labels; fixpoint = components labeled by their
-  * minimum member. Rounds needed = graph diameter, and dedup similarity
-  * graphs are overwhelmingly tiny cliques (diameter 1-2), so this
-  * converges in 2-3 rounds. Each round is one shuffle join + one
-  * aggregation; `localCheckpoint` truncates the growing lineage so
-  * round N's plan does not replay rounds 1..N−1 (the classic iterative-
-  * algorithm trap on Spark). At extreme skew (a giant component), the
-  * alternating large-star/small-star variant bounds per-round work;
-  * the propagation loop and convergence check are identical.
+  * Two interchangeable algorithms:
+  *
+  *   - `connectedComponents`: iterative min-label propagation. Rounds
+  *     needed = graph diameter; dedup similarity graphs are
+  *     overwhelmingly tiny cliques (diameter 1-2), so this converges in
+  *     1-2 rounds and is the default. Convergence checks are FUSED:
+  *     two propagation rounds run per driver action, so the common
+  *     diameter-≤2 case pays one count() job instead of two.
+  *
+  *   - `connectedComponentsStar`: the alternating large-star/small-star
+  *     algorithm (Kiveris et al., "Connected Components in MapReduce
+  *     and Beyond", SOCC'14). Converges in O(log n) rounds regardless
+  *     of diameter, and per-round work stays proportional to the
+  *     (shrinking) edge set — the right choice when the near-dup graph
+  *     has a skewed giant component (hub pages, boilerplate), where
+  *     plain propagation re-shuffles the hot component's full frontier
+  *     every round for diameter-many rounds.
+  *
+  * Both: each round is shuffle joins + aggregations; `localCheckpoint`
+  * truncates the growing lineage so round N's plan does not replay
+  * rounds 1..N−1 (the classic iterative-algorithm trap on Spark).
   */
 object Cluster {
 
@@ -30,9 +40,8 @@ object Cluster {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
     // both directions once; reused by every round
-    val rawEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
@@ -40,7 +49,21 @@ object Cluster {
     // the (usually tiny) per-round exchanges at runtime, so no explicit
     // repartition pass — an extra eager materialization measured slower
     // than letting AQE handle it.
-    val edges = rawEdges
+
+    // one propagation round: each vertex takes min(label, neighbors')
+    // and carries a change flag, so convergence folds into the pass
+    def propagate(labels: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels
+        .join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("_chg"))
+    }
 
     // fused round 0: initialize each vertex straight to
     // min(id, min neighbor) — one aggregation instead of an identity
@@ -52,30 +75,105 @@ object Cluster {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min label among each vertex's neighbors
-      val nbrMin = edges
-        .join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id2"))
-        .agg(min(col("label")).as("nbr_label"))
-      // the old label is already on the row — fold the convergence flag
-      // into the same pass instead of a join-per-iteration change check
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("_chg"))
-        .localCheckpoint()
+      // TWO unconditional propagation rounds per driver action, then
+      // one convergence check on the second round's flag: if round 2
+      // changed nothing, round 1's output was already a fixpoint.
+      // Dedup graphs are diameter-≤2 cliques (init already reaches
+      // distance 1), so the common case is ONE count() job total —
+      // half the per-round driver/job overhead of check-every-round.
+      val next = propagate(propagate(labels).drop("_chg")).localCheckpoint()
       val changed = next.where(col("_chg")).limit(1).count()
       labels = next.drop("_chg")
       converged = changed == 0
-      iter += 1
+      iter += 2
     }
     if (!converged)
       System.err.println(
         s"[graft] connectedComponents stopped at maxIter=$maxIter before " +
           "convergence — labels are an upper bound on the true components")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star connected components
+    * (Kiveris et al., SOCC'14) — the skew-resistant variant.
+    *
+    * Each round rewires the edge set toward stars centered at
+    * component minima:
+    *   - LARGE-STAR (per center u over the undirected neighborhood):
+    *     attach every strictly-larger neighbor to
+    *     m = min(N(u) ∪ {u}). Detaches high-degree hubs' big
+    *     neighbors from each other in one pass.
+    *   - SMALL-STAR (per center u over edges oriented big→small):
+    *     attach u and all its smaller neighbors to m = min(N(u) ∪ {u}).
+    *
+    * Both are groupBy-min + join (agg-then-join, not a window over the
+    * edge list — the per-center min table is small and AQE broadcasts
+    * it). Edge count is non-increasing after the first round and the
+    * rounds needed are O(log n) independent of diameter; at fixpoint
+    * the edges ARE the component assignment (v → component min).
+    *
+    * @param pairs undirected edges, one per row
+    * @param maxIter safety bound on large+small rounds */
+  def connectedComponentsStar(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val vertices = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .distinct()
+      .localCheckpoint()
+    // oriented big→small, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+
+    // m = min over the undirected neighborhood of each center (incl u)
+    def centerMin(nbrs: DataFrame): DataFrame =
+      nbrs.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // ---- large-star ----
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = nbrs.join(centerMin(nbrs), "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ oriented
+        .distinct()
+      // ---- small-star (input already oriented big→small) ----
+      val ss0 = ls
+      val sm = centerMin(ss0)
+      val next = ss0.join(sm, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ss0.select(col("u"), col("v")).join(sm, "u")
+          .select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // convergence: the edge multiset is stable (next ⊆ prev by
+      // anti-join emptiness + equal counts ⇒ sets equal). Edge counts
+      // are non-increasing, so the count also tracks the shrinkage.
+      val nextCount = next.count()
+      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
+      converged = nextCount == edgeCount && grew == 0
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponentsStar stopped at maxIter=$maxIter " +
+          "before convergence — labels are an upper bound")
+    // fixpoint edges are stars (v, componentMin); centers label themselves.
+    // min() guards the not-fully-converged case where a vertex still
+    // holds several pointers.
+    val lbl = edges.groupBy(col("u").as("vid")).agg(min(col("v")).as("lbl"))
+    vertices.join(lbl, vertices("id") === lbl("vid"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
   /** Cluster assignment + canonical flag for a document table given its
