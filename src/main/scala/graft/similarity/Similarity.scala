@@ -126,13 +126,21 @@ object Similarity {
   def ivfCentroids(
       corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.orderBy(col("_h"), col(idCol))
+    // distributed top-k (TakeOrderedAndProject: per-partition heaps,
+    // only k rows ever reach the driver-side merge) — NOT a global
+    // row_number window, which would single-partition-sort the whole
+    // (id, fraction) corpus projection. The tiny ranking window below
+    // runs over the k picked rows only; AQE broadcasts them into the
+    // vector-fetch join.
     val picked = corpus
       .select(col(idCol),
         graft.operators.Sampling.hashFraction(col(idCol)).as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+    val w = Window.orderBy(col("_h"), col(idCol))
+    picked
       .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= k)
-    picked.join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
       .select(col("_rk").as("cell_id"), col(vecCol).as("centroid"))
   }
 

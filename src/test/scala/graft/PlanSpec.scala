@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
 
+  test("IVF centroid pick is a distributed top-k, not a global sort") {
+    val p = plan(graft.similarity.Similarity.ivfCentroids(
+      Tables.embeddings(spark, sf), k = 16))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"centroid pick should be per-partition top-k heaps:\n$p")
+    // the corpus-wide projection must never pass through a
+    // single-partition exchange on its way INTO the top-k — the only
+    // allowed SinglePartition exchange is over the k picked rows
+    val beforeLimit = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!beforeLimit.contains("Exchange SinglePartition"),
+      s"corpus projection funneled through one partition:\n$p")
+  }
+
   test("whole-stage codegen covers the text-analysis expressions") {
     // AQE wraps the plan before execution; codegen-mode explain compiles
     // the current physical plan and reports the codegen subtrees.
