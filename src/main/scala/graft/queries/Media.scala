@@ -5,8 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Multimodal plumbing query (rows-only for the driver; exact feature
-  * values are asserted in MultimodalSpec). */
+/** Multimodal plumbing query. Fully oracle-checked: the decode stub's
+  * outputs are deterministic arithmetic over the payload bytes, and the
+  * corpus text is pure ASCII (verified at every SF), so DuckDB can
+  * rebuild n_bytes (= LENGTH(text)) and feat[0] (= byte-histogram
+  * bucket 0 / n, recomputed per char via UNICODE()) bit-for-bit —
+  * the float division is IEEE-correctly-rounded in both engines.
+  * Exact per-record feature values are additionally asserted in
+  * MultimodalSpec. */
 object Media {
 
   /** Binary payload → per-modality feature aggregates. Exercises the
@@ -26,5 +32,21 @@ object Media {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _))
 
-  def oracles: Map[String, String] = Map()
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id % 3 AS m3, LENGTH(text) AS n_bytes,
+        |    LEN(LIST_FILTER(GENERATE_SERIES(1, LENGTH(text)),
+        |      i -> UNICODE(text[i]) % 8 = 0)) AS h0
+        |  FROM documents),
+        |f AS (
+        |  SELECT CASE WHEN m3 = 0 THEN 'image' WHEN m3 = 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |    n_bytes,
+        |    CAST(h0 AS FLOAT) / CAST(GREATEST(n_bytes, 1) AS FLOAT) AS feat0
+        |  FROM m)
+        |SELECT modality, COUNT(*) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  ROUND(AVG(feat0), 6) AS avg_feat0
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin)
 }
