@@ -208,6 +208,26 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Window aggregate with PER-ROW frame bounds — stupidb
+    * aggregation.py:225/:236 evaluates preceding/following as callables
+    * per row; Spark frames are foldable-only, so graft's VarFrame
+    * expresses it as a rank self-join with a band predicate
+    * (operators.VarFrame). Frame here: the last (o_orderkey%3) rows
+    * through the next (o_orderkey%2) rows. */
+  def qWinFrameVar(s: SparkSession, d: String): DataFrame =
+    graft.operators.VarFrame.varFrameAgg(
+      Tables.orders(s, d),
+      partitionCols = Seq("o_custkey"),
+      orderCols = Seq(col("o_orderdate"), col("o_orderkey")),
+      valueCol = col("o_totalprice"),
+      preceding = pmod(col("o_orderkey"), lit(3)),
+      following = pmod(col("o_orderkey"), lit(2)),
+      prefix = "vf")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("vf_sum").cast("double").as("sum_var"),
+        col("vf_cnt").as("n_var"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   /** Distribution window functions: percent_rank / cume_dist / ntile —
     * same partition-parallel WindowExec as ranking (one shuffle on the
     * partition key). Order keys are unique per partition, so ntile's
@@ -224,6 +244,7 @@ object Windows {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_frame_var" -> (qWinFrameVar _),
     "q_win_dist" -> (qWinDist _),
     "q_win_nav_var" -> (qWinNavVar _),
     "q_win_rows" -> (qWinRows _),
@@ -238,6 +259,20 @@ object Windows {
     "q_win_unpartitioned" -> (qWinUnpartitioned _))
 
   def oracles: Map[String, String] = Map(
+    "q_win_frame_var" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(o_orderkey % 3 AS INT) AS p, CAST(o_orderkey % 2 AS INT) AS f,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey,
+        |  CAST(SUM(CAST(b.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_var,
+        |  COUNT(*) AS n_var
+        |FROM t a JOIN t b ON a.o_custkey = b.o_custkey
+        |  AND b.rn BETWEEN a.rn - a.p AND a.rn + a.f
+        |GROUP BY a.o_custkey, a.o_orderkey
+        |ORDER BY a.o_custkey, a.o_orderkey""".stripMargin,
     "q_win_dist" ->
       """SELECT o_orderkey, o_orderpriority,
         |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
