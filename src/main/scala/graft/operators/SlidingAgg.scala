@@ -76,4 +76,74 @@ object SlidingAgg {
       .withColumn(s"${prefix}stddev_samp", round(sqrt(varSamp), roundTo))
       .drop("_c", "_s", "_q")
   }
+
+  /** Append `<prefix>sum` / `<prefix>cnt` over the VALUE-based frame
+    * `RANGE radius PRECEDING .. CURRENT ROW` (ordered by `orderVal`).
+    *
+    * The `lag(_, w)` trick above needs a fixed ROW width, so RANGE
+    * frames can't use it — and Spark's native bounded-start RANGE
+    * frame re-aggregates per row: O(n·w). This is the O(n log n)
+    * union-sort formulation instead:
+    *
+    *   frame(i) = cum(vᵢ) − prefix(vᵢ − radius)
+    *
+    * where cum is the peer-inclusive running aggregate (an incremental
+    * UNBOUNDED..CURRENT RANGE frame) and prefix(k) is the running
+    * aggregate over values STRICTLY below k, read off by sorting a
+    * probe row at key k into the data: probes carry tag 0 < data tag 1,
+    * so at equal keys the probe sees exactly the strictly-smaller
+    * rows — the boundary `v ≥ vᵢ − radius` lands in the frame, as
+    * RANGE semantics require. Sums accumulate in DECIMAL so the
+    * subtraction is exact (same rationale as `slidingStats`).
+    *
+    * Cost: two window passes + one join-back on `uniqueKey`, all
+    * shuffled on the partition key — independent of frame width.
+    *
+    * INPUT CONTRACT: like `slidingStats`, values are snapped to
+    * DECIMAL(18,4); a frame whose values are ALL NULL yields sum 0
+    * (SQL would yield NULL) — pre-filter nulls if that distinction
+    * matters.
+    *
+    * @param uniqueKey row-identity columns for the probe join-back */
+  def slidingRangeSum(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      orderVal: Column,
+      radius: Column,
+      valueCol: Column,
+      uniqueKey: Seq[String],
+      prefix: String = "sr_"): DataFrame = {
+    val p = partitionCols.map(col)
+    val x = valueCol.cast("decimal(18,4)")
+    val zero = lit(0).cast("decimal(18,4)")
+    val data = df.select(
+      p ++ uniqueKey.map(col) :+ orderVal.cast("double").as("_k") :+
+        lit(1).as("_tag") :+ x.as("_x"): _*)
+    val probe = df.select(
+      p ++ uniqueKey.map(col) :+
+        (orderVal - radius).cast("double").as("_k") :+
+        lit(0).as("_tag") :+ lit(null).cast("decimal(18,4)").as("_x"): _*)
+    val run = Window.partitionBy(p: _*).orderBy(col("_k"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = data.unionByName(probe)
+      .withColumn("_ps", sum(col("_x")).over(run))
+      .withColumn("_pc",
+        sum(when(col("_tag") === 1, 1L).otherwise(0L)).over(run))
+      .where(col("_tag") === 0)
+      .select(uniqueKey.map(c => col(c).as(s"_u_$c")) :+
+        col("_ps").as("_pre_s") :+ col("_pc").as("_pre_c"): _*)
+    val cumW = Window.partitionBy(p: _*).orderBy(orderVal.cast("double"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val backCond = uniqueKey.map(c => col(c) === col(s"_u_$c")).reduce(_ && _)
+    df
+      .withColumn("_cum_s", sum(x).over(cumW))
+      .withColumn("_cum_c", count(lit(1)).over(cumW))
+      .join(pre, backCond, "left_outer")
+      .withColumn(s"${prefix}sum",
+        coalesce(col("_cum_s"), zero) - coalesce(col("_pre_s"), zero))
+      .withColumn(s"${prefix}cnt",
+        col("_cum_c") - coalesce(col("_pre_c"), lit(0L)))
+      .drop("_cum_s", "_cum_c", "_pre_s", "_pre_c")
+      .drop(uniqueKey.map(c => s"_u_$c"): _*)
+  }
 }

@@ -56,16 +56,23 @@ object Windows {
 
   /** RANGE frame over a numeric ORDER key — stupidb test_range_window.
     * Frame membership depends on values, not row positions, so ties are
-    * handled identically by both engines. */
+    * handled identically by both engines. Computed with graft's
+    * O(n log n) union-sort formulation (operators.SlidingAgg
+    * .slidingRangeSum) instead of Spark's native bounded-start RANGE
+    * frame, which re-aggregates per row (O(n·w) — the same trap
+    * q_win_stats avoids with prefix sums); equivalence with the native
+    * frame is spec-asserted. */
   def qWinRange(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
-      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-      expr("""count(1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""").as("n_within_10k"),
-      expr("""sum(cast(o_totalprice AS DECIMAL(18,4))) OVER (
-              PARTITION BY o_custkey ORDER BY o_totalprice
-              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)""")
-        .cast("double").as("sum_within_10k"))
+    graft.operators.SlidingAgg.slidingRangeSum(
+      Tables.orders(s, d),
+      partitionCols = Seq("o_custkey"),
+      orderVal = col("o_totalprice"),
+      radius = lit(10000.0),
+      valueCol = col("o_totalprice"),
+      uniqueKey = Seq("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("sr_cnt").as("n_within_10k"),
+        col("sr_sum").cast("double").as("sum_within_10k"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
 
   /** Temporal RANGE frame — stupidb test_temporal_range_window
