@@ -102,7 +102,62 @@ object Tpch {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** Q2-shaped: correlated SCALAR subquery against an aggregate —
+    * "suppliers offering each small part at its corpus-minimum price"
+    * (the testdata has no partsupp, so lineitem plays the
+    * part-supplier cost relation). Declared as SQL so Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it: the optimized
+    * plan is a per-part min aggregate joined back to the fact —
+    * exactly the plan you'd hand-write, one fact shuffle, no per-row
+    * subquery execution anywhere. */
+  def qTpch2(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql("""
+      SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+        l_extendedprice AS min_price
+      FROM lineitem l
+      JOIN part ON p_partkey = l.l_partkey
+      JOIN supplier ON s_suppkey = l.l_suppkey
+      WHERE p_size <= 5
+        AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+      ORDER BY p_partkey, s_suppkey""")
+  }
+
+  /** Q21-shaped: EXISTS + NOT EXISTS correlated subqueries —
+    * "suppliers who were the ONLY supplier with a returned line on a
+    * multi-supplier finished order" (l_returnflag = 'R' stands in for
+    * Q21's receipt-after-commit lateness; the testdata has no
+    * receipt/commit dates). Catalyst decorrelates EXISTS into a
+    * left-semi and NOT EXISTS into a left-anti join on l_orderkey —
+    * both shuffle-on-key, no nested-loop anywhere. */
+  def qTpch21(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch2" -> (qTpch2 _),
+    "q_tpch21" -> (qTpch21 _),
     "q_tpch3" -> (qTpch3 _),
     "q_tpch5" -> (qTpch5 _),
     "q_tpch6" -> (qTpch6 _),
@@ -114,6 +169,32 @@ object Tpch {
     "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)))"
 
   def oracles: Map[String, String] = Map(
+    "q_tpch2" ->
+      """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+        |  l_extendedprice AS min_price
+        |FROM lineitem l
+        |JOIN part ON p_partkey = l.l_partkey
+        |JOIN supplier ON s_suppkey = l.l_suppkey
+        |WHERE p_size <= 5
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_tpch21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "q_tpch3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  CAST($revSql AS DOUBLE) AS revenue

@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
 
+  test("correlated subqueries decorrelate to key joins, not nested loops") {
+    val p2 = plan(gq.Tpch.qTpch2(spark, sf))
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
+      s"scalar subquery not decorrelated:\n$p2")
+    val p21 = plan(gq.Tpch.qTpch21(spark, sf))
+    assert(!p21.contains("BroadcastNestedLoopJoin") && !p21.contains("CartesianProduct"),
+      s"EXISTS/NOT EXISTS not decorrelated:\n$p21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"expected semi+anti joins from EXISTS/NOT EXISTS:\n$p21")
+  }
+
   test("IVF centroid pick is a distributed top-k, not a global sort") {
     val p = plan(graft.similarity.Similarity.ivfCentroids(
       Tables.embeddings(spark, sf), k = 16))
