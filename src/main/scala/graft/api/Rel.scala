@@ -113,6 +113,31 @@ final case class Rel(df: DataFrame) {
     Rel(graft.operators.AsofJoin.asofPrefixed(
       df, right.df, keyCol, timeCol, payloadCols))
 
+  /** lead with a PER-ROW offset — the reference's callable offset
+    * (api.py:842); rank self-join in graft.operators.VarNav. */
+  def varLead(partitionCols: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, offset: Column, out: String,
+      default: Option[Column] = None): Rel =
+    Rel(graft.operators.VarNav.varLead(
+      df, partitionCols, orderCols, valueCol, offset, out, default))
+
+  /** lag with a PER-ROW offset. */
+  def varLag(partitionCols: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, offset: Column, out: String,
+      default: Option[Column] = None): Rel =
+    Rel(graft.operators.VarNav.varLag(
+      df, partitionCols, orderCols, valueCol, offset, out, default))
+
+  /** Windowed aggregates over PER-ROW frame BOUNDS — the reference's
+    * callable preceding/following frame clauses (aggregation.py:225/
+    * :236); rank self-join + band predicate in graft.operators
+    * .VarFrame. Appends `<prefix>_sum/_cnt/_avg`. */
+  def overVarFrame(partitionCols: Seq[String], orderCols: Seq[Column],
+      valueCol: Column, preceding: Column, following: Column,
+      prefix: String = "vf"): Rel =
+    Rel(graft.operators.VarFrame.varFrameAgg(
+      df, partitionCols, orderCols, valueCol, preceding, following, prefix))
+
   /** Deterministic hash sample — reproducible membership by key
     * (graft.operators.Sampling). */
   def sample(keyCol: String, rate: Double): Rel =

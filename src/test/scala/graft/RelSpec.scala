@@ -90,6 +90,27 @@ class RelSpec extends SparkSpec {
     assert(!Rel(df(t)).sift(col("balance") > 5000).exists)
   }
 
+  test("varLead and overVarFrame expose the callable-offset/bounds verbs") {
+    val base = df(t).withColumn("k", monotonically_increasing_id())
+    // per-row offset 1 ≡ constant lead(1)
+    val led = Rel(base).varLead(Seq("name"), Seq(col("balance")),
+      col("balance"), lit(1), "nxt").toDF
+    val wantLead = base.withColumn("nxt",
+      lead(col("balance"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name")).orderBy(col("balance"))))
+    assert(led.exceptAll(wantLead).isEmpty && wantLead.exceptAll(led).isEmpty)
+    // per-row bounds (1 preceding, 0 following) ≡ native ROWS frame
+    val framed = Rel(base).overVarFrame(Seq("name"), Seq(col("balance")),
+      col("balance"), lit(1), lit(0)).toDF
+      .select(col("k"), col("vf_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name")).orderBy(col("balance")).rowsBetween(-1, 0)
+    val wantFrame = base.select(col("k"), count(lit(1)).over(w).as("vf_cnt"))
+    assert(framed.exceptAll(wantFrame).isEmpty &&
+      wantFrame.exceptAll(framed).isEmpty)
+  }
+
   test("over applies windowed aggregates like the reference's >> over(...)") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("balance"))
