@@ -155,9 +155,135 @@ object Tpch {
       ORDER BY numwait DESC, s_name""")
   }
 
+  /** Q4-shaped: order-priority checking — EXISTS against the fact
+    * (orders in a quarter that had at least one returned line).
+    * Written as an explicit left-semi join: the shape Catalyst
+    * decorrelates EXISTS into anyway. One fact shuffle on the join
+    * key, then a 5-group aggregate — scales linearly. */
+  def qTpch4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+             col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+      .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q12-shaped: shipping-mode priority split — fact⋈fact join with
+    * conditional aggregation (high- vs low-priority line counts per
+    * return flag; l_linestatus stands in for Q12's shipmode list).
+    * Both conditional sums come out of ONE hash aggregate pass. */
+  def qTpch12(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+             col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+             col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q15-shaped: top supplier — revenue view + scalar MAX subquery
+    * over it ("the supplier(s) with the quarter's maximum revenue").
+    * The view aggregates the fact once; the MAX is a 1-row broadcast
+    * scalar; equality re-joins against the tiny aggregate, not the
+    * fact. DECIMAL sums keep the MAX equality exact cross-engine. */
+  def qTpch15(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(q15Sql)
+  }
+
+  /** Q17-shaped: small-quantity-order revenue — correlated scalar AVG
+    * per part ("lines under 20% of their part's average quantity").
+    * Catalyst's RewriteCorrelatedScalarSubquery turns the per-row
+    * subquery into a per-part AVG aggregate joined back: one extra
+    * fact aggregate, no nested-loop. l_quantity is integer-valued so
+    * the AVG is an exact double in any summation order — the 0.2×avg
+    * threshold compare is bit-stable across engines. */
+  def qTpch17(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q17Sql)
+  }
+
+  /** Q19-shaped: discounted revenue under DISJUNCTIVE brand/size/qty
+    * predicates — the classic partial-pushdown test. Catalyst
+    * extracts the common conjunct (the join key) and pushes the
+    * per-table prefixes of the OR branches into both scans; the
+    * residual disjunction evaluates post-join inside codegen. */
+  def qTpch19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revenue).cast("double").as("revenue"))
+
+  /** Q22-shaped: global-acctbal customers who went quiet — a global
+    * scalar AVG threshold plus NOT EXISTS against recent orders.
+    * The AVG is a 1-row broadcast; the NOT EXISTS decorrelates to a
+    * left-anti join on o_custkey (shuffle-on-key, no nested loop).
+    * Threshold is ROUND(avg,4) on both sides: balances sum in
+    * different orders across engines, so compare at fixed scale. */
+  def qTpch22(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q22Sql)
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val q17Sql =
+    """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = l_partkey)""".stripMargin
+
+  private val q22Sql =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch2" -> (qTpch2 _),
+    "q_tpch4" -> (qTpch4 _),
+    "q_tpch12" -> (qTpch12 _),
+    "q_tpch15" -> (qTpch15 _),
+    "q_tpch17" -> (qTpch17 _),
+    "q_tpch19" -> (qTpch19 _),
     "q_tpch21" -> (qTpch21 _),
+    "q_tpch22" -> (qTpch22 _),
     "q_tpch3" -> (qTpch3 _),
     "q_tpch5" -> (qTpch5 _),
     "q_tpch6" -> (qTpch6 _),
@@ -169,6 +295,39 @@ object Tpch {
     "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)))"
 
   def oracles: Map[String, String] = Map(
+    "q_tpch4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linestatus = 'F'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch15" -> q15Sql,
+    "q_tpch17" -> q17Sql,
+    "q_tpch19" ->
+      s"""SELECT CAST($revSql AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_tpch22" -> q22Sql,
     "q_tpch2" ->
       """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
         |  l_extendedprice AS min_price

@@ -76,6 +76,29 @@ class PlanSpec extends SparkSpec {
       s"expected semi+anti joins from EXISTS/NOT EXISTS:\n$p21")
   }
 
+  test("Q4/Q22 EXISTS shapes become semi/anti key joins") {
+    val p4 = plan(gq.Tpch.qTpch4(spark, sf))
+    assert(p4.contains("LeftSemi") && !p4.contains("BroadcastNestedLoopJoin"),
+      s"Q4 EXISTS should be a left-semi key join:\n$p4")
+    val p22 = plan(gq.Tpch.qTpch22(spark, sf))
+    assert(p22.contains("LeftAnti") && !p22.contains("CartesianProduct"),
+      s"Q22 NOT EXISTS should be a left-anti key join:\n$p22")
+  }
+
+  test("Q17 correlated scalar AVG decorrelates to an aggregate join-back") {
+    val p = plan(gq.Tpch.qTpch17(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"per-part AVG subquery not decorrelated:\n$p")
+    assert(p.contains("avg("), s"expected a per-part avg aggregate:\n$p")
+  }
+
+  test("Q19 disjunctive predicates keep the equi-join broadcast") {
+    val p = plan(gq.Tpch.qTpch19(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"disjunction must not defeat the broadcast equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("IVF centroid pick is a distributed top-k, not a global sort") {
     val p = plan(graft.similarity.Similarity.ivfCentroids(
       Tables.embeddings(spark, sf), k = 16))
