@@ -124,6 +124,35 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Distributed k-means IVF training: 2 Lloyd rounds over the 16 md5
+    * seed centroids, then a per-cell membership summary (count + exact
+    * decimal sum of each member's rounded cosine to its final
+    * centroid). Fully oracle-checked: the quantized-BIGINT component
+    * means make the refined centroids bit-identical across engines
+    * (see Similarity.kmeansRefine), and the oracle SQL below unrolls
+    * the same two iterations from the same constants. */
+  def qAnnKmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embParallel(s, d)
+    val cent = Similarity.kmeansRefine(
+      emb, k = KmeansCells, iters = KmeansIters,
+      cosineFn = Similarity.cosineIn(s))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cell_id"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("_sim",
+        round(Similarity.cosineIn(s)(col("embedding"), col("centroid")), 6))
+      .withColumn("_crk", row_number().over(w))
+      .where(col("_crk") === 1)
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("_sim").cast("decimal(18,6)")).cast("double").as("sum_sim"))
+      .orderBy(col("cell_id"))
+  }
+
+  private val KmeansCells = 16
+  private val KmeansIters = 2
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -134,7 +163,62 @@ object DedupSim {
     "q_decontaminate" -> (qDecontaminate _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_kmeans" -> (qAnnKmeans _))
+
+  /** DuckDB twin of qAnnKmeans, GENERATED from the same constants so
+    * the two sides cannot drift: same md5 seed pick, same rounded
+    * argmax assignment, same ×2²⁴ quantized component means, unrolled
+    * KmeansIters times. */
+  private def kmeansOracle: String = {
+    val Q = "16777216.0"
+    def iterBlock(i: Int, prev: String): String = s"""
+      |sims$i AS (
+      |  SELECT v.vec_id, v.ve, c.cell_id,
+      |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
+      |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
+      |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
+      |  FROM v CROSS JOIN $prev c),
+      |asg$i AS (
+      |  SELECT vec_id, ve, cell_id FROM (
+      |    SELECT vec_id, ve, cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+      |    FROM sims$i) t WHERE crk = 1),
+      |comp$i AS (
+      |  SELECT cell_id, generate_subscripts(ve, 1) AS pos, unnest(ve) AS x
+      |  FROM asg$i),
+      |m$i AS (
+      |  SELECT cell_id, pos,
+      |    CAST(SUM(CAST(ROUND(x * $Q) AS BIGINT)) AS DOUBLE) / ($Q * COUNT(*)) AS m
+      |  FROM comp$i GROUP BY cell_id, pos),
+      |cent$i AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cell_id),""".stripMargin
+    val iters = (1 to KmeansIters)
+      .map(i => iterBlock(i, if (i == 1) "cent0" else s"cent${i - 1}"))
+      .mkString("\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       |picked AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
+       |        AS INTEGER) / $Q,
+       |      vec_id) AS cell_id
+       |  FROM v QUALIFY cell_id <= $KmeansCells),
+       |cent0 AS (SELECT p.cell_id, v.ve AS cv FROM picked p JOIN v ON p.vec_id = v.vec_id),
+       |$iters
+       |simsF AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
+       |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
+       |  FROM v CROSS JOIN cent$KmeansIters c),
+       |asgF AS (
+       |  SELECT vec_id, cell_id, s FROM (
+       |    SELECT vec_id, cell_id, s,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+       |    FROM simsF) t WHERE crk = 1)
+       |SELECT cell_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim
+       |FROM asgF GROUP BY cell_id ORDER BY cell_id""".stripMargin
+  }
 
   /** Shared DuckDB CTE: distinct word-3-gram shingles per document.
     * Kept as a plain (non-interpolated) literal so `\s` stays verbatim;
@@ -382,5 +466,6 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM sims)
         |SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin)
+        |ORDER BY query_id, rk""".stripMargin,
+    "q_ann_kmeans" -> kmeansOracle)
 }

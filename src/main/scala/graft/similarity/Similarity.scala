@@ -144,6 +144,44 @@ object Similarity {
       .select(col("_rk").as("cell_id"), col(vecCol).as("centroid"))
   }
 
+  /** Distributed k-means (Lloyd's) refinement of the IVF seed
+    * centroids: `iters` rounds of [assign to nearest centroid →
+    * recompute each centroid as the element-wise member mean].
+    *
+    * Scale shape per round: one broadcast of the K centroids against a
+    * linear corpus scan (the assign), then a posexplode aggregate whose
+    * shuffle carries only (cell, dim) partial sums — K·D rows after
+    * map-side combine, not corpus-sized. No all-pairs work anywhere;
+    * this is the standard 100 TB k-means layout.
+    *
+    * Component means accumulate as ×2²⁴-quantized BIGINTs: the sum is
+    * exact and order-independent, and both Spark and DuckDB round
+    * half-away-from-zero, so the refined centroids are bit-identical
+    * across cluster sizes AND engines — which is what lets q_ann_kmeans
+    * carry a full hash-checked oracle. The 2⁻²⁴ quantization (~6e-8) is
+    * far below any routing-relevant signal. Cells that lose all members
+    * drop out (standard dead-centroid behavior), identically on both
+    * engines because assignments are identical. */
+  def kmeansRefine(
+      corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    var cent = ivfCentroids(corpus, k, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val asg = ivfAssign(corpus, cent, idCol, vecCol, 1, cosineFn)
+      cent = asg
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg((sum(round(col("x").cast("double") * 16777216.0).cast("long"))
+          .cast("double") / (lit(16777216.0) * count(lit(1)))).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), p => p.getField("m")).as("centroid"))
+    }
+    cent
+  }
+
   /** Assign every vector to its nearest centroid: broadcast the K
     * centroids against the corpus (K dot products per row — the linear
     * IVF build scan), keep the argmax-similarity cell. */
