@@ -20,12 +20,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +46,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // audit trail so a partial run can't masquerade as a full one: a
+    // committed CORRECTNESS snapshot with written < registered (or
+    // subset=true, or failed non-empty) is visibly incomplete
+    val meta =
+      s"""{"registered": ${SparkEntry.queries.size},
+         | "written": ${selected.size - failed.size},
+         | "subset": ${only.isDefined},
+         | "failed": ${failed.sorted.map(q).mkString("[", ",", "]")}}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
+    println(s"[verify] registered=${SparkEntry.queries.size} " +
+      s"written=${selected.size - failed.size} subset=${only.isDefined} " +
+      s"failed=${failed.mkString(",")}")
     spark.stop()
   }
 }

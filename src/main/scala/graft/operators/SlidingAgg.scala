@@ -99,8 +99,9 @@ object SlidingAgg {
     * Cost: two window passes + one join-back on `uniqueKey`, all
     * shuffled on the partition key — independent of frame width.
     *
-    * INPUT CONTRACT: like `slidingStats`, values are snapped to
-    * DECIMAL(18,4); a frame whose values are ALL NULL yields sum 0
+    * INPUT CONTRACT: like `slidingStats`, values AND order keys are
+    * snapped to DECIMAL(18,4) (order keys with more than 4 fractional
+    * digits would round); a frame whose values are ALL NULL yields sum 0
     * (SQL would yield NULL) — pre-filter nulls if that distinction
     * matters.
     *
@@ -116,12 +117,19 @@ object SlidingAgg {
     val p = partitionCols.map(col)
     val x = valueCol.cast("decimal(18,4)")
     val zero = lit(0).cast("decimal(18,4)")
+    // the merge key _k is DECIMAL on BOTH sides so the inclusive RANGE
+    // boundary is exact: a double-rounded probe key (v - radius) and a
+    // double-rounded data key round at different ulp scales, which can
+    // land a row whose value equals exactly v - radius on the wrong
+    // side of the frame for decimal order keys
     val data = df.select(
-      p ++ uniqueKey.map(col) :+ orderVal.cast("double").as("_k") :+
+      p ++ uniqueKey.map(col) :+
+        orderVal.cast("decimal(18,4)").as("_k") :+
         lit(1).as("_tag") :+ x.as("_x"): _*)
     val probe = df.select(
       p ++ uniqueKey.map(col) :+
-        (orderVal - radius).cast("double").as("_k") :+
+        (orderVal.cast("decimal(18,4)") - radius.cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("_k") :+
         lit(0).as("_tag") :+ lit(null).cast("decimal(18,4)").as("_x"): _*)
     val run = Window.partitionBy(p: _*).orderBy(col("_k"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -132,7 +140,9 @@ object SlidingAgg {
       .where(col("_tag") === 0)
       .select(uniqueKey.map(c => col(c).as(s"_u_$c")) :+
         col("_ps").as("_pre_s") :+ col("_pc").as("_pre_c"): _*)
-    val cumW = Window.partitionBy(p: _*).orderBy(orderVal.cast("double"))
+    // same DECIMAL key here: peers of the cumulative frame must be the
+    // rows the probe merge considers equal, or the subtraction misaligns
+    val cumW = Window.partitionBy(p: _*).orderBy(orderVal.cast("decimal(18,4)"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val backCond = uniqueKey.map(c => col(c) === col(s"_u_$c")).reduce(_ && _)
     df

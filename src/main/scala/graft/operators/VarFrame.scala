@@ -29,7 +29,9 @@ object VarFrame {
     * [rn − preceding(row), rn + following(row)] (row positions in the
     * (partitionCols, orderCols) ordering; bounds clamp at partition
     * edges like any frame). An empty frame (possible when `preceding`
-    * is negative) yields cnt = 0 and NULL sum/avg.
+    * is negative) yields cnt = 0 and NULL sum/avg. `cnt` counts ROWS in
+    * the frame (COUNT(*) semantics) — not non-null values — and `avg`
+    * is sum-of-non-null-values over that row count.
     *
     * The sum accumulates in DECIMAL(18,4) so results are
     * order-independent and engine-portable (SURVEY §3.6). */
@@ -62,7 +64,10 @@ object VarFrame {
     val frameAgg = probe
       .join(vals, joinCond)
       .groupBy(partitionCols.map(col) :+ col("_rn"): _*)
-      .agg(sum(col("_v_r")).as("_vf_sum"), count(col("_v_r")).as("_vf_cnt"))
+      // count(1), not count(_v_r): the frame count is ROWS in frame
+      // (COUNT(*) semantics, matching the q_win_frame_var oracle), not
+      // non-null values — they diverge when valueCol has nulls in frame
+      .agg(sum(col("_v_r")).as("_vf_sum"), count(lit(1)).as("_vf_cnt"))
       .select(
         partitionCols.map(c => col(c).as(s"_g_$c")) :+
           col("_rn").as("_g_rn") :+ col("_vf_sum") :+ col("_vf_cnt"): _*)

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two `array<float>` columns.
+/** Native cosine similarity over two float/double array columns (any
+  * combination of element widths).
   *
   * WHY A CUSTOM EXPRESSION (SURVEY.md §4): Spark's higher-order
   * functions (`zip_with` + `aggregate`) express this correctly but are
@@ -28,15 +29,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // float and double arrays are both accepted, in any combination:
+  // refined k-means centroids are element-wise means and therefore
+  // array<double> even when the corpus is array<float>, and a cosine
+  // between the two must not force a lossy re-narrowing to float
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_cosine expects (array<float>, array<float>), " +
+      s"vec_cosine expects float or double arrays, " +
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private def isFloatArr(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -46,14 +56,16 @@ case class VecCosine(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloatArr(left.dataType)
+    val rf = isFloatArr(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -64,6 +76,10 @@ case class VecCosine(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // element getters are resolved at codegen time from the static
+      // input types, so the loop body stays a branch-free primitive read
+      val getA = if (isFloatArr(left.dataType)) "getFloat" else "getDouble"
+      val getB = if (isFloatArr(right.dataType)) "getFloat" else "getDouble"
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
@@ -75,8 +91,8 @@ case class VecCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = (double) $a.$getA($i);
+         |  double $yi = (double) $b.$getB($i);
          |  $dot += $xi * $yi;
          |  $na += $xi * $xi;
          |  $nb += $yi * $yi;

@@ -59,6 +59,22 @@ class VecCosineSpec extends SparkSpec {
     assert(diffs == 0, "wide-vector native and portable LSH diverged")
   }
 
+  test("mixed float/double inputs are accepted and bit-identical to portable") {
+    // refined k-means centroids are array<double> while the corpus is
+    // array<float> — the native cosine must take the mixed pair without
+    // an AnalysisException and match the portable accumulation exactly
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val asDouble = emb.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<double>").as("dv"))
+    val pairs = emb.crossJoin(asDouble).where(col("vec_id") < col("cid")).limit(2000)
+    val diffs = pairs.select(
+      Similarity.cosine(col("embedding"), col("dv")).as("portable"),
+      call_function("vec_cosine", col("embedding"), col("dv")).as("native"))
+      .where(col("portable") =!= col("native"))
+      .count()
+    assert(diffs == 0, "mixed-width native and portable cosine diverged")
+  }
+
   test("type check rejects non-float arrays") {
     val bad = spark.range(1).select(array(lit(1L)).as("v"))
     val e = intercept[Exception] {
