@@ -241,6 +241,162 @@ object Tpch {
     s.sql(q22Sql)
   }
 
+  /** Q7: volume shipping between two nations, both directions, by ship
+    * year. The two nation joins are broadcasts against distinct alias
+    * projections; the only shuffle is lineitem⋈orders on the order key. */
+  def qTpch7(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .where(year(col("l_shipdate")).isin(1996, 1997))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8: national market share — fraction of a region's ECONOMY-part
+    * revenue supplied by one nation, by order year. Numerator and
+    * denominator come out of ONE aggregate pass (conditional DECIMAL
+    * sum), so the fact is scanned and shuffled exactly once. */
+  def qTpch8(s: SparkSession, d: String): DataFrame = {
+    val custNation = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+    val suppNation = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).where(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+               col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", revenue)
+          .otherwise(lit(0).cast("decimal(18,8)"))).cast("double") /
+          sum(revenue).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9: product-type profit by supplier nation and order year. The
+    * testdata has no partsupp, so the per-line cost surrogate is
+    * p_retailprice × l_quantity — all DECIMAL so the profit sum is
+    * exact and order-independent cross-engine. */
+  def qTpch9(s: SparkSession, d: String): DataFrame = {
+    val suppNation = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation")))
+    val cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,8)")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).where(col("p_name").like("%red%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(revenue - cost).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11: important stock — per-part inventory value (lineitem plays
+    * the partsupp relation) of a nation group's suppliers, kept when
+    * above a fraction of the global total. Declared as SQL so the
+    * scalar subquery broadcasts as a 1-row threshold; the per-part
+    * aggregate shuffles the fact once per reference (the classic Q11
+    * double-scan — at 100 TB you'd cache `pv`, noted inline). */
+  def qTpch11(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(q11Sql)
+  }
+
+  /** Q13: customer order-count distribution — aggregate the fact per
+    * customer FIRST (one shuffle), left-join customers against the
+    * counts so zero-order customers survive, then the tiny second
+    * aggregate over counts. */
+  def qTpch13(s: SparkSession, d: String): DataFrame = {
+    val ordCnt = Tables.orders(s, d)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("_n"))
+    Tables.customer(s, d)
+      .join(ordCnt, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("_n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q16: supplier diversity per part group — COUNT(DISTINCT supplier)
+    * over the distinct (part, supplier) link pairs in lineitem,
+    * excluding flagged suppliers (negative balance stands in for Q16's
+    * complaint comments) via a broadcast anti-join. */
+  def qTpch16(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+                 col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).where(col("s_acctbal") < 0.0)),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Q20: potential part promotion — suppliers who moved real volume
+    * of a named part family in a window. Nested IN subqueries declared
+    * as SQL: Catalyst turns both into left-semi joins (part filter
+    * broadcast into the fact aggregate, supplier list semi-joined) —
+    * no correlated execution anywhere. */
+  def qTpch20(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(q20Sql)
+  }
+
+  private val q11Sql =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey < 5
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+      |FROM pv
+      |WHERE CAST(v AS DOUBLE) > (SELECT ROUND(CAST(SUM(v) AS DOUBLE) * 0.001, 4) FROM pv)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  private val q20Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_nationkey < 10
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50.0)
+      |ORDER BY s_suppkey""".stripMargin
+
   private val q15Sql =
     """WITH rev AS (
       |  SELECT l_suppkey AS supplier_no,
@@ -277,6 +433,13 @@ object Tpch {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch2" -> (qTpch2 _),
+    "q_tpch7" -> (qTpch7 _),
+    "q_tpch8" -> (qTpch8 _),
+    "q_tpch9" -> (qTpch9 _),
+    "q_tpch11" -> (qTpch11 _),
+    "q_tpch13" -> (qTpch13 _),
+    "q_tpch16" -> (qTpch16 _),
+    "q_tpch20" -> (qTpch20 _),
     "q_tpch4" -> (qTpch4 _),
     "q_tpch12" -> (qTpch12 _),
     "q_tpch15" -> (qTpch15 _),
@@ -295,6 +458,66 @@ object Tpch {
     "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)))"
 
   def oracles: Map[String, String] = Map(
+    "q_tpch7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+         |  CAST($revSql AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND YEAR(l_shipdate) IN (1996, 1997)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch8" ->
+      s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         |  ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+         |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8))
+         |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE) /
+         |  CAST($revSql AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch9" ->
+      s"""SELECT sn.n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) -
+         |           CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,8))) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_tpch11" -> q11Sql,
+    "q_tpch13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch20" -> q20Sql,
     "q_tpch4" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders
