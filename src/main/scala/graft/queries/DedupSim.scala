@@ -164,7 +164,12 @@ object DedupSim {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_ann_kmeans" -> (qAnnKmeans _))
+    "q_ann_kmeans" -> (qAnnKmeans _),
+    "q_embed_quantize" -> (qEmbedQuantize _))
+
+  /** Int8 quantization quality by label (Similarity.quantizeInt8Stats). */
+  def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8Stats(embParallel(s, d))
 
   /** DuckDB twin of qAnnKmeans, GENERATED from the same constants so
     * the two sides cannot drift: same md5 seed pick, same rounded
@@ -306,6 +311,22 @@ object DedupSim {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, label, e,
+        |    GREATEST(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) / 127.0, 1e-12) AS scale
+        |  FROM v),
+        |err AS (
+        |  SELECT vec_id, label, scale,
+        |    LIST_MAX(LIST_TRANSFORM(e,
+        |      x -> ABS(x - LEAST(GREATEST(ROUND(x / scale), -127.0), 127.0) * scale))) AS maxerr
+        |  FROM sc)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(CAST(scale AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_scale,
+        |  ROUND(CAST(SUM(CAST(maxerr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_maxerr
+        |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
     "q_decontaminate" ->
       """WITH sh AS (

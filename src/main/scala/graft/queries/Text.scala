@@ -195,7 +195,98 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: fraction
+    * of duplicate tokens / characters in the most frequent n-gram —
+    * the standard boilerplate detectors for LLM corpus filtering).
+    * Computed on the relational token backbone: ONE Generate, one
+    * window pass for the n-gram neighbors, then per-doc aggregates —
+    * every shuffle is on doc_id, so the stages stay co-partitioned. */
+  def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(col("doc_id"),
+      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = tok
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .withColumn("w3", lead(col("tok"), 2).over(w))
+    val base = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           countDistinct(col("tok")).as("n_distinct"))
+    val bg = grams.where(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("w2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("bg_mx"), sum(col("n")).as("bg_tot"))
+    val tg = grams.where(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("w2"), col("w3")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("tg_mx"), sum(col("n")).as("tg_tot"))
+    // left joins: a 1-token doc has no bigrams/trigrams → fractions 0
+    base.join(bg, Seq("doc_id"), "left_outer")
+      .join(tg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct") * 1.0 / col("n_toks"), 6)
+          .as("dup_tok_frac"),
+        round(coalesce(col("bg_mx") * 1.0 / col("bg_tot"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("tg_mx") * 1.0 / col("tg_tot"), lit(0.0)), 6)
+          .as("top_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pattern redaction — the PII-scrub shape (count matches, replace
+    * globally, keep the scrubbed text). Real pipelines pass email /
+    * phone / SSN regexes; the synthetic corpus has no PII-shaped
+    * strings, so an entity vocabulary stands in — the plan (two
+    * codegen'd regex expressions over a pruned text column) is
+    * identical for any pattern. */
+  def qTextScrub(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(customer|order)\\b"
+    docs(s, d).select(col("doc_id"),
+      regexp_count(col("text"), lit(pat)).as("n_redacted"),
+      regexp_replace(col("text"), pat, "<ent>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 (Okapi, k1=1.2 b=0.75) document ranking for a bounded term
+    * set — the lexical-retrieval op of a training-data search stack.
+    * The term-frequency table IS an inverted-index build (posting
+    * lists per term); df and the corpus stats are tiny aggregates that
+    * broadcast into the scoring join; top-50 is a distributed
+    * TakeOrderedAndProject, never a global sort. Scores are rounded to
+    * 6 before ranking (doc_id tiebreak) so distributed double noise
+    * can't reorder the cut. */
+  def qTextBm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("table", "window", "scan")
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // token counts are integers: the double AVG sum is exact in any
+    // order (< 2^53), so avgdl is bit-identical cross-engine
+    val stats = dl.agg(count(lit(1)).as("n"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = tok.where(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_text_scrub" -> (qTextScrub _),
+    "q_text_bm25" -> (qTextBm25 _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pipeline_curate" -> (qPipelineCurate _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -216,6 +307,57 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, LEN(ts) AS n_toks,
+        |    LEN(LIST_DISTINCT(ts)) AS n_distinct FROM tok),
+        |bg AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ts)-1),
+        |    i -> ts[i] || ' ' || ts[i+1])) AS g
+        |  FROM tok WHERE LEN(ts) >= 2),
+        |bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM bgc GROUP BY 1),
+        |tg AS (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ts)-2),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        |  FROM tok WHERE LEN(ts) >= 3),
+        |tgc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg GROUP BY 1, 2),
+        |tga AS (SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM tgc GROUP BY 1)
+        |SELECT b.doc_id,
+        |  ROUND(1.0 - b.n_distinct * 1.0 / b.n_toks, 6) AS dup_tok_frac,
+        |  ROUND(COALESCE(bga.mx * 1.0 / bga.tot, 0.0), 6) AS top_bigram_frac,
+        |  ROUND(COALESCE(tga.mx * 1.0 / tga.tot, 0.0), 6) AS top_trigram_frac
+        |FROM base b LEFT JOIN bga ON b.doc_id = bga.doc_id
+        |LEFT JOIN tga ON b.doc_id = tga.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(customer|order)\b')) AS INT) AS n_redacted,
+        |  REGEXP_REPLACE(text, '\b(customer|order)\b', '<ent>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok IN ('table', 'window', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
+        |  FROM tf JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin

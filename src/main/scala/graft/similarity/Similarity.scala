@@ -268,4 +268,43 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
+
+  /** Symmetric int8 quantization quality report: per-vector scale
+    * max|x|/127, elements snapped to round(x/scale)·scale clamped to
+    * [-127, 127], then per-label mean scale and mean max-reconstruction
+    * error — the compression/recall trade study run before shipping a
+    * quantized ANN index.
+    *
+    * Relational shape: ONE explode, a per-vector window max for the
+    * scale (shuffle on vec id), then the error aggregate reuses that
+    * partitioning; only (label, stats) rows leave the final aggregate.
+    * All arithmetic is engine-portable: float→double widening is
+    * exact, round() is half-away-from-zero in both engines, and the
+    * per-label means sum as DECIMAL so accumulation order can't move
+    * the 6-dp result. */
+  def quantizeInt8Stats(
+      vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val el = vecs.select(col(idCol).as("_id"), col(labelCol).as("label"),
+        explode(col(vecCol)).as("_xf"))
+      .withColumn("_x", col("_xf").cast("double"))
+    val w = Window.partitionBy(col("_id"))
+    val sc = el.withColumn("scale",
+      greatest(max(abs(col("_x"))).over(w) / 127.0, lit(1e-12)))
+    val snapped =
+      least(greatest(round(col("_x") / col("scale")), lit(-127.0)), lit(127.0)) *
+        col("scale")
+    val perVec = sc
+      .withColumn("_err", abs(col("_x") - snapped))
+      .groupBy(col("_id"), col("label"))
+      .agg(max(col("_err")).as("maxerr"), max(col("scale")).as("scale"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("scale").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_scale"),
+        round(sum(col("maxerr").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_maxerr"))
+      .orderBy(col("label"))
+  }
 }

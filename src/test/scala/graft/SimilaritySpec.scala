@@ -69,4 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.count() == emb.count())
     assert(cells.select("cell_id").distinct().count() <= 8)
   }
+
+  test("int8 quantization: planted vector exact, error bounded by scale/2") {
+    // [127, -63.5, 0.25]: scale = 1.0, snapped = [127, -64 (rounds
+    // half away from zero), 0] → max error = 0.5 at the -63.5 element
+    val planted = spark.createDataFrame(
+      Seq((1L, Seq(127.0f, -63.5f, 0.25f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeInt8Stats(planted).collect()(0)
+    assert(r.getAs[Double]("avg_scale") == 1.0)
+    assert(r.getAs[Double]("avg_maxerr") == 0.5)
+    // real corpus: rounding error can never exceed half a quantization
+    // step, and clamping never triggers (|q| <= 127 by construction)
+    val emb = Tables.embeddings(spark, sf)
+    val stats = Similarity.quantizeInt8Stats(emb)
+    val bad = stats.where(col("avg_maxerr") > col("avg_scale") / 2.0 + 1e-9)
+      .count()
+    assert(bad == 0, "reconstruction error above scale/2 bound")
+  }
 }

@@ -67,4 +67,44 @@ class TextSpec extends SparkSpec {
       TextAnalysis.qualityScore(col("text")).as("q")).collect()(0).getDouble(0)
     assert(r >= 0.0 && r <= 1.0)
   }
+
+  test("repetition fractions: planted all-duplicate doc and corpus bounds") {
+    // "a a a a": 1 distinct of 4 tokens → dup 0.75; the only bigram
+    // and trigram are themselves the top ones → both fractions 1.0
+    val rep = graft.queries.Text.qTextRepetition(spark, sf)
+      .select(col("doc_id"), col("dup_tok_frac"),
+        col("top_bigram_frac"), col("top_trigram_frac"))
+    val bad = rep.where(
+      col("dup_tok_frac") < 0.0 || col("dup_tok_frac") > 1.0 ||
+      col("top_bigram_frac") < 0.0 || col("top_bigram_frac") > 1.0 ||
+      col("top_trigram_frac") < 0.0 || col("top_trigram_frac") > 1.0).count()
+    assert(bad == 0, "repetition fraction outside [0,1]")
+    // planted all-duplicate doc through the same backbone formulas
+    val toks = spark.createDataFrame(Seq((1L, "a a a a"))).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("d"))
+      .collect()(0)
+    assert(counts.getLong(1) == 4L && counts.getLong(2) == 1L)
+  }
+
+  test("scrub removes every pattern match and counts them") {
+    val out = graft.queries.Text.qTextScrub(spark, sf)
+    val leftover = out.where(col("scrubbed").rlike("\\b(customer|order)\\b")).count()
+    assert(leftover == 0, "pattern survived scrubbing")
+    val agg = out.agg(sum(col("n_redacted")).as("n")).collect()(0).getLong(0)
+    assert(agg > 0, "scrub found no matches — pattern dead against corpus")
+  }
+
+  test("bm25 ranks by rounded score descending with doc_id tiebreak") {
+    val rows = graft.queries.Text.qTextBm25(spark, sf)
+      .select(col("doc_id"), col("bm25")).collect()
+    assert(rows.length == 50)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getDouble(1), b.getDouble(1))
+      assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)),
+        s"ordering violated: $a then $b")
+    }
+  }
 }
