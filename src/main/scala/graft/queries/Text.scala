@@ -209,7 +209,12 @@ object Text {
     val grams = tok
       .withColumn("w2", lead(col("tok"), 1).over(w))
       .withColumn("w3", lead(col("tok"), 2).over(w))
-    val base = tok.groupBy(col("doc_id"))
+    // base derives from `grams` (same rows as tok), NOT tok: all three
+    // aggregate branches then share the identical pre-window exchange,
+    // so ReusedExchange collapses them to ONE scan + ONE shuffle — and
+    // since hash(doc_id) satisfies every downstream clustering
+    // ((doc_id), (doc_id, g)), no branch adds another exchange
+    val base = grams.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"),
            countDistinct(col("tok")).as("n_distinct"))
     val bg = grams.where(col("w2").isNotNull)
@@ -262,23 +267,34 @@ object Text {
     val terms = Seq("table", "window", "scan")
     val tok = docs(s, d).select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("tok"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    // token counts are integers: the double AVG sum is exact in any
-    // order (< 2^53), so avgdl is bit-identical cross-engine
-    val stats = dl.agg(count(lit(1)).as("n"),
-      avg(col("dl").cast("double")).as("avgdl"))
-    val tf = tok.where(col("tok").isInCollection(terms))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("contrib", idf * tfNorm)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 6).as("bm25"))
+    // ONE pass computes doc length AND every per-term tf as codegen'd
+    // conditional counts (the langid backbone trick) — the corpus is
+    // scanned and tokenized exactly once, shuffled once on doc_id
+    val perDoc = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        count(when(col("tok") === t, lit(1))).as(s"tf_$t")): _*)
+    // corpus stats + per-term df in one 1-row aggregate, broadcast back.
+    // Token counts are integers, so the double AVG sum is exact in any
+    // order (< 2^53) — avgdl is bit-identical cross-engine
+    val statAggs =
+      count(lit(1)).as("n") +: avg(col("dl").cast("double")).as("avgdl") +:
+        terms.map(t =>
+          count(when(col(s"tf_$t") > 0, lit(1))).as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    def contrib(t: String) = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) + (col("n") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5))
+      when(col(s"tf_$t") > 0,
+        idf * tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(terms.map(contrib).reduce(_ + _), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(50)
   }
@@ -304,6 +320,40 @@ object Text {
     val words = graft.text.TextAnalysis.markers(lang)
       .map(w => s"'$w'").mkString(", ")
     s"LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t IN ($words)))"
+  }
+
+  /** DuckDB twin of qTextBm25, GENERATED from the same term list so
+    * the contribution expressions — and their fixed left-to-right
+    * summation order — stay in lockstep with the Scala side. */
+  private def bm25Oracle: String = {
+    val terms = Seq("table", "window", "scan")
+    val tfCols = terms.map(t =>
+      s"LEN(LIST_FILTER(ts, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+    val dfCols = terms.map(t =>
+      s"COUNT(*) FILTER (tf_$t > 0) AS df_$t").mkString(",\n  ")
+    val contribs = terms.map(t =>
+      s"""(CASE WHEN tf_$t > 0
+         | THEN LN(1.0 + (n - df_$t + 0.5) / (df_$t + 0.5)) *
+         |   (tf_$t * 1.0) * 2.2 /
+         |   ((tf_$t * 1.0) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         | ELSE 0.0 END)""".stripMargin).mkString(" +\n  ")
+    val anyTf = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+    s"""WITH tokd AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\s+') AS ts
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, LEN(ts) AS dl,
+       |  $tfCols
+       |  FROM tokd),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, AVG(dl * 1.0) AS avgdl,
+       |  $dfCols
+       |  FROM perdoc)
+       |SELECT doc_id, ROUND(
+       |  $contribs, 6) AS bm25
+       |FROM perdoc CROSS JOIN stats
+       |WHERE $anyTf
+       |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -338,26 +388,7 @@ object Text {
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(customer|order)\b')) AS INT) AS n_redacted,
         |  REGEXP_REPLACE(text, '\b(customer|order)\b', '<ent>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_text_bm25" ->
-      """WITH dl AS (
-        |  SELECT doc_id, LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS dl
-        |  FROM documents),
-        |stats AS (SELECT COUNT(*) AS n, AVG(dl * 1.0) AS avgdl FROM dl),
-        |tf AS (
-        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-        |    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
-        |    FROM documents) t
-        |  WHERE tok IN ('table', 'window', 'scan') GROUP BY 1, 2),
-        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    SUM(LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
-        |        tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS s
-        |  FROM tf JOIN df ON tf.tok = df.tok
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  GROUP BY 1)
-        |SELECT doc_id, ROUND(s, 6) AS bm25 FROM scored
-        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+    "q_text_bm25" -> bm25Oracle,
     "q_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens,
         |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin

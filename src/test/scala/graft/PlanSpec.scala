@@ -119,4 +119,21 @@ class PlanSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(p.contains("WholeStageCodegen"), "text stats fell out of codegen")
   }
+
+  test("bm25 and repetition branches reuse one corpus exchange at runtime") {
+    // both queries fan multiple aggregates off one token backbone; the
+    // branches must collapse onto a shared shuffle (ReusedExchange) so
+    // the corpus is scanned+tokenized once — reuse appears only in the
+    // EXECUTED adaptive plan, so force execution through the same
+    // QueryExecution before reading it
+    for (q <- Seq(gq.Text.qTextBm25 _, gq.Text.qTextRepetition _)) {
+      val df = q(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("ReusedExchange"),
+        s"token backbone not shared across aggregate branches:\n$p")
+    }
+  }
 }
