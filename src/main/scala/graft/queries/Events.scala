@@ -105,7 +105,41 @@ object Events {
       .orderBy(col("user_id"), col("rk"))
   }
 
+  /** Funnel analysis: users reaching each stage of a strict-order
+    * view → click → purchase funnel (a click counts only AFTER the
+    * user's first view, a purchase only after that click — min-ts per
+    * type alone would overcount users who clicked before ever
+    * viewing). Three conditional-min aggregate passes, every shuffle
+    * on user_id so the stage join-backs stay co-partitioned and
+    * exchange reuse collapses the event scans; the output is one row
+    * of stage counts + conversion rates. */
+  def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t_view"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts_us") > col("t_view"), col("ts_us"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts_us") > col("t_click"), col("ts_us"))).as("t_purchase"))
+    s3.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"),
+      round(count(col("t_click")).cast("double") /
+        count(col("t_view")), 6).as("view_to_click"),
+      round(count(col("t_purchase")).cast("double") /
+        count(col("t_click")), 6).as("click_to_purchase"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_funnel" -> (qEventsFunnel _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -114,6 +148,32 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+        |  FROM ev GROUP BY user_id),
+        |s2 AS (
+        |  SELECT ev.user_id, s1.t_view,
+        |    MIN(CASE WHEN event_type = 'click' AND ts_us > t_view
+        |        THEN ts_us END) AS t_click
+        |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        |  GROUP BY ev.user_id, s1.t_view),
+        |s3 AS (
+        |  SELECT ev.user_id, s2.t_view, s2.t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+        |        THEN ts_us END) AS t_purchase
+        |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |  GROUP BY ev.user_id, s2.t_view, s2.t_click)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(t_view) AS n_view,
+        |  COUNT(t_click) AS n_click,
+        |  COUNT(t_purchase) AS n_purchase,
+        |  ROUND(COUNT(t_click) * 1.0 / COUNT(t_view), 6) AS view_to_click,
+        |  ROUND(COUNT(t_purchase) * 1.0 / COUNT(t_click), 6) AS click_to_purchase
+        |FROM s3""".stripMargin,
     "q_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,

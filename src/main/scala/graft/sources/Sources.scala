@@ -64,4 +64,17 @@ object Sources {
   def writeJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC — the other predicate-pushdown columnar format; same
+    * partitioned-write contract as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
 }

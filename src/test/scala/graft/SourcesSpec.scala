@@ -27,6 +27,19 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.readJson(spark, s"$dir/j").count() == src.count())
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.nation(spark, sf)
+    Sources.writeOrc(src, s"$dir/o")
+    val o = Sources.readOrc(spark, s"$dir/o")
+    assert(o.count() == src.count())
+    assert(o.columns.toSet == src.columns.toSet)
+    val plan = o.where(org.apache.spark.sql.functions.col("n_nationkey") > 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey)"),
+      s"ORC scan did not receive pushed filters:\n$plan")
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("graft_part").toString
     Sources.writeParquet(Tables.nation(spark, sf), s"$dir/p",

@@ -123,6 +123,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Timestamp]("c_ts") == in5)
   }
 
+  test("streaming document curation filters quality and dedups fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val df = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream.curateStream(df, "1 hour")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    val good = "the quick brown fox jumps over the lazy dog and runs on " * 4
+    val junk = "!!! ??? ;;; ***" // punctuation-dense -> quality gate drops
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    try {
+      stream.addData((1L, good, t), (2L, junk, t))
+      q.processAllAvailable()
+      // cross-batch exact dup of doc 1 (case/whitespace variant — the
+      // fingerprint normalizes) must be dropped; a new doc passes
+      stream.addData((3L, good.toUpperCase + "  ", t), (4L, good + "extra", t))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("curate_out").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 4L), s"got ${ids.toSeq}")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
