@@ -138,6 +138,28 @@ object Agg {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — arbitrary grouping combinations beyond
+    * the ROLLUP/CUBE hierarchies, still ONE Expand + single hash
+    * aggregate pass (grouping-set membership is a codegen'd replicate,
+    * not separate scans). Declared as SQL: GROUPING SETS has no
+    * DataFrame verb. */
+  def qAggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(groupingSetsSql)
+  }
+
+  private val groupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))
+      |ORDER BY g_status, g_prio,
+      |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** PIVOT: order counts by priority × status, statuses as columns —
     * Spark's groupBy().pivot() with an explicit value list (no extra
     * distinct-scan pass; at 100 TB always pass the values). */
@@ -153,6 +175,7 @@ object Agg {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _),
     "q_pivot" -> (qPivot _),
     "q_tpch1" -> (qTpch1 _),
     "q_agg_global" -> (qAggGlobal _),
@@ -163,6 +186,7 @@ object Agg {
 
   def oracles: Map[String, String] = Map(
     "q_tpch1" -> tpch1Oracle,
+    "q_agg_grouping_sets" -> groupingSetsSql,
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

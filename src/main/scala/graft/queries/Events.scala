@@ -138,7 +138,28 @@ object Events {
         count(col("t_click")), 6).as("click_to_purchase"))
   }
 
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each later day-offset they return. The activity table is the
+    * distinct (user, day) grid — one aggregate; cohorts are a per-user
+    * min — a second aggregate on the SAME user_id partitioning (no new
+    * shuffle); the join-back stays co-partitioned, and only the tiny
+    * (cohort_day, offset) matrix leaves the final aggregate. */
+  def qEventsRetention(s: SparkSession, d: String): DataFrame = {
+    val activity = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .where(col("offset") <= 7)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
@@ -148,6 +169,16 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active
+        |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE a.day - c.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
