@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list — the web-graph importance
+  * signal corpus-curation pipelines use to weight crawl documents
+  * (reference semantics: Page et al. 1999; same iterate-join shape as
+  * graft.dedup.Cluster's label propagation).
+  *
+  * Scale shape: the symmetrized edge list is built with ONE explode +
+  * ONE distinct (a union of two projections would scan the input
+  * twice; distinct-then-union-then-distinct would shuffle three
+  * times), enriched with the SOURCE degree once, and materialized with
+  * `localCheckpoint` so iterations read it instead of re-running its
+  * shuffle (SURVEY §3.6 iterative recipe). Each iteration is then
+  * exactly ONE join (rank table against the edge list on src — AQE
+  * broadcasts the rank side while it fits, shuffles it on the shared
+  * src key when it doesn't) and ONE dst aggregate with map-side
+  * partial sums: O(|E|) per round, never node² anywhere. The node
+  * count is a single count job over the checkpointed edges, as in any
+  * production graph engine.
+  *
+  * Engine portability (what lets q_graph_pagerank carry a full
+  * hash-checked oracle): per-edge contributions are computed in double
+  * (IEEE division is bit-identical cross-engine), ROUNDed to 12 dp and
+  * SUMmed as DECIMAL(28,12) — exact and order-independent — then each
+  * new rank is re-rounded to 12 dp. Every iteration is therefore
+  * bit-identical across partitionings AND engines; the oracle SQL is
+  * GENERATED from the same constants (queries.Graph).
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val DefaultIters = 3
+
+  /** Ranks after `iters` fixed iterations on the UNDIRECTED graph of
+    * `edges` (each input edge contributes both directions; duplicate
+    * edges collapse). Every node appears as a source after the
+    * symmetrization, so out-degrees are ≥ 1 and no dangling-mass
+    * redistribution is needed. Returns (node, deg, rank·1e8-rounded). */
+  def pagerank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = DefaultIters): DataFrame = {
+    // ONE hash(src) shuffle feeds the whole edge build: hash(src)
+    // satisfies ClusteredDistribution for the (src,dst) dedup, the
+    // degree aggregate, AND the enrich join (subset rule, SURVEY §3.7),
+    // so none of them adds another exchange over the doubled edges
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("sdeg"))
+    // degree-enriched edges, materialized once for the iterations
+    val e = sym.join(deg, "src").localCheckpoint()
+    val n = e.agg(countDistinct(col("src"))).collect()(0).getLong(0)
+    val nodes = e.groupBy(col("src")).agg(first(col("sdeg")).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    def snap(c: Column): Column = round(c, 12).cast("decimal(28,12)")
+    var ranks = nodes.select(col("node"),
+      snap(lit(1.0) / lit(n.toDouble)).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"),
+          snap(col("r").cast("double") / col("sdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(snap(lit(1.0 - Damping) / lit(n.toDouble) +
+          lit(Damping) * sum(col("c")).cast("double")).as("r"))
+    }
+    ranks.join(nodes, "node")
+      .select(col("node"), col("deg"),
+        round(col("r").cast("double"), 8).as("rank"))
+  }
+}

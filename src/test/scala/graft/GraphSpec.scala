@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+/** PageRank semantics: mass conservation, symmetry, and a hand-checked
+  * structure ordering. */
+class GraphSpec extends SparkSpec {
+
+  test("pagerank conserves probability mass and stays positive") {
+    val r = graft.queries.Graph.qGraphPagerank(spark, sf)
+    val total = r.agg(sum(col("rank"))).collect()(0).getDouble(0)
+    // undirected graph, no dangling mass: ranks sum to 1 up to the
+    // 1e-12 per-iteration quantization over ~2k nodes
+    assert(math.abs(total - 1.0) < 1e-4, s"mass $total drifted from 1")
+    assert(r.where(col("rank") <= 0.0).count() == 0, "non-positive rank")
+  }
+
+  test("pagerank ranks a star hub above its leaves") {
+    import spark.implicits._
+    // star: hub 0 — leaves 1..5; the hub must dominate
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val r = PageRank.pagerank(edges, "src", "dst").collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert((1L to 5L).forall(l => r(0L) > r(l)),
+      s"hub not dominant: $r")
+    // leaves are symmetric → identical ranks
+    assert((2L to 5L).forall(l => r(l) == r(1L)), s"leaf asymmetry: $r")
+  }
+}
