@@ -299,7 +299,33 @@ object Text {
       .limit(50)
   }
 
+  /** Unigram language-model perplexity per document — the CCNet-style
+    * quality filter (score each doc against an LM trained on the
+    * corpus itself; outliers are junk). The "model" is the global
+    * unigram table: one aggregate off the token backbone, broadcast
+    * back into the scoring join. Per-token log-probs are ROUNDed to
+    * 9 dp and summed as DECIMAL so the per-doc mean is exact and
+    * order-independent cross-engine; libm's ulp differences in LN/EXP
+    * die in the rounding. */
+  def qTextPerplexity(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(uni), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("total")), 9)
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
     "q_text_bm25" -> (qTextBm25 _),
@@ -357,6 +383,23 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS total FROM uni),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(LN(cnt * 1.0 / total), 9) AS DECIMAL(18,9)) AS lp
+        |  FROM tok JOIN uni USING (tok) CROSS JOIN tot),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_logp,
+        |  ROUND(EXP(-avg_logp), 4) AS ppl
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ts

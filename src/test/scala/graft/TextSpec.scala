@@ -97,6 +97,18 @@ class TextSpec extends SparkSpec {
     assert(agg > 0, "scrub found no matches — pattern dead against corpus")
   }
 
+  test("perplexity is >= 1 and tracks token rarity") {
+    val p = graft.queries.Text.qTextPerplexity(spark, sf)
+    assert(p.where(col("ppl") < 1.0 || col("avg_logp") >= 0.0).count() == 0,
+      "perplexity below 1 or non-negative mean log-prob")
+    // every doc's ppl is bounded above by the rarest token's inverse
+    // probability — sanity-check against the corpus vocabulary size
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .distinct().count()
+    assert(p.agg(max(col("ppl"))).collect()(0).getDouble(0) < vocab * 100.0)
+  }
+
   test("bm25 ranks by rounded score descending with doc_id tiebreak") {
     val rows = graft.queries.Text.qTextBm25(spark, sf)
       .select(col("doc_id"), col("bm25")).collect()
