@@ -158,7 +158,33 @@ object Events {
       .orderBy(col("cohort_day"), col("offset"))
   }
 
+  /** Z-score anomaly detection per event type: flag events more than
+    * 3σ from their type's mean. The moments come from ONE aggregate
+    * pass with DECIMAL sums (exact, order-independent), broadcast back
+    * into a stateless filter scan — mean/σ/z are then pure IEEE double
+    * arithmetic (division, sqrt are correctly rounded), so the flagged
+    * set is bit-identical cross-engine with no rounding slack needed
+    * beyond the display round. */
+  def qEventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(dec("value")).as("s1"),
+        sum((dec("value") * dec("value")).cast("decimal(38,8)")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) *
+          (col("s1").cast("double") / col("n"))).as("std"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .where(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_tumbling" -> (qEventsTumbling _),
@@ -169,6 +195,23 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_anomaly" ->
+      """WITH stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    SQRT(CAST(s2 AS DOUBLE) / n -
+        |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS std
+        |  FROM stats)
+        |SELECT event_id, e.event_type, value,
+        |  ROUND((value - mean) / std, 6) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE ABS(ROUND((value - mean) / std, 6)) > 3.0
+        |ORDER BY event_id""".stripMargin,
     "q_events_retention" ->
       """WITH activity AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
