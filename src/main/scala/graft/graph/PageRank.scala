@@ -42,6 +42,63 @@ object PageRank {
   def pagerank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = DefaultIters): DataFrame = {
+    // Few iterations: ONE lazy plan (no driver action, no eager
+    // checkpoint) is ~1.7× faster end-to-end — runtime exchange reuse
+    // collapses the edge build's shuffle across all consumers. Deep
+    // iteration counts flip the trade: the e-subtree is re-planned and
+    // its post-shuffle aggregates recomputed once per iteration, so
+    // lineage truncation via localCheckpoint wins there.
+    if (iters <= 4) pagerankOneJob(edges, srcCol, dstCol, iters)
+    else pagerankCheckpointed(edges, srcCol, dstCol, iters)
+  }
+
+  /** Single-job variant: no driver collect, no eager checkpoint — the
+    * node count rides along as a broadcast 1-row aggregate and the
+    * edge build's exchange is shared by every consumer via runtime
+    * exchange reuse. Bit-identical output to the checkpointed shape
+    * (spec-asserted). */
+  def pagerankOneJob(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = DefaultIters): DataFrame = {
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("sdeg"))
+    val e = sym.join(deg, "src")
+    // node count as a broadcast 1-row aggregate — no driver action
+    val nn = deg.agg(count(lit(1)).as("n"))
+    val nodes = deg.select(col("src").as("node"), col("sdeg").as("deg"))
+    def snap(c: Column): Column = round(c, 12).cast("decimal(28,12)")
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"),
+        snap(lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"),
+          snap(col("r").cast("double") / col("sdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          snap(lit(1.0 - Damping) / col("n").cast("double") +
+            lit(Damping) * col("s").cast("double")).as("r"))
+    }
+    ranks.join(nodes, "node")
+      .select(col("node"), col("deg"),
+        round(col("r").cast("double"), 8).as("rank"))
+  }
+
+  /** Checkpointed variant for deep iteration counts: the degree-
+    * enriched edge list is materialized once (lineage truncation) and
+    * the node count is a single count job over it. */
+  def pagerankCheckpointed(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
     // ONE hash(src) shuffle feeds the whole edge build: hash(src)
     // satisfies ClusteredDistribution for the (src,dst) dedup, the
     // degree aggregate, AND the enrich join (subset rule, SURVEY §3.7),

@@ -11,7 +11,9 @@ import graft.graph.PageRank
   */
 object Graph {
 
-  private val SuppOffset = 10000000L
+  /** Supplier-node key offset (shared with dev tools so profiling
+    * always measures the same graph the query builds). */
+  val SuppOffset = 10000000L
 
   /** PageRank importance of every part and supplier after a fixed
     * number of iterations — the corpus-curation quality signal, run on
@@ -26,6 +28,16 @@ object Graph {
         (col("l_suppkey") + SuppOffset).as("supp"))
       .repartition(s.sparkContext.defaultParallelism)
     PageRank.pagerank(edges, "part", "supp")
+      .orderBy(col("node"))
+  }
+
+  /** Single-job experimental shape (see PageRank.pagerankOneJob). */
+  def qGraphPagerankOneJob(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("part"),
+        (col("l_suppkey") + SuppOffset).as("supp"))
+      .repartition(s.sparkContext.defaultParallelism)
+    PageRank.pagerankOneJob(edges, "part", "supp")
       .orderBy(col("node"))
   }
 

@@ -1,15 +1,20 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.queries.Graph
 
-/** Dev tool: time the stages of q_graph_pagerank. */
+/** Dev tool: time q_graph_pagerank shapes end-to-end, exactly as the
+  * bench sees them. Calls the real query functions (no re-typed
+  * constants — the timings measure the same computation the driver
+  * runs) and mirrors the bench harness parallelism. */
 object ProfilePr {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -21,50 +26,12 @@ object ProfilePr {
       r
     }
     time("warmup")(Tables.lineitem(spark, d).count())
-    // stage timings mirroring PageRank.pagerank
-    val edges = Tables.lineitem(spark, d)
-      .select(col("l_partkey").as("part"),
-        (col("l_suppkey") + 10000000L).as("supp"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val sym = edges
-      .select(explode(array(
-        struct(col("part").as("src"), col("supp").as("dst")),
-        struct(col("supp").as("src"), col("part").as("dst")))).as("ed"))
-      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("sdeg"))
-    val e = time("edge build + checkpoint") {
-      val x = sym.join(deg, "src").localCheckpoint()
-      x
-    }
-    val n = time("count distinct")(
-      e.agg(countDistinct(col("src"))).collect()(0).getLong(0))
-    println(s"n=$n edges=${e.count()}")
-    val nodes = e.groupBy(col("src")).agg(first(col("sdeg")).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-    def snap(c: org.apache.spark.sql.Column) = round(c, 12).cast("decimal(28,12)")
-    var ranks = nodes.select(col("node"), snap(lit(1.0) / lit(n.toDouble)).as("r"))
-    for (i <- 1 to 3) {
-      val prev = ranks
-      ranks = e
-        .join(prev.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst").as("node"),
-          snap(col("r").cast("double") / col("sdeg")).as("c"))
-        .groupBy(col("node"))
-        .agg(snap(lit(1.0 - 0.85) / lit(n.toDouble) +
-          lit(0.85) * sum(col("c")).cast("double")).as("r"))
-      time(s"iter $i (cumulative)")(ranks.write.format("noop").mode("overwrite").save())
-    }
-    val fin = ranks.join(nodes, "node")
-      .select(col("node"), col("deg"), round(col("r").cast("double"), 8).as("rank"))
-      .orderBy(col("node"))
-    time("final join+sort")(fin.write.format("noop").mode("overwrite").save())
-    // the full query, twice, as the bench sees it
-    for (p <- 1 to 2)
-      time(s"full query pass $p")(
-        graft.queries.Graph.qGraphPagerank(spark, d)
-          .write.format("noop").mode("overwrite").save())
+    def run(name: String, q: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      for (p <- 1 to 2)
+        time(s"$name pass $p")(
+          q(spark, d).write.format("noop").mode("overwrite").save())
+    run("checkpointed", (s, dir) => Graph.qGraphPagerank(s, dir))
+    run("one-job", (s, dir) => Graph.qGraphPagerankOneJob(s, dir))
     spark.stop()
   }
 }

@@ -16,6 +16,18 @@ class GraphSpec extends SparkSpec {
     assert(r.where(col("rank") <= 0.0).count() == 0, "non-positive rank")
   }
 
+  test("one-job and checkpointed pagerank shapes are bit-identical") {
+    import spark.implicits._
+    // deterministic small multigraph with duplicate + reverse edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (6L, 1L)).toDF("src", "dst")
+    val a = PageRank.pagerankOneJob(edges, "src", "dst")
+      .orderBy("node").collect()
+    val b = PageRank.pagerankCheckpointed(edges, "src", "dst",
+      PageRank.DefaultIters).orderBy("node").collect()
+    assert(a.sameElements(b), s"shapes diverge:\n${a.toSeq}\n${b.toSeq}")
+  }
+
   test("pagerank ranks a star hub above its leaves") {
     import spark.implicits._
     // star: hub 0 — leaves 1..5; the hub must dominate
