@@ -278,6 +278,72 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  // ---- duplicated-span coverage (exact substring dedup signal) -------
+
+  /** Span length for duplicated-span detection: the "50-token window"
+    * of exact-substring training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * scaled to the short synthetic documents. */
+  val SpanK = 8
+
+  /** Per-document duplicated-span coverage — the exact-substring-dedup
+    * signal: for every document, how many of its tokens sit inside a
+    * `k`-token span that ALSO appears verbatim in some OTHER document.
+    * The reference method suffix-arrays the whole corpus; the
+    * distributed equivalent is this rolling-window span-hash shape
+    * (linear, no suffix array, no all-pairs):
+    *
+    *   1. token backbone (posexplode — the split runs once)
+    *   2. one lead() window builds every k-token span per doc
+    *   3. spans duplicated across ≥2 distinct docs: ONE aggregate on
+    *      the 60-bit portable span id (map-side partial)
+    *   4. duplicated span STARTS back on the doc axis via a key join
+    *   5. covered-token count = union of fixed-length intervals: with
+    *      starts sorted, each start covers min(k, next_start − start)
+    *      tokens — a single lead() window, no per-token expansion
+    *
+    * Every shuffle is on doc_id except the span aggregate (s_id); the
+    * span id is the same engine-portable md5-15 construction MinHash
+    * uses, so the DuckDB oracle rebuilds the identical span sets.
+    * Returns one row per document: (doc_id, n_tokens, dup_starts,
+    * covered_tokens, dup_frac). */
+  def duplicatedSpanStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = SpanK): DataFrame = {
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+    val spans = tok
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("pos"), col("np"),
+        concat_ws(" ",
+          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
+          .as("sp"))
+      .where(col("pos") <= col("np") - k)
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+    // spans in ≥2 distinct docs (cross-document duplication; within-doc
+    // repetition is q_text_repetition's signal)
+    val dup = spans.select(col("s_id"), col("id")).distinct()
+      .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("s_id"))
+    val starts = spans.join(dup, "s_id")
+    val cov = starts
+      .withColumn("c",
+        least(lit(k), coalesce(
+          lead(col("pos"), 1).over(byPos) - col("pos"), lit(k))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_starts"),
+        sum(col("c")).cast("long").as("covered_tokens"))
+    val ntok = tok.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    ntok.join(cov, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** One row per token with an ENGINE-PORTABLE 64-bit hash, split into

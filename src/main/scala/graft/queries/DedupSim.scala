@@ -83,6 +83,14 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document duplicated-span coverage — the exact-substring-dedup
+    * signal (Lee et al. 2022 shape; see Dedup.duplicatedSpanStats).
+    * Fully oracle-checked: portable md5-15 span ids mean DuckDB
+    * rebuilds the identical duplicated-span sets. */
+  def qDedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpanStats(docsParallel(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs, blocked on label. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95,
@@ -161,6 +169,7 @@ object DedupSim {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_dedup_spans" -> (qDedupSpans _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -310,7 +319,45 @@ object DedupSim {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of qDedupSpans, GENERATED from Dedup.SpanK and the
+    * same md5-15 span-id construction so the two sides cannot drift. */
+  private def spansOracle: String = {
+    val k = Dedup.SpanK
+    val spanConcat = (0 until k).map(j => s"ws[pos+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws FROM documents),
+       |st AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws) - ${k - 1})) AS pos, ws
+       |  FROM w WHERE LEN(ws) >= $k),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    CAST(CONCAT('0x', SUBSTR(MD5($spanConcat), 1, 15)) AS BIGINT) AS s_id
+       |  FROM st),
+       |dup AS (
+       |  SELECT s_id FROM sp GROUP BY s_id HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cv AS (
+       |  SELECT doc_id, pos,
+       |    LEAST($k, COALESCE(
+       |      LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, $k)) AS c
+       |  FROM sp JOIN dup USING (s_id)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS dup_starts,
+       |    CAST(SUM(c) AS BIGINT) AS covered_tokens
+       |  FROM cv GROUP BY doc_id),
+       |nt AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  CAST(COALESCE(agg.dup_starts, 0) AS BIGINT) AS dup_starts,
+       |  CAST(COALESCE(agg.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  ROUND(CAST(COALESCE(agg.covered_tokens, 0) AS DOUBLE) / nt.n_tokens,
+       |    6) AS dup_frac
+       |FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_spans" -> spansOracle,
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

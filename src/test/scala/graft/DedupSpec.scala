@@ -37,6 +37,29 @@ class DedupSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("duplicated-span coverage counts cross-document spans only") {
+    // docs 10 and 11 share the 10-token passage "a b ... j"; doc 13
+    // repeats an 8-token span WITHIN itself only; doc 12 is unique
+    val passage = "a b c d e f g h i j"
+    val docs = spark.createDataFrame(Seq(
+      (10L, s"x1 x2 $passage y1"),               // starts 2,3,4 → cover 10/13
+      (11L, s"z1 $passage"),                     // starts 1,2,3 → cover 10/11
+      (12L, "p q r s t u v w x y z"),            // unique → 0
+      (13L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"), // within-doc only
+      (14L, "too short")
+    )).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(10L) == ((13L, 3L, 10L, math.rint(10.0 / 13.0 * 1e6) / 1e6)),
+      s"doc 10: ${out(10L)}")
+    assert(out(11L) == ((11L, 3L, 10L, math.rint(10.0 / 11.0 * 1e6) / 1e6)),
+      s"doc 11: ${out(11L)}")
+    assert(out(12L) == ((11L, 0L, 0L, 0.0)), s"doc 12: ${out(12L)}")
+    assert(out(13L) == ((16L, 0L, 0L, 0.0)), s"doc 13: ${out(13L)}")
+    assert(out(14L) == ((2L, 0L, 0L, 0.0)), s"doc 14: ${out(14L)}")
+  }
+
   test("minhash-LSH recovers the exact-jaccard near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(
         corpus, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.5)
