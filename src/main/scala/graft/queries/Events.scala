@@ -183,7 +183,46 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Gap-fill + LOCF interpolation — the standard time-series
+    * densification operator (timescaledb `time_bucket_gapfill`/`locf`
+    * semantics): a dense 5-minute grid per event type over the global
+    * observed span, observed buckets left-joined on, missing buckets
+    * carrying the last observed sum forward.
+    *
+    * Scale shape: per-bucket aggregation is ONE map-side-partial hash
+    * aggregate of the events; the grid is generated from a 1-row
+    * bounds aggregate (sequence + explode — never a driver loop) and
+    * cross-joined with the tiny broadcast type dimension; the LOCF
+    * pass is a window partitioned on event_type — at real scale the
+    * grid is banded by (type, day) so no partition exceeds one day of
+    * buckets. Bucketing is epoch arithmetic (not date_trunc) so both
+    * engines compute identical bucket keys. */
+  def qEventsGapfill(s: SparkSession, d: String): DataFrame = {
+    // `div` (integer division): long / long is DOUBLE division in SQL
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      expr("timestamp_micros((unix_micros(ts) div 300000000) * 300000000)")
+        .as("m"),
+      col("value"))
+    val perMin = ev.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+    val grid = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 5 minutes"))).as("m"))
+    val types = ev.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(types))
+      .join(perMin, Seq("event_type", "m"), "left")
+      .select(col("event_type"), col("m").as("bucket_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
@@ -195,6 +234,27 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS m,
+        |    value
+        |  FROM events),
+        |pm AS (
+        |  SELECT event_type, m, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM e),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS m FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |dense AS (SELECT ty.event_type, g.m FROM ty CROSS JOIN g)
+        |SELECT dense.event_type, dense.m AS bucket_start,
+        |  CAST(COALESCE(pm.n_events, 0) AS BIGINT) AS n_events,
+        |  LAST_VALUE(pm.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY dense.event_type ORDER BY dense.m
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM dense LEFT JOIN pm USING (event_type, m)
+        |ORDER BY event_type, bucket_start""".stripMargin,
     "q_events_anomaly" ->
       """WITH stats AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -195,7 +195,18 @@ object Relational {
   def qDifferenceAll(s: SparkSession, d: String): DataFrame =
     segA(s, d).differenceAll(segB(s, d)).orderBy(col("nationkey")).toDF
 
+  /** Fuzzy self-join over the part-name vocabulary: distinct names
+    * within 2 edits, blocked on the last token (operators.FuzzyJoin —
+    * vocabulary-first + blocking + length-band prefilter, never a
+    * cartesian). */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.FuzzyJoin.fuzzyNamePairs(
+      Tables.part(s, d), "p_name",
+      graft.operators.FuzzyJoin.lastTokenBlock, maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_select" -> (qSelect _),
     "q_mutate" -> (qMutate _),
     "q_filter" -> (qFilter _),
@@ -221,6 +232,17 @@ object Relational {
   private val segBSql = "SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
 
   def oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH v AS (
+        |  SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
+        |p AS (SELECT name, n, string_split(name, ' ')[-1] AS blk FROM v)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
+        |WHERE ABS(LEN(a.name) - LEN(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_select" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper,
         |  CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
