@@ -172,7 +172,123 @@ object Agg {
         col("O").as("n_o"), col("P").as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** Median (exact percentile), discrete median, and a DETERMINISTIC
+    * mode (max count, min value on ties — SQL's MODE() leaves ties
+    * implementation-defined, which can never pass a cross-engine
+    * oracle). The mode is a value-count aggregate + one row_number
+    * window over the tiny per-group count table, not a window over the
+    * detail rows. */
+  def qAggMedianMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .as("median_disc_qty"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val modes = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_n"))
+    stats.join(modes, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("median_qty"),
+        col("median_disc_qty"), col("mode_qty"), col("mode_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Correlation + least-squares regression from ONE pass of exact
+    * DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the sums are
+    * order-independent, and the closing formulas are correctly-rounded
+    * IEEE double ops, so the result is bit-identical cross-engine
+    * (same recipe as q_events_anomaly). Built-in corr()/regr_slope()
+    * accumulate doubles in partition order and cannot be oracle-checked
+    * exactly. */
+  def qAggCorrRegr(s: SparkSession, d: String): DataFrame = {
+    val x = dec("l_quantity")
+    val y = dec("l_extendedprice")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * y).cast("decimal(38,8)")).as("sxy"),
+        sum((x * x).cast("decimal(38,8)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"))
+      .select(Seq(col("l_returnflag"), col("n")) ++ {
+        val n = col("n").cast("double")
+        def d8(c: Column) = c.cast("double")
+        val covn = n * d8(col("sxy")) - d8(col("sx")) * d8(col("sy"))
+        val varxn = n * d8(col("sxx")) - d8(col("sx")) * d8(col("sx"))
+        val varyn = n * d8(col("syy")) - d8(col("sy")) * d8(col("sy"))
+        val corr = covn / sqrt(varxn * varyn)
+        val slope = covn / varxn
+        Seq(
+          round(corr, 6).as("corr_qty_price"),
+          round(slope, 6).as("regr_slope"),
+          round((d8(col("sy")) - slope * d8(col("sx"))) / n, 6)
+            .as("regr_intercept"),
+          round(corr * corr, 6).as("regr_r2"))
+      }: _*)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** List / string aggregation with a TOTAL order inside the group —
+    * collect_list is unordered by contract (partition arrival order),
+    * so the deterministic form is collect + array_sort; the csv is
+    * then reproducible across runs, partitionings, and engines. */
+  def qAggList(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("names_csv"))
+      .orderBy(col("nationkey"))
+
+  /** Equi-width histogram over a two-pass plan: a 1-row min/max
+    * aggregate broadcast-cross-joined into a stateless bucket scan,
+    * then one hash aggregate per bucket. The bucket index is plain
+    * IEEE arithmetic (floor((x−lo)/step) clamped to the last bucket)
+    * rather than width_bucket so both engines compute identical
+    * bucket keys. */
+  def qHistogram(s: SparkSession, d: String): DataFrame = {
+    val nb = 20
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(nb.toDouble))), lit(nb - 1L))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"))
+      .orderBy(col("bucket"))
+  }
+
+  /** UNPIVOT / melt: wide measure columns to (id, measure, value)
+    * rows — Spark's native unpivot (an Expand node: no join, no
+    * shuffle, one scan). */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_median_mode" -> (qAggMedianMode _),
+    "q_agg_corr_regr" -> (qAggCorrRegr _),
+    "q_agg_list" -> (qAggList _),
+    "q_histogram" -> (qHistogram _),
+    "q_unpivot" -> (qUnpivot _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _),
