@@ -48,17 +48,23 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // audit trail so a partial run can't masquerade as a full one: a
     // committed CORRECTNESS snapshot with written < registered (or
-    // subset=true, or failed non-empty) is visibly incomplete
+    // subset=true, or failed/unoracled non-empty) is visibly incomplete.
+    // "unoracled" closes the silent-gate gap: the driver iterates oracle
+    // keys only, so a defs entry with no oracleSql twin would otherwise
+    // never be checked by anything.
+    val unoracled =
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toList.sorted
     val meta =
       s"""{"registered": ${SparkEntry.queries.size},
          | "written": ${selected.size - failed.size},
          | "subset": ${only.isDefined},
-         | "failed": ${failed.sorted.map(q).mkString("[", ",", "]")}}"""
+         | "failed": ${failed.sorted.map(q).mkString("[", ",", "]")},
+         | "unoracled": ${unoracled.map(q).mkString("[", ",", "]")}}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     println(s"[verify] registered=${SparkEntry.queries.size} " +
       s"written=${selected.size - failed.size} subset=${only.isDefined} " +
-      s"failed=${failed.mkString(",")}")
+      s"failed=${failed.mkString(",")} unoracled=${unoracled.mkString(",")}")
     spark.stop()
   }
 }

@@ -94,8 +94,11 @@ object PageRank {
   }
 
   /** Checkpointed variant for deep iteration counts: the degree-
-    * enriched edge list is materialized once (lineage truncation) and
-    * the node count is a single count job over it. */
+    * enriched edge list is materialized once (lineage truncation); the
+    * node count rides along as a broadcast 1-row aggregate over the
+    * checkpointed edges (no driver collect — same trick as the
+    * one-job shape, and the aggregate reads the materialized blocks,
+    * not the original shuffle). */
   def pagerankCheckpointed(
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
@@ -113,20 +116,24 @@ object PageRank {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("sdeg"))
     // degree-enriched edges, materialized once for the iterations
     val e = sym.join(deg, "src").localCheckpoint()
-    val n = e.agg(countDistinct(col("src"))).collect()(0).getLong(0)
     val nodes = e.groupBy(col("src")).agg(first(col("sdeg")).as("deg"))
       .select(col("src").as("node"), col("deg"))
+    val nn = e.agg(countDistinct(col("src")).as("n"))
     def snap(c: Column): Column = round(c, 12).cast("decimal(28,12)")
-    var ranks = nodes.select(col("node"),
-      snap(lit(1.0) / lit(n.toDouble)).as("r"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"),
+        snap(lit(1.0) / col("n").cast("double")).as("r"))
     for (_ <- 1 to iters) {
       ranks = e
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst").as("node"),
           snap(col("r").cast("double") / col("sdeg")).as("c"))
         .groupBy(col("node"))
-        .agg(snap(lit(1.0 - Damping) / lit(n.toDouble) +
-          lit(Damping) * sum(col("c")).cast("double")).as("r"))
+        .agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          snap(lit(1.0 - Damping) / col("n").cast("double") +
+            lit(Damping) * col("s").cast("double")).as("r"))
     }
     ranks.join(nodes, "node")
       .select(col("node"), col("deg"),

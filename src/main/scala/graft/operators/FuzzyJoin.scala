@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   *      counts — at corpus scale the vocabulary is orders of magnitude
   *      smaller than the row table, and the expensive quadratic work
   *      must only ever see the vocabulary;
-  *   2. block on a cheap key (caller-chosen, e.g. last token /
-  *      phonetic code / length bucket) so the self-join is an
-  *      equi-join — never a cartesian BroadcastNestedLoopJoin;
-  *   3. cheap length-band prefilter (|len a − len b| ≤ maxDist is a
-  *      levenshtein lower bound) before the O(len²) edit distance,
+  *   2. block on a COMPOUND key: the caller's cheap key (e.g. last
+  *      token / phonetic code) PLUS a length band of width maxDist+1,
+  *      so the self-join is an equi-join — never a cartesian
+  *      BroadcastNestedLoopJoin — and a hot caller-key block (a very
+  *      common last token) is subdivided by length instead of going
+  *      quadratic. |len a − len b| ≤ maxDist is a levenshtein lower
+  *      bound, so qualifying pairs sit in the same or adjacent bands;
+  *      the probe side is exploded into its 3 adjacent bands (3× the
+  *      vocabulary, a constant) and each qualifying pair then matches
+  *      in EXACTLY one band — no recall loss, no duplicates;
+  *   3. cheap length-band prefilter before the O(len²) edit distance,
   *      which runs only inside surviving candidate pairs.
   *
   * Blocking trades recall for tractability by construction (a typo in
@@ -34,14 +40,18 @@ object FuzzyJoin {
   def fuzzyNamePairs(
       rows: DataFrame, nameCol: String, blockOf: Column => Column,
       maxDist: Int): DataFrame = {
+    val bandWidth = maxDist + 1
     val vocab = rows.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("n"))
       .withColumn("blk", blockOf(col("name")))
+      .withColumn("band", floor(length(col("name")) / lit(bandWidth)))
     val a = vocab.select(col("name").as("name_a"), col("n").as("n_a"),
-      col("blk"))
+      col("blk"), col("band"))
     val b = vocab.select(col("name").as("name_b"), col("n").as("n_b"),
-      col("blk"))
-    a.join(b, "blk")
+      col("blk"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1))
+        .as("band"))
+    a.join(b, Seq("blk", "band"))
       .where(col("name_a") < col("name_b"))
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -177,7 +177,15 @@ object Agg {
     * implementation-defined, which can never pass a cross-engine
     * oracle). The mode is a value-count aggregate + one row_number
     * window over the tiny per-group count table, not a window over the
-    * detail rows. */
+    * detail rows.
+    *
+    * 100 TB note: exact percentile is an ObjectHashAggregate that
+    * buffers every group value — swap in
+    * `approx_percentile(l_quantity, 0.5, 10000)` at scale (bounded
+    * sketch, same plan shape); exact is kept here because the oracle
+    * gate hash-compares values cross-engine. The mode path needs no
+    * swap: it aggregates to (group, value) counts first, which is
+    * map-side combinable and never buffers raw rows. */
   def qAggMedianMode(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
@@ -260,10 +268,14 @@ object Agg {
     val nb = 20
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
     val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // degenerate span (hi == lo, e.g. a constant column) would make the
+    // step 0 and floor(NaN) a null bucket — route it to bucket 0 instead
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(floor((col("x") - col("lo")) /
-          ((col("hi") - col("lo")) / lit(nb.toDouble))), lit(nb - 1L))
+        when(col("hi") > col("lo"),
+          least(floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(nb.toDouble))), lit(nb - 1L)))
+          .otherwise(lit(0L))
           .cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -301,6 +313,75 @@ object Agg {
     "q_count_distinct" -> (qCountDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_agg_median_mode" ->
+      """WITH stats AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+        |      AS median_qty,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+        |      AS median_disc_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        |vc AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity ASC) AS rk
+        |  FROM vc)
+        |SELECT s.l_returnflag, s.n, s.median_qty, s.median_disc_qty,
+        |  m.mode_qty, m.mode_n
+        |FROM stats s JOIN m ON s.l_returnflag = m.l_returnflag AND m.rk = 1
+        |ORDER BY s.l_returnflag""".stripMargin,
+    "q_agg_corr_regr" ->
+      """WITH mom AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS covn,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS varxn,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS varyn,
+        |    sx, sy
+        |  FROM mom)
+        |SELECT l_returnflag, n,
+        |  ROUND(covn / SQRT(varxn * varyn), 6) AS corr_qty_price,
+        |  ROUND(covn / varxn, 6) AS regr_slope,
+        |  ROUND((sy - (covn / varxn) * sx) / CAST(n AS DOUBLE), 6)
+        |    AS regr_intercept,
+        |  ROUND((covn / SQRT(varxn * varyn)) * (covn / SQRT(varxn * varyn)), 6)
+        |    AS regr_r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+    "q_agg_list" ->
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names_csv
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(CASE WHEN hi > lo
+        |    THEN LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19)
+        |    ELSE 0 END AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l_extendedprice), 4) AS min_x,
+        |  ROUND(MAX(l_extendedprice), 4) AS max_x
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+        |FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
     "q_tpch1" -> tpch1Oracle,
     "q_agg_grouping_sets" -> groupingSetsSql,
     "q_agg_rollup" ->

@@ -191,33 +191,59 @@ object Events {
     *
     * Scale shape: per-bucket aggregation is ONE map-side-partial hash
     * aggregate of the events; the grid is generated from a 1-row
-    * bounds aggregate (sequence + explode — never a driver loop) and
-    * cross-joined with the tiny broadcast type dimension; the LOCF
-    * pass is a window partitioned on event_type — at real scale the
-    * grid is banded by (type, day) so no partition exceeds one day of
-    * buckets. Bucketing is epoch arithmetic (not date_trunc) so both
-    * engines compute identical bucket keys. */
+    * bounds aggregate exploded to day rows, repartitioned by day, then
+    * exploded to buckets — many tasks, never a driver loop and never a
+    * single-task explode of the whole span. LOCF is BANDED by
+    * (event_type, day): the within-day window partition never exceeds
+    * 288 buckets, and the cross-day carry is a second window over the
+    * tiny per-(type, day) last-observation table (|days|·|types| rows),
+    * broadcast back in. Bucketing is pure epoch FLOOR arithmetic
+    * (unix_micros − pmod, matching DuckDB's `//` floor division even
+    * for pre-1970 timestamps), so both engines compute identical
+    * bucket keys. */
   def qEventsGapfill(s: SparkSession, d: String): DataFrame = {
-    // `div` (integer division): long / long is DOUBLE division in SQL
     val ev = Tables.events(s, d).select(
       col("event_type"),
-      expr("timestamp_micros((unix_micros(ts) div 300000000) * 300000000)")
+      expr("timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), 300000000))")
         .as("m"),
       col("value"))
     val perMin = ev.groupBy(col("event_type"), col("m"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec("value")).cast("double").as("sum_value"))
-    val grid = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
+    // day boundaries are 5-minute-aligned, so per-day sequences stitch
+    // into exactly the global [lo, hi] bucket sequence
+    val days = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(date_trunc("DAY", col("lo")),
+        date_trunc("DAY", col("hi")), expr("interval 1 day"))).as("day"),
+        col("lo"), col("hi"))
+    val grid = days.repartition(col("day"))
+      .select(col("day"), explode(sequence(
+        greatest(col("day"), col("lo")),
+        least(col("day") + expr("interval 1 day") - expr("interval 5 minutes"),
+          col("hi")),
         expr("interval 5 minutes"))).as("m"))
     val types = ev.select(col("event_type")).distinct()
-    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.crossJoin(broadcast(types))
+    val dense = grid.crossJoin(broadcast(types))
       .join(perMin, Seq("event_type", "m"), "left")
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // last observation of each (type, day): max over (m, value) structs
+    // ignores null-value buckets and is map-side combinable
+    val dayLast = dense.groupBy(col("event_type"), col("day"))
+      .agg(max(when(col("sum_value").isNotNull,
+        struct(col("m"), col("sum_value")))).as("o"))
+      .select(col("event_type"), col("day"), col("o.sum_value").as("day_last"))
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayLast.select(col("event_type"), col("day"),
+      last(col("day_last"), ignoreNulls = true).over(wCarry).as("carry_in"))
+    dense
+      .join(broadcast(carry), Seq("event_type", "day"), "left")
       .select(col("event_type"), col("m").as("bucket_start"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("sum_value"), ignoreNulls = true).over(w).as("locf_value"))
+        coalesce(last(col("sum_value"), ignoreNulls = true).over(wDay),
+          col("carry_in")).as("locf_value"))
       .orderBy(col("event_type"), col("bucket_start"))
   }
 

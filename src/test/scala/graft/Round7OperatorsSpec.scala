@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: the five aggregate queries that joined the oracle
+  * gate (median/mode, corr/regr, list-agg, histogram, unpivot), the
+  * fuzzy-join length-band blocking, and the registered-but-unoracled
+  * guard. */
+class Round7OperatorsSpec extends SparkSpec {
+
+  test("every registered query has an oracle (no silent gate gaps)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"defs keys invisible to the correctness gate: ${unoracled.toList.sorted}")
+  }
+
+  test("median/mode: one row per group, median in range, deterministic mode") {
+    val out = graft.queries.Agg.qAggMedianMode(spark, sf).collect()
+    val flags = Tables.lineitem(spark, sf)
+      .select("l_returnflag").distinct().count()
+    assert(out.length == flags)
+    out.foreach { r =>
+      val (lo, hi) = Tables.lineitem(spark, sf)
+        .where(col("l_returnflag") === r.getString(0))
+        .agg(min("l_quantity"), max("l_quantity"))
+        .collect()(0) match { case x => (x.getDouble(0), x.getDouble(1)) }
+      assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi, "median out of range")
+      assert(r.getLong(5) >= 1L, "mode count must be positive")
+    }
+    // determinism: two runs agree bit-for-bit (ties broken by min value)
+    val again = graft.queries.Agg.qAggMedianMode(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("corr/regr: |corr| <= 1 and r2 == corr^2 at the rounding grid") {
+    graft.queries.Agg.qAggCorrRegr(spark, sf).collect().foreach { r =>
+      val corr = r.getDouble(2)
+      assert(math.abs(corr) <= 1.0)
+      assert(math.abs(r.getDouble(5) - corr * corr) < 2e-6,
+        "r2 must be the square of corr up to the 6dp rounding")
+    }
+  }
+
+  test("list agg produces a sorted, reproducible csv") {
+    graft.queries.Agg.qAggList(spark, sf).collect().foreach { r =>
+      val names = r.getString(2).split(",").toSeq
+      assert(names == names.sorted, "names_csv not in total order")
+      assert(names.size == r.getLong(1), "csv length != group count")
+    }
+  }
+
+  test("histogram covers every row with buckets in [0, 19] and none null") {
+    val out = graft.queries.Agg.qHistogram(spark, sf).cache()
+    assert(out.where(col("bucket").isNull).count() == 0)
+    assert(out.where(col("bucket") < 0 || col("bucket") > 19).count() == 0)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == Tables.lineitem(spark, sf).count())
+    out.unpersist()
+  }
+
+  test("unpivot melts each part row into exactly its measure rows") {
+    val out = graft.queries.Agg.qUnpivot(spark, sf).cache()
+    assert(out.count() == 2 * Tables.part(spark, sf).count())
+    val measures = out.select("measure").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(measures == Set("p_size", "p_retailprice"))
+    out.unpersist()
+  }
+
+  test("fuzzy join with a skewed hot block matches brute force exactly") {
+    import spark.implicits._
+    // one very common block token ("bolt") with many lengths: the
+    // length-band compound key must subdivide it without losing pairs
+    val base = (1 to 40).map(i => ("x" * (i % 13 + 1)) + "a bolt") ++
+      Seq("red bolt", "rad bolt", "reed bolt", "red colt",
+        "blue widget", "blu widget", "bluee widget")
+    val rows = base.toDF("name")
+    val got = graft.operators.FuzzyJoin.fuzzyNamePairs(
+      rows, "name", graft.operators.FuzzyJoin.lastTokenBlock, maxDist = 2)
+      .select("name_a", "name_b", "dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // brute force ground truth WITHIN blocks (blocking recall contract)
+    def blk(s: String) = s.split(" ").last
+    val vocab = base.distinct
+    val want = (for {
+      a <- vocab; b <- vocab
+      if a < b && blk(a) == blk(b)
+      d = levenshteinDist(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // no duplicate pairs from the 3-band probe explode
+    val all = graft.operators.FuzzyJoin.fuzzyNamePairs(
+      rows, "name", graft.operators.FuzzyJoin.lastTokenBlock, maxDist = 2)
+      .select("name_a", "name_b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.length == all.distinct.length, "pair emitted in >1 band")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}
