@@ -136,4 +136,24 @@ class PlanSpec extends SparkSpec {
         s"token backbone not shared across aggregate branches:\n$p")
     }
   }
+
+  test("gap-fill LOCF window is banded by (type, day), grid explode multi-task") {
+    val p = plan(gq.Events.qEventsGapfill(spark, sf))
+    // the within-day LOCF window must partition on BOTH event_type and
+    // day — a type-only partition would hold the whole history
+    assert("""\[event_type#\d+L?, day#\d+""".r.findFirstIn(p).isDefined,
+      s"LOCF window not banded by (event_type, day):\n$p")
+    // grid generation must spread day rows across tasks before the
+    // bucket explode — one task exploding the whole span doesn't scale
+    assert(p.contains("hashpartitioning(day#"),
+      s"grid generation not repartitioned by day:\n$p")
+  }
+
+  test("fuzzy join is an equi-join on the compound (block, band) key") {
+    val p = plan(gq.Relational.qFuzzyJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy join degenerated to a quadratic join:\n$p")
+    assert("""\[blk#\d+, band#\d+""".r.findFirstIn(p).isDefined,
+      s"join keys missing the length band:\n$p")
+  }
 }
