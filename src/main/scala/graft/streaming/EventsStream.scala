@@ -9,6 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 case class UserEvent(user_id: Long, value: Double)
 case class UserState(n: Long, sum: Double)
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+case class TypedEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
+case class GapfillState(
+    nextBucket: Long, locf: Option[Double], open: Map[Long, (Long, Double)])
+case class GapBucket(
+    event_type: String, bucket_start: java.sql.Timestamp,
+    n_events: Long, locf_value: Option[Double])
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -108,4 +114,82 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming gap-fill + LOCF — the stateful twin of the batch
+    * `q_events_gapfill`: per event type, emit a DENSE sequence of
+    * 5-minute buckets (missing buckets carry the last observed sum
+    * forward) as the watermark finalizes them.
+    *
+    * Mechanics: `flatMapGroupsWithState` keyed on event_type. State
+    * holds the next bucket to emit, the running LOCF value, and the
+    * still-open per-bucket partial aggregates (out-of-order rows
+    * within the watermark fold into their bucket until it finalizes).
+    * A bucket is emitted exactly once, when the watermark passes its
+    * END — in order, including the empty gap buckets between
+    * observations. An EVENT-TIME TIMEOUT re-invokes quiet groups so a
+    * type with no new rows still emits its gap buckets as the global
+    * watermark advances. State is O(open buckets per type), bounded by
+    * the watermark delay — nothing grows with stream length.
+    *
+    * Delta vs the batch twin (documented): the dense grid starts at
+    * each type's FIRST observed bucket (a stream has no global
+    * [lo, hi] until it ends), and sums accumulate in double rather
+    * than the batch DECIMAL since state folds incrementally. */
+  def gapfillStream(
+      events: Dataset[TypedEvent],
+      watermarkDelay: String = "10 minutes",
+      stepMicros: Long = 300000000L): Dataset[GapBucket] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapfillState, GapBucket](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String,
+         rows: Iterator[TypedEvent],
+         state: GroupState[GapfillState]) =>
+          val prev = state.getOption
+            .getOrElse(GapfillState(Long.MinValue, None, Map.empty))
+          var open = prev.open
+          rows.foreach { r =>
+            val b = Math.floorDiv(r.ts.getTime * 1000L, stepMicros)
+            val (n, s) = open.getOrElse(b, (0L, 0.0))
+            open = open.updated(b, (n + 1, s + r.value))
+          }
+          // buckets whose END the watermark has passed are final
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val horizon = Math.floorDiv(wmMicros, stepMicros)
+          var next =
+            if (prev.nextBucket != Long.MinValue) prev.nextBucket
+            else if (open.nonEmpty) open.keys.min
+            else Long.MinValue
+          if (next == Long.MinValue) {
+            // nothing observed yet for this type; no state to keep
+            Iterator.empty
+          } else {
+            var locf = prev.locf
+            val out = Seq.newBuilder[GapBucket]
+            while (next < horizon) {
+              val ts = new java.sql.Timestamp(next * stepMicros / 1000L)
+              open.get(next) match {
+                case Some((n, s)) =>
+                  locf = Some(s)
+                  out += GapBucket(etype, ts, n, locf)
+                  open = open - next
+                case None =>
+                  out += GapBucket(etype, ts, 0L, locf)
+              }
+              next += 1
+            }
+            state.update(GapfillState(next, locf, open))
+            // wake this group when the watermark passes the end of the
+            // next unemitted bucket, even if no new rows arrive for it
+            state.setTimeoutTimestamp(
+              math.max((next + 1) * stepMicros / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
 }

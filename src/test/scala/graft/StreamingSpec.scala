@@ -168,4 +168,54 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((3L, 7.0)), s"got $last")
     assert(last(2L) == ((1L, 5.0)))
   }
+
+  test("streaming gap-fill emits dense finalized buckets with LOCF carry") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.gapfillStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("gapfill_out")
+      .outputMode("append").start()
+    try {
+      // click: buckets 10:00 (two rows) and 10:15; gaps at 10:05/10:10.
+      // view: one bucket at 10:00, then silence — its later gap buckets
+      // must come from the event-time TIMEOUT, not from new view rows.
+      stream.addData(
+        TypedEvent("click", t("2024-01-01 10:00:30"), 1.0),
+        TypedEvent("click", t("2024-01-01 10:02:00"), 2.0),
+        TypedEvent("click", t("2024-01-01 10:16:00"), 4.0),
+        TypedEvent("view", t("2024-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      // watermark -> 10:06, finalizing the 10:00 bucket of both types
+      stream.addData(TypedEvent("click", t("2024-01-01 10:31:00"), 5.0))
+      q.processAllAvailable()
+      // watermark -> 10:36 (10:46 - 10 min), finalizing buckets
+      // through 10:30 — including the quiet view type's gap buckets
+      stream.addData(TypedEvent("click", t("2024-01-01 10:46:00"), 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gapfill_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    val want: Set[(String, String, Long, Option[Double])] = Set(
+      ("click", "2024-01-01 10:00:00.0", 2L, Some(3.0)),
+      ("click", "2024-01-01 10:05:00.0", 0L, Some(3.0)),
+      ("click", "2024-01-01 10:10:00.0", 0L, Some(3.0)),
+      ("click", "2024-01-01 10:15:00.0", 1L, Some(4.0)),
+      ("click", "2024-01-01 10:20:00.0", 0L, Some(4.0)),
+      ("click", "2024-01-01 10:25:00.0", 0L, Some(4.0)),
+      ("click", "2024-01-01 10:30:00.0", 1L, Some(5.0)),
+      ("view", "2024-01-01 10:00:00.0", 1L, Some(3.0)),
+      ("view", "2024-01-01 10:05:00.0", 0L, Some(3.0)),
+      ("view", "2024-01-01 10:10:00.0", 0L, Some(3.0)),
+      ("view", "2024-01-01 10:15:00.0", 0L, Some(3.0)),
+      ("view", "2024-01-01 10:20:00.0", 0L, Some(3.0)),
+      ("view", "2024-01-01 10:25:00.0", 0L, Some(3.0)),
+      ("view", "2024-01-01 10:30:00.0", 0L, Some(3.0)))
+    assert(got == want,
+      s"missing=${want -- got}\nextra=${got -- want}")
+  }
 }
