@@ -202,29 +202,7 @@ object Events {
     * for pre-1970 timestamps), so both engines compute identical
     * bucket keys. */
   def qEventsGapfill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(
-      col("event_type"),
-      expr("timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), 300000000))")
-        .as("m"),
-      col("value"))
-    val perMin = ev.groupBy(col("event_type"), col("m"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(dec("value")).cast("double").as("sum_value"))
-    // day boundaries are 5-minute-aligned, so per-day sequences stitch
-    // into exactly the global [lo, hi] bucket sequence
-    val days = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
-      .select(explode(sequence(date_trunc("DAY", col("lo")),
-        date_trunc("DAY", col("hi")), expr("interval 1 day"))).as("day"),
-        col("lo"), col("hi"))
-    val grid = days.repartition(col("day"))
-      .select(col("day"), explode(sequence(
-        greatest(col("day"), col("lo")),
-        least(col("day") + expr("interval 1 day") - expr("interval 5 minutes"),
-          col("hi")),
-        expr("interval 5 minutes"))).as("m"))
-    val types = ev.select(col("event_type")).distinct()
-    val dense = grid.crossJoin(broadcast(types))
-      .join(perMin, Seq("event_type", "m"), "left")
+    val dense = denseBuckets(s, d)
     val wDay = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -247,8 +225,85 @@ object Events {
       .orderBy(col("event_type"), col("bucket_start"))
   }
 
+  /** Shared dense (type × 5-minute-bucket) grid for the densification
+    * operators: per-bucket aggregates left-joined onto a grid built
+    * from a 1-row bounds aggregate exploded to day rows, repartitioned
+    * by day, then exploded to buckets — many tasks, never a driver
+    * loop, never a single-task explode of the whole span. Columns:
+    * event_type, day, m, n_events (nullable), sum_value (nullable). */
+  private def denseBuckets(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      expr("timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), 300000000))")
+        .as("m"),
+      col("value"))
+    val perMin = ev.groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+    // day boundaries are 5-minute-aligned, so per-day sequences stitch
+    // into exactly the global [lo, hi] bucket sequence
+    val days = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(date_trunc("DAY", col("lo")),
+        date_trunc("DAY", col("hi")), expr("interval 1 day"))).as("day"),
+        col("lo"), col("hi"))
+    val grid = days.repartition(col("day"))
+      .select(col("day"), explode(sequence(
+        greatest(col("day"), col("lo")),
+        least(col("day") + expr("interval 1 day") - expr("interval 5 minutes"),
+          col("hi")),
+        expr("interval 5 minutes"))).as("m"))
+    val types = ev.select(col("event_type")).distinct()
+    grid.crossJoin(broadcast(types))
+      .join(perMin, Seq("event_type", "m"), "left")
+  }
+
+  /** Linear-interpolation resample — timescaledb `interpolate`
+    * semantics, the complement of LOCF: each missing bucket gets the
+    * straight-line value between the nearest observed buckets on
+    * either side; buckets before the first or after the last
+    * observation stay NULL. Same banded scale shape as gap-fill: the
+    * neighbor scan is two (type, day) windows (max/min over (m, value)
+    * structs, which skip null-value buckets), and the cross-day
+    * neighbors come from per-(type, day) first/last observation
+    * tables windowed over days — tiny — and broadcast back. The
+    * interpolation itself is pure IEEE double arithmetic on epoch
+    * micros, bit-identical cross-engine. */
+  def qEventsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val dense = denseBuckets(s, d)
+    val obs = when(col("sum_value").isNotNull,
+      struct(col("m"), col("sum_value")))
+    val wPrev = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("m"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dayAgg = dense.groupBy(col("event_type"), col("day"))
+      .agg(max(obs).as("day_last"), min(obs).as("day_first"))
+    val wCp = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCn = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = dayAgg.select(col("event_type"), col("day"),
+      last(col("day_last"), ignoreNulls = true).over(wCp).as("carry_prev"),
+      first(col("day_first"), ignoreNulls = true).over(wCn).as("carry_next"))
+    val p = coalesce(max(obs).over(wPrev), col("carry_prev"))
+    val nx = coalesce(min(obs).over(wNext), col("carry_next"))
+    val dm = (unix_micros(col("m")) - unix_micros(p("m"))).cast("double")
+    val dn = (unix_micros(nx("m")) - unix_micros(p("m"))).cast("double")
+    val interp = when(col("sum_value").isNotNull, col("sum_value"))
+      .when(p.isNotNull && nx.isNotNull,
+        p("sum_value") + (nx("sum_value") - p("sum_value")) * (dm / dn))
+    dense.join(broadcast(carry), Seq("event_type", "day"))
+      .select(col("event_type"), col("m").as("bucket_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(interp, 6).as("interp_value"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_gapfill" -> (qEventsGapfill _),
+    "q_events_interpolate" -> (qEventsInterpolate _),
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
@@ -281,6 +336,46 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
         |FROM dense LEFT JOIN pm USING (event_type, m)
         |ORDER BY event_type, bucket_start""".stripMargin,
+    "q_events_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS m,
+        |    value
+        |  FROM events),
+        |pm AS (
+        |  SELECT event_type, m, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM e),
+        |g AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS m FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |dense AS (
+        |  SELECT ty.event_type, g.m, pm.n_events, pm.sum_value
+        |  FROM ty CROSS JOIN g LEFT JOIN pm USING (event_type, m)),
+        |w AS (
+        |  SELECT event_type, m, n_events, sum_value,
+        |    LAST_VALUE(sum_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN m END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY m
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    FIRST_VALUE(sum_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY m
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN m END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY m
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM dense)
+        |SELECT event_type, m AS bucket_start,
+        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |  ROUND(CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) *
+        |        (CAST(epoch_us(m) - epoch_us(pt) AS DOUBLE) /
+        |         CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |    ELSE NULL END, 6) AS interp_value
+        |FROM w ORDER BY event_type, bucket_start""".stripMargin,
     "q_events_anomaly" ->
       """WITH stats AS (
         |  SELECT event_type, COUNT(*) AS n,

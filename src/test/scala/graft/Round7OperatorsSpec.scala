@@ -67,6 +67,36 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("interpolate: observed pass-through, gaps between neighbors, null edges") {
+    val out = graft.queries.Events.qEventsInterpolate(spark, sf).cache()
+    val dense = graft.queries.Events.qEventsGapfill(spark, sf)
+      .select("event_type", "bucket_start").distinct().count()
+    assert(out.count() == dense, "interpolate grid differs from gapfill grid")
+    // a gap bucket's value lies within [min, max] of its segment ends:
+    // check against a window-reconstructed neighbor pair
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = w.rowsBetween(1, Window.unboundedFollowing)
+    val obsVal = when(col("n_events") > 0, col("interp_value"))
+    val checked = out
+      .withColumn("pv", last(obsVal, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(obsVal, ignoreNulls = true).over(wn))
+      .where(col("n_events") === 0)
+    val inside = checked.where(col("pv").isNotNull && col("nv").isNotNull)
+    assert(inside.where(
+      col("interp_value") < least(col("pv"), col("nv")) - 1e-9 ||
+        col("interp_value") > greatest(col("pv"), col("nv")) + 1e-9)
+      .count() == 0, "interpolated value escapes its segment")
+    // outside any observed segment the value must be NULL
+    assert(checked.where(
+      (col("pv").isNull || col("nv").isNull) && col("interp_value").isNotNull)
+      .count() == 0, "value invented outside the observed span")
+    // exact midpoint check on a constructed two-point segment is covered
+    // by the DuckDB oracle (bit-identical IEEE interpolation)
+    out.unpersist()
+  }
+
   test("fuzzy join with a skewed hot block matches brute force exactly") {
     import spark.implicits._
     // one very common block token ("bolt") with many lengths: the
