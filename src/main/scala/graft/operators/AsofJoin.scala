@@ -36,29 +36,58 @@ object AsofJoin {
       right: DataFrame,
       keyCol: String,
       timeCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    unionFill(left, right, keyCol, timeCol, payloadCols, forward = false)
+
+  /** Forward (look-ahead) as-of: attach the payload of the EARLIEST
+    * right row with `rightTime >= leftTime` — same union-sort shape,
+    * mirrored window frame. Ties match (inclusive `>=`). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    unionFill(left, right, keyCol, timeCol, payloadCols, forward = true)
+
+  private def unionFill(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} " +
         "collide with left-side columns — rename them (or use asofPrefixed)")
-    // one unified schema: left columns + payload columns + side tag
+    // one unified schema: left columns + payload columns + side tag.
+    // The tag breaks time ties so the right row at an equal time is
+    // INSIDE the left row's frame: right-before-left for backward
+    // (<=), left-before-right for forward (>=).
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val taggedLeft = payloadCols
       .foldLeft(left)((df, c) => df.withColumn(c, lit(null)))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftTag))
       .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
     val taggedRight = leftCols
       .filterNot(c => c == keyCol || c == timeCol || payloadCols.contains(c))
       .foldLeft(right)((df, c) => df.withColumn(c, lit(null)))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightTag))
       .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
 
-    val w = Window.partitionBy(col(keyCol))
+    val base = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: Column): Column =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val filled = payloadCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      (df, c) => df.withColumn(c, fill(col(c)))
     }
-    filled.where(col("_side") === 1).drop("_side")
+    filled.where(col("_side") === leftTag).drop("_side")
   }
 
   /** Column-renaming convenience: as-of join where the right payload
@@ -75,6 +104,21 @@ object AsofJoin {
       (df, c) => df.withColumnRenamed(c, s"asof_$c")
     }
     asof(left, r, keyCol, timeCol,
+      payloadCols.map(c => s"asof_$c") :+ s"asof_$timeCol")
+  }
+
+  /** Forward twin of [[asofPrefixed]]. */
+  def asofPrefixedForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val r = payloadCols.foldLeft(
+      right.withColumn(s"asof_$timeCol", col(timeCol))) {
+      (df, c) => df.withColumnRenamed(c, s"asof_$c")
+    }
+    asofForward(left, r, keyCol, timeCol,
       payloadCols.map(c => s"asof_$c") :+ s"asof_$timeCol")
   }
 }

@@ -82,6 +82,33 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join with a tolerance: each event picks up the
+    * user's NEXT purchase at-or-after its timestamp, but only if it
+    * arrives within 1 hour — the "time-to-next-conversion" shape.
+    * Same union-sort scale plan as the backward as-of (one shuffle on
+    * user_id); the tolerance is a stateless null-out after the match,
+    * which is exactly DuckDB's `ASOF ... ON l.t <= r.t` + CASE, so the
+    * oracle is hash-exact. */
+  def qAsofJoinForward(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 3600000000L // 1 hour in micros
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("value"))
+    graft.operators.AsofJoin.asofPrefixedForward(
+      ev.select("event_id", "user_id", "ts_us"), purchases,
+      keyCol = "user_id", timeCol = "ts_us", payloadCols = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("asof_ts_us") - col("ts_us") <= tolUs, col("asof_ts_us"))
+          .as("next_ts_us"),
+        when(col("asof_ts_us") - col("ts_us") <= tolUs, col("asof_value"))
+          .as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Banded temporal range join: per event, how many other events of
     * the same type fall within ±1 minute — graft.operators.RangeJoin
     * (equi-join on time bins, never a nested-loop theta join). */
@@ -312,6 +339,7 @@ object Events {
     "q_events_json" -> (qEventsJson _),
     "q_events_topn_user" -> (qEventsTopnUser _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_forward" -> (qAsofJoinForward _),
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -475,6 +503,21 @@ object Events {
         |  p.ts_us AS asof_ts_us, p.p_value AS asof_value
         |FROM ev e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_join_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts_us, MAX(value) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  CASE WHEN p.ts_us - e.ts_us <= 3600000000 THEN p.ts_us END
+        |    AS next_ts_us,
+        |  CASE WHEN p.ts_us - e.ts_us <= 3600000000 THEN p.p_value END
+        |    AS next_value
+        |FROM ev e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_us <= p.ts_us
         |ORDER BY e.event_id""".stripMargin,
     // independent implementation: DuckDB plans the inequality join
     // directly (IEJoin); Spark side uses the banded equi-join shape

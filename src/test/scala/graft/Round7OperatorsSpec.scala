@@ -97,6 +97,27 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("forward as-of attaches the earliest following row, ties inclusive") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 40L), (2L, 10L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 30L, "b"), (3L, 5L, "z"))
+      .toDF("k", "t", "p")
+    val out = graft.operators.AsofJoin.asofPrefixedForward(
+      left, right, "k", "t", Seq("p"))
+      .select("k", "t", "asof_t", "asof_p")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 10L, Some(10L), "a"), // tie: right at the SAME time matches
+      (1L, 25L, Some(30L), "b"), // earliest following, not latest prior
+      (1L, 40L, None, null), // nothing follows
+      (2L, 10L, None, null)), // key has no right rows
+      s"got $out")
+  }
+
   test("fuzzy join with a skewed hot block matches brute force exactly") {
     import spark.implicits._
     // one very common block token ("bolt") with many lengths: the
