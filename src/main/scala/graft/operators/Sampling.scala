@@ -29,6 +29,14 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.where(hashFraction(col(keyCol)) < rate)
 
+  /** Per-ROW weighted deterministic sample: each row is kept with
+    * probability `weight` (clamped to [0, 1]) — the curation shape for
+    * quality- or length-proportional downsampling, where the rate is a
+    * computed column rather than a per-stratum constant. Still a pure
+    * per-row filter: no shuffle, reproducible across runs and engines. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.where(hashFraction(col(keyCol)) < least(lit(1.0), weight))
+
   /** Stratified deterministic sample: per-stratum keep rates with a
     * default for unlisted strata. */
   def stratifiedSample(

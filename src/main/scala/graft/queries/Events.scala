@@ -229,20 +229,15 @@ object Events {
     * for pre-1970 timestamps), so both engines compute identical
     * bucket keys. */
   def qEventsGapfill(s: SparkSession, d: String): DataFrame = {
-    val dense = denseBuckets(s, d)
+    val (dense, dayObs) = gridParts(s, d)
     val wDay = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // last observation of each (type, day): max over (m, value) structs
-    // ignores null-value buckets and is map-side combinable
-    val dayLast = dense.groupBy(col("event_type"), col("day"))
-      .agg(max(when(col("sum_value").isNotNull,
-        struct(col("m"), col("sum_value")))).as("o"))
-      .select(col("event_type"), col("day"), col("o.sum_value").as("day_last"))
     val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = dayLast.select(col("event_type"), col("day"),
-      last(col("day_last"), ignoreNulls = true).over(wCarry).as("carry_in"))
+    val carry = dayObs.select(col("event_type"), col("day"),
+      last(col("day_last.sum_value"), ignoreNulls = true).over(wCarry)
+        .as("carry_in"))
     dense
       .join(broadcast(carry), Seq("event_type", "day"), "left")
       .select(col("event_type"), col("m").as("bucket_start"),
@@ -252,13 +247,22 @@ object Events {
       .orderBy(col("event_type"), col("bucket_start"))
   }
 
-  /** Shared dense (type × 5-minute-bucket) grid for the densification
-    * operators: per-bucket aggregates left-joined onto a grid built
-    * from a 1-row bounds aggregate exploded to day rows, repartitioned
-    * by day, then exploded to buckets — many tasks, never a driver
-    * loop, never a single-task explode of the whole span. Columns:
-    * event_type, day, m, n_events (nullable), sum_value (nullable). */
-  private def denseBuckets(s: SparkSession, d: String): DataFrame = {
+  /** Shared building blocks of the densification operators.
+    *
+    * `dense` — the (type × 5-minute-bucket) grid with per-bucket
+    * aggregates left-joined on: a 1-row bounds aggregate exploded to
+    * day rows, repartitioned by day, then exploded to buckets — many
+    * tasks, never a driver loop, never a single-task explode of the
+    * whole span. Columns: event_type, day, m, n_events (nullable),
+    * sum_value (nullable).
+    *
+    * `dayObs` — one row per (type, day) INCLUDING observation-free
+    * days, with the first/last observed (m, sum_value) struct of that
+    * day (null when none). Built from the per-bucket aggregate and the
+    * tiny day×type dimension, NOT from `dense`: the carry path must
+    * never pay (or re-plan) the full grid join — only the final
+    * broadcast-join back into `dense` touches grid-sized data. */
+  private def gridParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).select(
       col("event_type"),
       expr("timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), 300000000))")
@@ -280,8 +284,15 @@ object Events {
           col("hi")),
         expr("interval 5 minutes"))).as("m"))
     val types = ev.select(col("event_type")).distinct()
-    grid.crossJoin(broadcast(types))
+    val dense = grid.crossJoin(broadcast(types))
       .join(perMin, Seq("event_type", "m"), "left")
+    val obs = struct(col("m"), col("sum_value"))
+    val obsDay = perMin
+      .groupBy(col("event_type"), date_trunc("DAY", col("m")).as("day"))
+      .agg(max(obs).as("day_last"), min(obs).as("day_first"))
+    val dayObs = days.select(col("day")).crossJoin(broadcast(types))
+      .join(obsDay, Seq("event_type", "day"), "left")
+    (dense, dayObs)
   }
 
   /** Linear-interpolation resample — timescaledb `interpolate`
@@ -296,7 +307,7 @@ object Events {
     * interpolation itself is pure IEEE double arithmetic on epoch
     * micros, bit-identical cross-engine. */
   def qEventsInterpolate(s: SparkSession, d: String): DataFrame = {
-    val dense = denseBuckets(s, d)
+    val (dense, dayObs) = gridParts(s, d)
     val obs = when(col("sum_value").isNotNull,
       struct(col("m"), col("sum_value")))
     val wPrev = Window.partitionBy(col("event_type"), col("day"))
@@ -305,13 +316,11 @@ object Events {
     val wNext = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("m"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val dayAgg = dense.groupBy(col("event_type"), col("day"))
-      .agg(max(obs).as("day_last"), min(obs).as("day_first"))
     val wCp = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCn = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(1, Window.unboundedFollowing)
-    val carry = dayAgg.select(col("event_type"), col("day"),
+    val carry = dayObs.select(col("event_type"), col("day"),
       last(col("day_last"), ignoreNulls = true).over(wCp).as("carry_prev"),
       first(col("day_first"), ignoreNulls = true).over(wCn).as("carry_next"))
     val p = coalesce(max(obs).over(wPrev), col("carry_prev"))

@@ -132,6 +132,24 @@ object Text {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Length-proportional weighted sample: each document kept with
+    * probability n_chars / max(n_chars) — the per-ROW-rate curation
+    * shape (quality-weighted downsampling), vs the per-stratum
+    * constants of q_sample_stratified. The corpus max is a 1-row
+    * broadcast; membership stays a pure per-row filter (no shuffle)
+    * and the md5-fraction is engine-portable, so the kept set is
+    * bit-identical cross-engine. */
+  def qSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+    graft.operators.Sampling.weightedSample(
+      docs.crossJoin(broadcast(mx)), keyCol = "doc_id",
+      weight = col("n_chars") / col("max_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("n_chars") / col("max_chars"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level top-10 bigrams per language. The bigram table comes
     * from the relational token backbone (posexplode + lead — the split
     * runs once per doc); counts are map-side partial aggregated, and
@@ -332,6 +350,7 @@ object Text {
     "q_pack_sequences" -> (qPackSequences _),
     "q_pipeline_curate" -> (qPipelineCurate _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
@@ -472,6 +491,15 @@ object Text {
         |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
         |    AS INTEGER) / 16777216.0
         |  < CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  ROUND(n_chars / max_chars, 6) AS weight
+        |FROM documents CROSS JOIN mx
+        |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |    AS INTEGER) / 16777216.0
+        |  < LEAST(1.0, n_chars / max_chars)
         |ORDER BY doc_id""".stripMargin,
     "q_text_topk_ngrams" ->
       """WITH b AS (

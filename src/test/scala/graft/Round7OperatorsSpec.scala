@@ -97,6 +97,25 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("weighted sample keeps longer docs proportionally and is deterministic") {
+    val out = graft.queries.Text.qSampleWeighted(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() > 0 && out.count() < docs.count())
+    // the max-length doc has weight 1.0 and must always survive
+    val mx = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    assert(out.where(col("n_chars") === mx).count() ==
+      docs.where(col("n_chars") === mx).count())
+    // deterministic: two runs produce the identical kept set
+    val again = graft.queries.Text.qSampleWeighted(spark, sf)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(out.select("doc_id")).count() == 0)
+    // no shuffle in the membership filter (scan -> filter -> sort only)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted sampling must not shuffle:\n$p")
+    out.unpersist()
+  }
+
   test("forward as-of attaches the earliest following row, ties inclusive") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 25L), (1L, 40L), (2L, 10L))
