@@ -271,9 +271,14 @@ object Events {
     val perMin = ev.groupBy(col("event_type"), col("m"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec("value")).cast("double").as("sum_value"))
-    // day boundaries are 5-minute-aligned, so per-day sequences stitch
-    // into exactly the global [lo, hi] bucket sequence
-    val days = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    // bounds and the type dimension derive from the BUCKET table, not
+    // the fact: perMin is the only consumer of the raw events — the
+    // fact is scanned once per plan instance, everything else reads
+    // the (types × buckets)-sized aggregate. m is already bucketed, so
+    // min/max over perMin equal min/max over the fact.
+    // Day boundaries are 5-minute-aligned, so per-day sequences stitch
+    // into exactly the global [lo, hi] bucket sequence.
+    val days = perMin.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
       .select(explode(sequence(date_trunc("DAY", col("lo")),
         date_trunc("DAY", col("hi")), expr("interval 1 day"))).as("day"),
         col("lo"), col("hi"))
@@ -283,7 +288,7 @@ object Events {
         least(col("day") + expr("interval 1 day") - expr("interval 5 minutes"),
           col("hi")),
         expr("interval 5 minutes"))).as("m"))
-    val types = ev.select(col("event_type")).distinct()
+    val types = perMin.select(col("event_type")).distinct()
     val dense = grid.crossJoin(broadcast(types))
       .join(perMin, Seq("event_type", "m"), "left")
     val obs = struct(col("m"), col("sum_value"))
