@@ -109,6 +109,25 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Top-5 events per type by value via the bounded-heap aggregate
+    * (graft.operators.TopK) — only |types|·5 candidates per partition
+    * reach the shuffle, vs the window form shuffling and sorting every
+    * detail row (q_events_topn_user keeps the window form for the
+    * per-user case where |groups| ≈ |rows|; the heap wins when groups
+    * are few and rows are many). Deterministic tiebreak (value DESC,
+    * event_id ASC) makes the oracle hash-exact. */
+  def qTopkHeap(s: SparkSession, d: String): DataFrame = {
+    val topk = graft.operators.TopK.topk(5)
+    Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("rk"),
+        col("s.value").as("value"), col("s.id").as("event_id"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Banded temporal range join: per event, how many other events of
     * the same type fall within ±1 minute — graft.operators.RangeJoin
     * (equi-join on time bins, never a nested-loop theta join). */
@@ -354,6 +373,7 @@ object Events {
     "q_events_topn_user" -> (qEventsTopnUser _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_forward" -> (qAsofJoinForward _),
+    "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -533,6 +553,15 @@ object Events {
         |FROM ev e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts_us <= p.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "q_topk_heap" ->
+      """SELECT event_type, CAST(rk AS INTEGER) AS rk, value, event_id
+        |FROM (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
     // independent implementation: DuckDB plans the inequality join
     // directly (IEJoin); Spark side uses the banded equi-join shape
     "q_range_join" ->

@@ -97,6 +97,32 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("heap top-k equals window top-k and is partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf).where(col("value").isNotNull)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val windowed = ev
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("event_type"), col("rk").cast("int").as("rk"),
+        col("value"), col("event_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val heap = graft.queries.Events.qTopkHeap(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(heap == windowed, "heap top-k diverges from window top-k")
+    // merge across many partitions must not change the result
+    val topk = graft.operators.TopK.topk(5)
+    val repart = ev.repartition(13)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("rk"),
+        col("s.value").as("value"), col("s.id").as("event_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(repart == windowed, "partitioning changed the heap result")
+  }
+
   test("weighted sample keeps longer docs proportionally and is deterministic") {
     val out = graft.queries.Text.qSampleWeighted(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
