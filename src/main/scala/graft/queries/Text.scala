@@ -66,6 +66,28 @@ object Text {
         greatest(col("n_toks").cast("double"), lit(1.0)), 6).as("mean_tok_len"))
       .orderBy(col("doc_id"))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs both
+    * Java regex (Spark) and RE2 (DuckDB) support — no lookahead, so
+    * the contraction/trailing-space rules of the original are dropped
+    * (irrelevant on this ASCII corpus): a token is an optional space
+    * plus a letter run, digit run, or symbol run. */
+  private val BpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting both ways — whitespace tokens and BPE-ish regex
+    * tokens — plus the chars-per-token ratio used to budget training
+    * tokens from raw bytes. Pure per-row codegen'd expressions: no
+    * shuffle, no explode (counting needs sizes, not token rows). */
+  def qTextTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(size(regexp_extract_all(col("text"), lit(BpePattern),
+          lit(0))).cast("double"), lit(1.0)), 6).as("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+
   /** Composite quality score + keep/drop flag, from the backbone
     * counts. `keep` references the aggregated score columns — even
     * after CollapseProject re-inlines it, the expansion is a handful
@@ -353,6 +375,7 @@ object Text {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
     "q_text_stats" -> (qTextStats _),
+    "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -524,6 +547,16 @@ object Text {
         |  ROUND(QUANTILE_CONT(n_chars, 0.75), 4) AS p75,
         |  ROUND(QUANTILE_CONT(n_chars, 0.95), 4) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  LEN(STRING_SPLIT_REGEX(text, '\s+')) AS n_ws_tokens,
+        |  LEN(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+        |    AS n_bpe_tokens,
+        |  ROUND(LENGTH(text) * 1.0 /
+        |    GREATEST(LEN(regexp_extract_all(text,
+        |      ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) * 1.0, 1.0), 6)
+        |    AS chars_per_bpe_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens,

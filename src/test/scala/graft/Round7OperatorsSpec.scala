@@ -97,6 +97,22 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("BPE-ish token count refines the whitespace count, never below it") {
+    val out = graft.queries.Text.qTextTokens(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // every whitespace token yields >= 1 regex tokens
+    assert(out.where(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+    assert(out.where(col("chars_per_bpe_token") <= 0.0).count() == 0)
+    // known splits: punctuation/digit runs become their own tokens
+    import spark.implicits._
+    val probe = Seq((1L, "slow-fast table 42 value!!")).toDF("doc_id", "text")
+      .select(size(regexp_extract_all(col("text"),
+        lit(" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0))).as("n"))
+      .collect()(0).getInt(0)
+    assert(probe == 7, s"expected 7 BPE-ish tokens, got $probe")
+    out.unpersist()
+  }
+
   test("heap top-k equals window top-k and is partitioning-invariant") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf).where(col("value").isNotNull)
