@@ -174,11 +174,54 @@ object DedupSim {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_kmeans" -> (qAnnKmeans _),
-    "q_embed_quantize" -> (qEmbedQuantize _))
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_embed_covariance" -> (qEmbedCovariance _))
 
   /** Int8 quantization quality by label (Similarity.quantizeInt8Stats). */
   def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8Stats(embParallel(s, d))
+
+  /** Upper-triangle covariance matrix of the embedding space — the
+    * statistics behind PCA/whitening of an embedding column.
+    *
+    * Engine-portable arithmetic: components quantize to ×2²⁴ BIGINTs
+    * (the q_ann_kmeans trick), so Σq, Σq·q are EXACT DECIMAL sums and
+    * the closing covariance formula is a fixed sequence of IEEE double
+    * ops — hash-identical cross-engine at the 10 dp round.
+    *
+    * Scale shape: the d² blowup happens in the per-partition self-join
+    * of the exploded components on vec_id (AQE keeps it shuffle-on-
+    * vec_id; both sides share the partitioning) and is absorbed by the
+    * map-side partial aggregate — only d(d+1)/2 (i, j) rows ever reach
+    * the shuffle, and the per-dimension moment table joins back as a
+    * 64-row broadcast. At extreme n, the same sums can accumulate in a
+    * d²-buffer Aggregator (one object per task) without changing the
+    * result — the relational form is kept because it needs no custom
+    * buffer and its partials are already combinable. */
+  def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
+    val ex = embParallel(s, d).select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        round(col("x").cast("double") * 16777216.0).cast("long").as("q"))
+    val sums = ex.groupBy(col("i")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q").cast("decimal(38,0)")).as("s"))
+    val prod = ex.as("a")
+      .join(ex.select(col("vec_id"), col("i").as("j"), col("q").as("qb")),
+        "vec_id")
+      .where(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("q") * col("qb")).cast("decimal(38,0)")).as("sij"))
+    prod
+      .join(broadcast(sums.select(col("i"), col("n"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        round((col("sij").cast("double") / col("n") -
+          (col("si").cast("double") / col("n")) *
+          (col("sj").cast("double") / col("n"))) /
+          lit(281474976710656.0), 10).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
 
   /** DuckDB twin of qAnnKmeans, GENERATED from the same constants so
     * the two sides cannot drift: same md5 seed pick, same rounded
@@ -358,6 +401,28 @@ object DedupSim {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_spans" -> spansOracle,
+    "q_embed_covariance" ->
+      """WITH raw AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, i,
+        |    CAST(ROUND(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT) AS q
+        |  FROM raw),
+        |sums AS (
+        |  SELECT i, COUNT(*) AS n, SUM(CAST(q AS DECIMAL(38,0))) AS s
+        |  FROM ex GROUP BY 1),
+        |prod AS (
+        |  SELECT a.i, b.i AS j, SUM(CAST(a.q * b.q AS DECIMAL(38,0))) AS sij
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j,
+        |  ROUND((CAST(p.sij AS DOUBLE) / si.n -
+        |    (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n)) /
+        |    281474976710656.0, 10) AS cov
+        |FROM prod p JOIN sums si ON p.i = si.i JOIN sums sj ON p.j = sj.i
+        |ORDER BY p.i, p.j""".stripMargin,
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -97,6 +97,23 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embedding covariance: full triangle, PSD-consistent entries") {
+    val out = graft.queries.DedupSim.qEmbedCovariance(spark, sf).cache()
+    val d = 64
+    assert(out.count() == d.toLong * (d + 1) / 2, "not the full upper triangle")
+    val vars = out.where(col("i") === col("j"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(vars.size == d && vars.values.forall(_ >= 0.0),
+      "a diagonal variance is negative")
+    // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) (+ rounding slack)
+    val bad = out.where(col("i") =!= col("j")).collect().filter { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      math.abs(c) > math.sqrt(vars(i) * vars(j)) + 1e-9
+    }
+    assert(bad.isEmpty, s"covariance escapes the variance bound: ${bad.toSeq}")
+    out.unpersist()
+  }
+
   test("BPE-ish token count refines the whitespace count, never below it") {
     val out = graft.queries.Text.qTextTokens(spark, sf).cache()
     assert(out.count() == Tables.documents(spark, sf).count())
