@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
@@ -175,7 +175,8 @@ object DedupSim {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_embed_quantize" -> (qEmbedQuantize _),
-    "q_embed_covariance" -> (qEmbedCovariance _))
+    "q_embed_covariance" -> (qEmbedCovariance _),
+    "q_embed_pca" -> (qEmbedPca _))
 
   /** Int8 quantization quality by label (Similarity.quantizeInt8Stats). */
   def qEmbedQuantize(s: SparkSession, d: String): DataFrame =
@@ -221,6 +222,112 @@ object DedupSim {
           (col("sj").cast("double") / col("n"))) /
           lit(281474976710656.0), 10).as("cov"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Power-iteration rounds for the PCA top component — fixed, so the
+    * result is deterministic whether or not iteration has converged. */
+  private val PcaIters = 3
+
+  /** Top principal component of the embedding space by POWER ITERATION
+    * over the covariance matrix — the whitening/PCA direction, computed
+    * entirely in-plan (no driver linear algebra).
+    *
+    * Iteration arithmetic follows the PageRank discipline so the query
+    * carries a full hash-checked oracle: every per-row product is
+    * ROUNDed to a fixed grid and summed as DECIMAL (exact,
+    * order-independent), every normalization is correctly-rounded IEEE
+    * double ops re-snapped to 12 dp — bit-identical across
+    * partitionings AND engines; the oracle SQL is GENERATED from the
+    * same constants, unrolled once per iteration.
+    *
+    * Scale shape: the covariance matrix (d² rows — tiny for any
+    * realistic d) is materialized ONCE with localCheckpoint so the
+    * iterations read 2080 cached rows instead of re-deriving the
+    * n·d² moment pass; each round is one join + one aggregate + a
+    * 1-row broadcast norm. Deterministic init (uniform 1/√d) fixes the
+    * eigenvector sign. */
+  def qEmbedPca(s: SparkSession, d: String): DataFrame = {
+    val cov = qEmbedCovariance(s, d)
+    val full = cov.union(
+      cov.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    def snap(c: Column, p: Int): Column = round(c, p).cast(s"decimal(28,$p)")
+    var v = full.select(col("i")).distinct()
+      .select(col("i").as("idx"), lit(0.125).cast("decimal(28,12)").as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val w = full.join(v.select(col("idx").as("j"), col("v")), "j")
+        .select(col("i"), snap(col("cov") * col("v").cast("double"), 14).as("p"))
+        .groupBy(col("i")).agg(sum(col("p")).as("w"))
+      val nrm = w.agg(sum(
+        snap(col("w").cast("double") * col("w").cast("double"), 16)).as("ss"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("idx"),
+          snap(col("w").cast("double") / sqrt(col("ss").cast("double")), 12)
+            .as("v"))
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("idx").as("i"),
+        round(col("v").cast("double"), 8).as("loading"),
+        round(sqrt(col("ss").cast("double")), 8).as("eigenvalue"))
+      .orderBy(col("i"))
+  }
+
+  /** DuckDB twin of qEmbedPca, GENERATED from the same constants:
+    * identical covariance CTEs, identical product/norm rounding grids,
+    * unrolled once per power iteration. */
+  private def pcaOracle: String = {
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "r0" else s"r${t - 1}"
+      s"""w$t AS (
+         |  SELECT f.i,
+         |    SUM(CAST(ROUND(f.cov * CAST(p.v AS DOUBLE), 14) AS DECIMAL(28,14))) AS w
+         |  FROM covfull f JOIN $prev p ON f.j = p.idx GROUP BY 1),
+         |n$t AS (
+         |  SELECT SUM(CAST(ROUND(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 16)
+         |    AS DECIMAL(28,16))) AS ss FROM w$t),
+         |r$t AS (
+         |  SELECT i AS idx,
+         |    CAST(ROUND(CAST(w AS DOUBLE) / SQRT(CAST(ss AS DOUBLE)), 12)
+         |      AS DECIMAL(28,12)) AS v
+         |  FROM w$t CROSS JOIN n$t),""".stripMargin
+    }
+    s"""WITH raw AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding) AS x
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, i,
+       |    CAST(ROUND(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT) AS q
+       |  FROM raw),
+       |sums AS (
+       |  SELECT i, COUNT(*) AS n, SUM(CAST(q AS DECIMAL(38,0))) AS s
+       |  FROM ex GROUP BY 1),
+       |prod AS (
+       |  SELECT a.i, b.i AS j, SUM(CAST(a.q * b.q AS DECIMAL(38,0))) AS sij
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |covtri AS (
+       |  SELECT p.i, p.j,
+       |    ROUND((CAST(p.sij AS DOUBLE) / si.n -
+       |      (CAST(si.s AS DOUBLE) / si.n) * (CAST(sj.s AS DOUBLE) / sj.n)) /
+       |      281474976710656.0, 10) AS cov
+       |  FROM prod p JOIN sums si ON p.i = si.i JOIN sums sj ON p.j = sj.i),
+       |covfull AS (
+       |  SELECT i, j, cov FROM covtri
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM covtri WHERE i <> j),
+       |r0 AS (
+       |  SELECT DISTINCT i AS idx, CAST(0.125 AS DECIMAL(28,12)) AS v
+       |  FROM covfull),
+       |${(1 to PcaIters).map(iter).mkString("\n")}
+       |fin AS (
+       |  SELECT idx AS i, ROUND(CAST(v AS DOUBLE), 8) AS loading,
+       |    ROUND(SQRT(CAST(ss AS DOUBLE)), 8) AS eigenvalue
+       |  FROM r$PcaIters CROSS JOIN n$PcaIters)
+       |SELECT i, loading, eigenvalue FROM fin ORDER BY i""".stripMargin
   }
 
   /** DuckDB twin of qAnnKmeans, GENERATED from the same constants so
@@ -401,6 +508,7 @@ object DedupSim {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_spans" -> spansOracle,
+    "q_embed_pca" -> pcaOracle,
     "q_embed_covariance" ->
       """WITH raw AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

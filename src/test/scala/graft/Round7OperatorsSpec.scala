@@ -114,6 +114,20 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PCA power iteration yields a unit direction with positive spectrum") {
+    val out = graft.queries.DedupSim.qEmbedPca(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"loadings not unit norm: $norm2")
+    val ev = rows.map(_.getDouble(2)).distinct
+    assert(ev.length == 1 && ev(0) > 0.0, "eigenvalue must be a positive scalar")
+    // deterministic across runs (quantized arithmetic)
+    val again = graft.queries.DedupSim.qEmbedPca(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    out.unpersist()
+  }
+
   test("BPE-ish token count refines the whitespace count, never below it") {
     val out = graft.queries.Text.qTextTokens(spark, sf).cache()
     assert(out.count() == Tables.documents(spark, sf).count())
