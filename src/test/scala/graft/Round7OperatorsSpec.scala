@@ -114,6 +114,47 @@ class Round7OperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("densifiers carry across whole EMPTY days (banding boundary case)") {
+    // synthetic corpus: one observation on day 1, silence for two full
+    // days, one observation on day 4 — the within-day windows see only
+    // nulls on days 2-3, so LOCF must come entirely from the cross-day
+    // carry table and interpolation must bridge a 3-day segment
+    import spark.implicits._
+    val dir = "/tmp/graft_gapfill_boundary"
+    // ts as LONG nanoseconds — the on-disk shape Tables.events expects
+    // (the driver parquet stores timestamp[ns], read via nanosAsLong)
+    def ns(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, 10L, ns("2024-01-01 12:00:00"), "a", "{}", 10.0),
+      (2L, 10L, ns("2024-01-04 12:00:00"), "a", "{}", 40.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gf = graft.queries.Events.qEventsGapfill(spark, dir).cache()
+    val n = gf.count()
+    assert(n == (3L * 24 * 12 + 1), s"grid should span 3 full days + 1 bucket, got $n")
+    // every bucket after the first observation carries 10.0 until the
+    // second observation lands 40.0 — no nulls anywhere in between
+    assert(gf.where(col("locf_value").isNull).count() == 0)
+    assert(gf.where(col("locf_value") === 10.0).count() == n - 1)
+    val ip = graft.queries.Events.qEventsInterpolate(spark, dir).cache()
+    assert(ip.where(col("interp_value").isNull).count() == 0)
+    // strictly increasing across the whole 3-day bridge
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket_start"))
+    val nonMono = ip.withColumn("prev", lag(col("interp_value"), 1).over(w))
+      .where(col("prev").isNotNull && col("interp_value") <= col("prev"))
+    assert(nonMono.count() == 0, "interpolated bridge is not monotone")
+    // exact midpoint of the segment
+    val mid = ip.where(col("bucket_start") ===
+      java.sql.Timestamp.valueOf("2024-01-03 00:00:00")).collect()(0).getDouble(3)
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("2024-01-04 12:00:00").getTime
+    val at = java.sql.Timestamp.valueOf("2024-01-03 00:00:00").getTime
+    val want = 10.0 + (40.0 - 10.0) * ((at - lo).toDouble / (hi - lo).toDouble)
+    assert(math.abs(mid - want) < 1e-6, s"midpoint $mid != $want")
+    gf.unpersist(); ip.unpersist()
+  }
+
   test("PCA power iteration yields a unit direction with positive spectrum") {
     val out = graft.queries.DedupSim.qEmbedPca(spark, sf).cache()
     val rows = out.collect()
