@@ -169,6 +169,44 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == ((1L, 5.0)))
   }
 
+  test("streaming gap-fill folds late in-watermark rows into their bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.gapfillStream(stream.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(TypedEvent("click", t("2024-01-01 10:00:10"), 1.0))
+      q.processAllAvailable()
+      // a LATE row for the 10:00 bucket — 20 minutes behind the head
+      // but inside the 30-minute watermark: it must fold into the still
+      // -open 10:00 bucket, not be dropped and not distort a later one
+      stream.addData(
+        TypedEvent("click", t("2024-01-01 10:20:00"), 5.0),
+        TypedEvent("click", t("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize through 10:20
+      stream.addData(TypedEvent("click", t("2024-01-01 11:00:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gapfill_late_out").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    // 10:00 bucket holds BOTH rows (1.0 + 2.0); gaps carry 3.0 to 10:15
+    val want: Set[(String, Long, Option[Double])] = Set(
+      ("2024-01-01 10:00:00.0", 2L, Some(3.0)),
+      ("2024-01-01 10:05:00.0", 0L, Some(3.0)),
+      ("2024-01-01 10:10:00.0", 0L, Some(3.0)),
+      ("2024-01-01 10:15:00.0", 0L, Some(3.0)),
+      ("2024-01-01 10:20:00.0", 1L, Some(5.0)),
+      ("2024-01-01 10:25:00.0", 0L, Some(5.0)))
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("streaming gap-fill emits dense finalized buckets with LOCF carry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
