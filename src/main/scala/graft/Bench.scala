@@ -60,7 +60,18 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist to the repo root: the driver snapshots only the
+    // tail of sbt output and has truncated the one-line JSON mid-line
+    // before (BENCH_r07 parsed=null) — the file survives verbatim
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

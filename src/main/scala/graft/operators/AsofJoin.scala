@@ -84,10 +84,19 @@ object AsofJoin {
     def fill(c: Column): Column =
       if (forward) first(c, ignoreNulls = true).over(w)
       else last(c, ignoreNulls = true).over(w)
-    val filled = payloadCols.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, fill(col(c)))
-    }
-    filled.where(col("_side") === leftTag).drop("_side")
+    // Fill ONE struct of all payload columns, not each column
+    // independently: a per-column ignoreNulls fill would source a
+    // NULL payload field from a DIFFERENT right row than its
+    // siblings. The struct is non-null on every right row (even when
+    // all its fields are null), so the matched row's NULLs survive —
+    // and one window expression replaces |payload| of them.
+    val atomic = when(col("_side") === lit(rightTag),
+      struct(payloadCols.map(col): _*))
+    val filled = taggedLeft.unionByName(taggedRight)
+      .withColumn("_payload", fill(atomic))
+    payloadCols.foldLeft(filled) {
+      (df, c) => df.withColumn(c, col("_payload")(c))
+    }.where(col("_side") === leftTag).drop("_side", "_payload")
   }
 
   /** Column-renaming convenience: as-of join where the right payload

@@ -23,22 +23,28 @@ case class ScoredId(value: Double, id: Long)
   * codegen because the bounded buffer eliminates the sort entirely;
   * cost per row is O(log k) against a k-element buffer.
   *
-  * The buffer is kept as a sorted Seq (k is small by contract); merge
+  * The buffer is kept as a sorted Seq (k is small by contract), so a
+  * reduce is a position scan + splice — O(k) per admitted row, O(1)
+  * compare-and-reject for the common below-threshold row; merge
   * concatenates and re-takes k. NULL-valued rows must be filtered by
   * the caller (an SQL window treats them per null-ordering; a heap has
   * no natural place for them).
   */
 class TopKAggregator(k: Int)
     extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
   private val ord: Ordering[ScoredId] =
     Ordering.by((s: ScoredId) => (-s.value, s.id))
 
   override def zero: Seq[ScoredId] = Nil
 
   override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-    if (b.lengthCompare(k) < 0 || ord.lt(a, b.last))
-      ((b :+ a).sorted(ord)).take(k)
-    else b
+    if (b.lengthCompare(k) < 0 || ord.lt(a, b.last)) {
+      val i = b.indexWhere(ord.lt(a, _)) // b is sorted; splice in place
+      val at = if (i < 0) b.length else i
+      (b.take(at) :+ a) ++ b.drop(at).take(k - at - 1)
+    } else b
 
   override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
     (x ++ y).sorted(ord).take(k)

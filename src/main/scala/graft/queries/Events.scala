@@ -310,7 +310,14 @@ object Events {
     val types = perMin.select(col("event_type")).distinct()
     val dense = grid.crossJoin(broadcast(types))
       .join(perMin, Seq("event_type", "m"), "left")
-    val obs = struct(col("m"), col("sum_value"))
+    // Null-sum buckets (all-null values in the bucket) must be
+    // INVISIBLE to the day first/last observation, exactly as the
+    // within-day windows skip them: otherwise a day whose last bucket
+    // sums to null would be skipped wholesale by the cross-day
+    // ignoreNulls carry instead of contributing its earlier non-null
+    // observation (oracle semantics are full-partition IGNORE NULLS).
+    val obs = when(col("sum_value").isNotNull,
+      struct(col("m"), col("sum_value")))
     val obsDay = perMin
       .groupBy(col("event_type"), date_trunc("DAY", col("m")).as("day"))
       .agg(max(obs).as("day_last"), min(obs).as("day_first"))

@@ -160,9 +160,20 @@ object EventsStream {
           // buckets whose END the watermark has passed are final
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val horizon = Math.floorDiv(wmMicros, stepMicros)
+          // The emit cursor must never sit ABOVE an open bucket: with
+          // watermark delay > bucket width, a late in-watermark row
+          // can land in a bucket EARLIER than the first-seen one —
+          // pinning the cursor to the first-seen bucket would leave
+          // that row unemitted and its state entry permanent. Taking
+          // the min is safe: watermark admission guarantees no row
+          // precedes a bucket the horizon already finalized, so the
+          // cursor never moves back over emitted output.
+          val earliestOpen =
+            if (open.isEmpty) Long.MaxValue else open.keys.min
           var next =
-            if (prev.nextBucket != Long.MinValue) prev.nextBucket
-            else if (open.nonEmpty) open.keys.min
+            if (prev.nextBucket != Long.MinValue)
+              math.min(prev.nextBucket, earliestOpen)
+            else if (open.nonEmpty) earliestOpen
             else Long.MinValue
           if (next == Long.MinValue) {
             // nothing observed yet for this type; no state to keep

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 fixes: densifier carry past null-sum buckets, as-of join
+  * payload atomicity, top-k aggregate guards. */
+class Round8OperatorsSpec extends SparkSpec {
+
+  test("densifier carry skips null-sum buckets, not whole days") {
+    // day 1 observes 5.0 at 10:00 and then a NULL-valued event at
+    // 12:00 (that bucket's sum is NULL). The cross-day carry must
+    // still export day 1's 5.0 — a day whose LAST bucket sums to null
+    // must contribute its earlier non-null observation, exactly like
+    // a full-partition IGNORE NULLS scan would.
+    import spark.implicits._
+    val dir = "/tmp/graft_gapfill_nullsum"
+    def ns(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, 10L, ns("2024-01-01 10:00:00"), "a", "{}", Some(5.0)),
+      (2L, 10L, ns("2024-01-01 12:00:00"), "a", "{}", None),
+      (3L, 10L, ns("2024-01-03 12:00:00"), "a", "{}", Some(35.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gf = graft.queries.Events.qEventsGapfill(spark, dir).cache()
+    // every day-2 bucket is LOCF'd from day 1's 5.0 — with the null
+    // bucket visible to the day summary the whole day would be
+    // skipped and these would all be NULL
+    val day2 = gf.where(col("bucket_start") >=
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00") &&
+      col("bucket_start") < java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(day2.count() == 288L, "day 2 grid incomplete")
+    assert(day2.where(col("locf_value") === 5.0).count() == 288L,
+      "cross-day carry lost day 1's non-null observation")
+    // the null-sum bucket itself LOCFs from the earlier 5.0 too
+    val atNull = gf.where(col("bucket_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00")).collect()(0)
+    assert(atNull.getDouble(3) == 5.0, "null-sum bucket should LOCF 5.0")
+    gf.unpersist()
+    // interpolation bridges 5.0 -> 35.0 across the null bucket and
+    // the empty day: strictly monotone, correct midpoint
+    val ip = graft.queries.Events.qEventsInterpolate(spark, dir).cache()
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("2024-01-03 12:00:00").getTime
+    val at = java.sql.Timestamp.valueOf("2024-01-02 11:00:00").getTime
+    val want = 5.0 + (35.0 - 5.0) * ((at - lo).toDouble / (hi - lo).toDouble)
+    val got = ip.where(col("bucket_start") ===
+      java.sql.Timestamp.valueOf("2024-01-02 11:00:00")).collect()(0).getDouble(3)
+    assert(math.abs(got - want) < 1e-6, s"bridge midpoint $got != $want")
+    assert(ip.where(col("interp_value").isNull).count() == 0,
+      "a bucket inside the observed span stayed null")
+    ip.unpersist()
+  }
+
+  test("as-of payload columns come atomically from the matched row") {
+    // the matched right row (k=1, t=10) has a NULL in one payload
+    // column; a per-column ignoreNulls fill would steal that column
+    // from the earlier (t=5) row — the join must return the matched
+    // row's NULL alongside its non-null sibling
+    import spark.implicits._
+    val left = Seq((1L, 12L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 5L, Option("old_a"), Option("old_b")),
+      (1L, 10L, None: Option[String], Option("new_b")))
+      .toDF("k", "t", "a", "b")
+    val back = graft.operators.AsofJoin.asof(left, right, "k", "t",
+      Seq("a", "b")).collect()(0)
+    assert(back.isNullAt(2) && back.getString(3) == "new_b",
+      s"backward fill mixed rows: $back")
+    val fleft = Seq((1L, 2L)).toDF("k", "t")
+    val fright = Seq(
+      (1L, 4L, None: Option[String], Option("near_b")),
+      (1L, 9L, Option("far_a"), Option("far_b")))
+      .toDF("k", "t", "a", "b")
+    val fwd = graft.operators.AsofJoin.asofForward(fleft, fright, "k", "t",
+      Seq("a", "b")).collect()(0)
+    assert(fwd.isNullAt(2) && fwd.getString(3) == "near_b",
+      s"forward fill mixed rows: $fwd")
+  }
+
+  test("top-k aggregator rejects k <= 0 and keeps buffer sorted") {
+    intercept[IllegalArgumentException](new graft.operators.TopKAggregator(0))
+    intercept[IllegalArgumentException](new graft.operators.TopKAggregator(-3))
+    val a = new graft.operators.TopKAggregator(3)
+    import graft.operators.ScoredId
+    val fed = Seq(5.0 -> 1L, 1.0 -> 2L, 3.0 -> 3L, 9.0 -> 4L, 3.0 -> 0L)
+      .foldLeft(a.zero) { case (b, (v, i)) => a.reduce(b, ScoredId(v, i)) }
+    assert(fed == Seq(ScoredId(9.0, 4L), ScoredId(5.0, 1L), ScoredId(3.0, 0L)),
+      s"splice order wrong: $fed")
+    val merged = a.merge(fed, Seq(ScoredId(7.0, 9L)))
+    assert(merged == Seq(ScoredId(9.0, 4L), ScoredId(7.0, 9L), ScoredId(5.0, 1L)))
+  }
+}

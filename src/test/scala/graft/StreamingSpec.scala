@@ -207,6 +207,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
   }
 
+  test("streaming gap-fill admits a late row in an EARLIER bucket than first-seen") {
+    // watermark delay (30 m) > bucket width (5 m): after the head row
+    // opens the 10:20 bucket, a late-but-in-watermark row can land in
+    // the 10:00 bucket. The emit cursor must back up to it — pinning
+    // to the first-seen bucket would silently drop the row AND leave
+    // its state entry resident forever.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.gapfillStream(stream.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_early_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(TypedEvent("click", t("2024-01-01 10:20:10"), 1.0))
+      q.processAllAvailable()
+      // 19 minutes behind the head but inside the 30-minute watermark
+      stream.addData(TypedEvent("click", t("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // watermark -> 10:26, finalizing buckets through 10:20
+      stream.addData(TypedEvent("click", t("2024-01-01 10:56:00"), 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gapfill_early_out").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    val want: Set[(String, Long, Option[Double])] = Set(
+      ("2024-01-01 10:00:00.0", 1L, Some(2.0)),
+      ("2024-01-01 10:05:00.0", 0L, Some(2.0)),
+      ("2024-01-01 10:10:00.0", 0L, Some(2.0)),
+      ("2024-01-01 10:15:00.0", 0L, Some(2.0)),
+      ("2024-01-01 10:20:00.0", 1L, Some(1.0)))
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("streaming gap-fill emits dense finalized buckets with LOCF carry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
