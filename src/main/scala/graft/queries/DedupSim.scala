@@ -140,18 +140,20 @@ object DedupSim {
     * (see Similarity.kmeansRefine), and the oracle SQL below unrolls
     * the same two iterations from the same constants. */
   def qAnnKmeans(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = embParallel(s, d)
     val cent = Similarity.kmeansRefine(
       emb, k = KmeansCells, iters = KmeansIters,
       cosineFn = Similarity.cosineIn(s))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("_sim").desc, col("cell_id"))
-    emb.crossJoin(broadcast(cent))
-      .withColumn("_sim",
-        round(Similarity.cosineIn(s)(col("embedding"), col("centroid")), 6))
-      .withColumn("_crk", row_number().over(w))
-      .where(col("_crk") === 1)
+    // nearest-cell assignment as a per-row array argmax over the ONE
+    // broadcast centroid-array row (see Similarity.ivfAssign): no n·K
+    // candidate rows, no window, no exchange before the cell rollup —
+    // the final groupBy(cell_id) is the only shuffle, a plain codegen
+    // HashAggregate with map-side partials
+    val best = array_max(Similarity.scoredCells(
+      col("embedding"), col("_cents"), Similarity.cosineIn(s)))
+    emb.crossJoin(broadcast(Similarity.packCentroids(cent)))
+      .select(best.getField("cell_id").as("cell_id"),
+        best.getField("_sim").as("_sim"))
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_members"),
            sum(col("_sim").cast("decimal(18,6)")).cast("double").as("sum_sim"))
@@ -186,20 +188,50 @@ object DedupSim {
     * statistics behind PCA/whitening of an embedding column.
     *
     * Engine-portable arithmetic: components quantize to ×2²⁴ BIGINTs
-    * (the q_ann_kmeans trick), so Σq, Σq·q are EXACT DECIMAL sums and
+    * (the q_ann_kmeans trick), so Σq, Σq·q are EXACT integer sums and
     * the closing covariance formula is a fixed sequence of IEEE double
     * ops — hash-identical cross-engine at the 10 dp round.
     *
-    * Scale shape: the d² blowup happens in the per-partition self-join
-    * of the exploded components on vec_id (AQE keeps it shuffle-on-
-    * vec_id; both sides share the partitioning) and is absorbed by the
-    * map-side partial aggregate — only d(d+1)/2 (i, j) rows ever reach
-    * the shuffle, and the per-dimension moment table joins back as a
-    * 64-row broadcast. At extreme n, the same sums can accumulate in a
-    * d²-buffer Aggregator (one object per task) without changing the
-    * result — the relational form is kept because it needs no custom
-    * buffer and its partials are already combinable. */
+    * Scale shape: ONE streaming pass. Each quantized vector folds into
+    * a per-task d²-buffer (operators.CovarianceAggregator) holding all
+    * d(d+1)/2 product sums in 128-bit; only |tasks| buffers reach the
+    * exchange, and the closing formula runs over 2080 exploded cells.
+    * No join, no component explode — the previous relational form
+    * (kept below as the spec-checked twin and the DuckDB oracle shape)
+    * materialized n·d(d+1)/2 self-join rows in its map stage before
+    * partial aggregation absorbed them: a 2080× row amplification at
+    * d=64 that this one-pass shape eliminates. */
   def qEmbedCovariance(s: SparkSession, d: String): DataFrame = {
+    val qvec = transform(col("embedding"),
+      x => round(x.cast("double") * 16777216.0).cast("long"))
+    val covAgg = org.apache.spark.sql.functions.udaf(
+      new graft.operators.CovarianceAggregator(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    embParallel(s, d)
+      .select(qvec.as("q"))
+      .agg(covAgg(col("q")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        col("c.sij").cast("decimal(38,0)").as("sij"),
+        col("c.si").cast("decimal(38,0)").as("si"),
+        col("c.sj").cast("decimal(38,0)").as("sj"),
+        col("c.n").as("n"))
+      .select(col("i"), col("j"),
+        round((col("sij").cast("double") / col("n") -
+          (col("si").cast("double") / col("n")) *
+          (col("sj").cast("double") / col("n"))) /
+          lit(281474976710656.0), 10).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The covariance RELATIONAL twin — explode components, self-join on
+    * vec_id, partial-aggregate the d(d+1)/2 products. Same quantized
+    * moments, same closing arithmetic, so it is value-identical to
+    * qEmbedCovariance (spec-asserted); it is also the shape the DuckDB
+    * oracle SQL computes. Kept for that cross-check, NOT registered:
+    * its map stage materializes n·d(d+1)/2 join rows before the
+    * partials absorb them. */
+  private[graft] def covarianceRelational(s: SparkSession, d: String): DataFrame = {
     val ex = embParallel(s, d).select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).as("i"),

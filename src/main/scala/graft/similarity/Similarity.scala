@@ -182,24 +182,59 @@ object Similarity {
     cent
   }
 
-  /** Assign every vector to its nearest centroid: broadcast the K
-    * centroids against the corpus (K dot products per row — the linear
-    * IVF build scan), keep the argmax-similarity cell. */
+  /** The K centroids collapsed to ONE (cell_id, centroid)[] array row,
+    * ready to broadcast into a per-row assignment expression. */
+  def packCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(
+      collect_list(struct(col("cell_id"), col("centroid"))).as("_cents"))
+
+  /** Per-element scored-cell structs for one vector: (rounded cosine,
+    * -cell_id, cell_id) — lexicographic struct order IS (sim DESC,
+    * cell ASC), so `array_max` picks the nearest cell and `array_sort`
+    * on the negated-sim twin ranks all of them. Ranking the ROUNDED
+    * similarity (cell_id tiebreak) keeps the choice bit-stable across
+    * engines and cluster sizes: distributed float noise below 1e-6 can
+    * never flip a cell. */
+  def scoredCells(
+      vec: Column, cents: Column,
+      cosineFn: (Column, Column) => Column): Column =
+    transform(cents, c => struct(
+      round(cosineFn(vec, c.getField("centroid")), 6).as("_sim"),
+      (-c.getField("cell_id")).as("_negCell"),
+      c.getField("cell_id").as("cell_id")))
+
+  /** Assign every vector to its nearest centroid(s).
+    *
+    * The centroid set is collapsed to a single broadcast array row, so
+    * assignment is a PURE PER-ROW EXPRESSION: K dot products + an
+    * array argmax. No candidate-row blowup (a centroids crossJoin
+    * materializes n·K rows), no window, no aggregate — and therefore
+    * NO exchange: at 100 TB the assign is an embarrassingly-parallel
+    * map over the corpus, where the previous row_number() form
+    * shuffled and sorted all n·K candidate rows on vec_id. Downstream
+    * consumers repartition by their own keys (cell_id / (cell, dim)),
+    * so no useful partitioning is lost. */
   def ivfAssign(
       vecs: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       nProbe: Int = 1,
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_sim").desc, col("cell_id"))
-    // argmax on the ROUNDED similarity (cell_id tiebreak): distributed
-    // float noise below 1e-6 can never flip a cell choice, so the
-    // assignment is bit-stable across engines and cluster sizes
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("_sim", round(cosineFn(col(vecCol), col("centroid")), 6))
-      .withColumn("_crk", row_number().over(w))
-      .where(col("_crk") <= nProbe)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val base = vecs.crossJoin(broadcast(packCentroids(centroids)))
+    val scored = scoredCells(col(vecCol), col("_cents"), cosineFn)
+    if (nProbe <= 1)
+      base.select(col(idCol), col(vecCol),
+        array_max(scored).getField("cell_id").as("cell_id"))
+    else {
+      // rank by ascending (-sim, cell) = (sim DESC, cell ASC):
+      // negation is antitone on Spark's total double order (incl.
+      // -0.0 < 0.0), so the slice is exactly a DESC rank ≤ nProbe
+      val ranked = transform(scored, s => struct(
+        (-s.getField("_sim")).as("_negSim"),
+        s.getField("cell_id").as("cell_id")))
+      base.select(col(idCol), col(vecCol),
+        explode(transform(slice(array_sort(ranked), 1, nProbe),
+          s => s.getField("cell_id"))).as("cell_id"))
+    }
   }
 
   /** IVF approximate top-k: corpus rows live in their 1 nearest cell,

@@ -149,6 +149,22 @@ class PlanSpec extends SparkSpec {
       s"grid generation not repartitioned by day:\n$p")
   }
 
+  test("nearest-centroid assignment is a per-row expression — no Window") {
+    // the assign used to rank an n·K crossJoin with row_number(),
+    // shuffling and sorting every candidate row on vec_id; it is now
+    // an array argmax over one broadcast centroid-array row, so the
+    // k-means rollup plan must contain NO Window node at all and the
+    // IVF search plan only the final per-query ranking window
+    // the assignment window's signature was PARTITION BY vec_id; the
+    // only windows allowed to remain are the k-row centroid pick
+    // (PARTITION-less over 16 rows) and IVF's final per-query ranking
+    for (q <- Seq(gq.DedupSim.qAnnKmeans _, gq.DedupSim.qAnnIvf _)) {
+      val p = plan(q(spark, sf))
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"nearest-centroid assignment regressed to a vec_id window:\n$p")
+    }
+  }
+
   test("fuzzy join is an equi-join on the compound (block, band) key") {
     val p = plan(gq.Relational.qFuzzyJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

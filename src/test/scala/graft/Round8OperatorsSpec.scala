@@ -51,6 +51,46 @@ class Round8OperatorsSpec extends SparkSpec {
     ip.unpersist()
   }
 
+  test("one-pass covariance aggregator equals the relational twin exactly") {
+    // the d²-buffer path must be VALUE-identical (not approximately)
+    // to the explode+self-join form: both sum the same quantized
+    // BIGINT moments exactly and close with the same double sequence
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val fast = cells(graft.queries.DedupSim.qEmbedCovariance(spark, sf))
+    val rel = cells(graft.queries.DedupSim.covarianceRelational(spark, sf))
+    assert(fast.size == 64 * 65 / 2 && fast.keySet == rel.keySet)
+    val diff = fast.collect {
+      case (k, v) if v != rel(k) => (k, v, rel(k))
+    }
+    assert(diff.isEmpty, s"cells diverge: ${diff.take(5)}")
+  }
+
+  test("covariance 128-bit accumulation survives values a long sum cannot") {
+    // feed components of magnitude 2^25 for 2^14 rows: each product is
+    // 2^50, the pair sum reaches 2^64 — past Long range. The 128-bit
+    // (hi, lo) pairs must carry it exactly.
+    val agg = new graft.operators.CovarianceAggregator(2)
+    val rows = 16384
+    val v = 1L << 25
+    val buf = (1 to rows).foldLeft(agg.zero)((b, _) => agg.reduce(b, Seq(v, -v)))
+    // split-merge must agree with the straight fold
+    val half1 = (1 to rows / 2).foldLeft(agg.zero)((b, _) => agg.reduce(b, Seq(v, -v)))
+    val half2 = (1 to rows / 2).foldLeft(agg.zero)((b, _) => agg.reduce(b, Seq(v, -v)))
+    val merged = agg.merge(half1, half2)
+    assert(buf.toSeq == merged.toSeq, "merge disagrees with sequential fold")
+    val out = agg.finish(buf).map(c => (c.i, c.j) -> c).toMap
+    val exp = java.math.BigInteger.valueOf(v).pow(2)
+      .multiply(java.math.BigInteger.valueOf(rows))
+    assert(out((1, 1)).sij == exp.toString, s"got ${out((1, 1)).sij}")
+    assert(out((1, 2)).sij == exp.negate.toString, "negative sum wrong")
+    assert(out((2, 2)).sij == exp.toString)
+    assert(out((1, 1)).si == java.math.BigInteger.valueOf(v)
+      .multiply(java.math.BigInteger.valueOf(rows)).toString)
+    assert(out((1, 2)).sj == java.math.BigInteger.valueOf(-v)
+      .multiply(java.math.BigInteger.valueOf(rows)).toString)
+  }
+
   test("as-of payload columns come atomically from the matched row") {
     // the matched right row (k=1, t=10) has a NULL in one payload
     // column; a per-column ignoreNulls fill would steal that column
