@@ -28,32 +28,46 @@ import org.apache.spark.sql.functions._
   *      which runs only inside surviving candidate pairs.
   *
   * Blocking trades recall for tractability by construction (a typo in
-  * the block token escapes the join) — that is the documented contract
-  * of every production fuzzy matcher; add a second blocking pass on a
-  * different key to recover cross-block pairs.
+  * the block token escapes the join); a SECOND blocking pass on a
+  * different key recovers cross-block pairs — a pair only escapes both
+  * passes when BOTH its keys are corrupted, which for independent
+  * typo sites squares the miss rate.
   */
 object FuzzyJoin {
 
   /** Distinct-value fuzzy pairs: (name_a, name_b, dist, n_a, n_b) for
-    * every same-block pair of distinct `nameCol` values within
-    * `maxDist` edits, with each side's supporting row count. */
+    * every pair of distinct `nameCol` values within `maxDist` edits
+    * that share a block under `blockOf` (or `blockOf2`, when given),
+    * with each side's supporting row count.
+    *
+    * With a second key the candidate sets of both passes union and
+    * dedup BEFORE the O(len²) edit distance: the dedup shuffle is
+    * vocabulary-scale (bounded), and levenshtein runs once per
+    * distinct pair. */
   def fuzzyNamePairs(
       rows: DataFrame, nameCol: String, blockOf: Column => Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      blockOf2: Option[Column => Column] = None): DataFrame = {
     val bandWidth = maxDist + 1
     val vocab = rows.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("blk", blockOf(col("name")))
       .withColumn("band", floor(length(col("name")) / lit(bandWidth)))
-    val a = vocab.select(col("name").as("name_a"), col("n").as("n_a"),
-      col("blk"), col("band"))
-    val b = vocab.select(col("name").as("name_b"), col("n").as("n_b"),
-      col("blk"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1))
-        .as("band"))
-    a.join(b, Seq("blk", "band"))
-      .where(col("name_a") < col("name_b"))
-      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+    def candidates(key: Column => Column): DataFrame = {
+      val v = vocab.withColumn("blk", key(col("name")))
+      val a = v.select(col("name").as("name_a"), col("n").as("n_a"),
+        col("blk"), col("band"))
+      val b = v.select(col("name").as("name_b"), col("n").as("n_b"),
+        col("blk"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1))
+          .as("band"))
+      a.join(b, Seq("blk", "band"))
+        .where(col("name_a") < col("name_b"))
+        .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+    }
+    val cand = blockOf2.fold(candidates(blockOf))(k2 =>
+      candidates(blockOf).unionByName(candidates(k2)).distinct())
+    cand
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"),
@@ -64,4 +78,9 @@ object FuzzyJoin {
     * noun"-shaped names the noun is the stable part). */
   def lastTokenBlock(name: Column): Column =
     element_at(split(name, " "), -1)
+
+  /** Complementary second block key: the FIRST token — recovers pairs
+    * whose last token carries the typo. */
+  def firstTokenBlock(name: Column): Column =
+    element_at(split(name, " "), 1)
 }

@@ -180,20 +180,25 @@ object Agg {
     * detail rows.
     *
     * 100 TB note: exact percentile is an ObjectHashAggregate that
-    * buffers every group value — swap in
-    * `approx_percentile(l_quantity, 0.5, 10000)` at scale (bounded
-    * sketch, same plan shape); exact is kept here because the oracle
-    * gate hash-compares values cross-engine. The mode path needs no
-    * swap: it aggregates to (group, value) counts first, which is
-    * map-side combinable and never buffers raw rows. */
-  def qAggMedianMode(s: SparkSession, d: String): DataFrame = {
+    * buffers every group value — an OOM past a few GiB, so the medians
+    * ROUTE by input size (operators.ScaleRouting): exact below the
+    * threshold (every oracle SF — the gate hash-compares values
+    * cross-engine), `approx_percentile` sketches above it. The mode
+    * path needs no routing: it aggregates to (group, value) counts
+    * first, which is map-side combinable and never buffers raw rows. */
+  def qAggMedianMode(s: SparkSession, d: String): DataFrame =
+    aggMedianMode(s, d, graft.operators.ScaleRouting
+      .exactPercentileOk(s, s"$d/lineitem.parquet"))
+
+  private[graft] def aggMedianMode(
+      s: SparkSession, d: String, exact: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.operators.ScaleRouting.{percentileCont, percentileDisc}
     val li = Tables.lineitem(s, d)
     val stats = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
-        .as("median_disc_qty"))
+      round(percentileCont(exact, "l_quantity", 0.5), 4).as("median_qty"),
+      percentileDisc(exact, "l_quantity", 0.5).as("median_disc_qty"))
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("cnt").desc, col("l_quantity").asc)
     val modes = li.groupBy(col("l_returnflag"), col("l_quantity"))

@@ -202,7 +202,8 @@ object Relational {
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame =
     graft.operators.FuzzyJoin.fuzzyNamePairs(
       Tables.part(s, d), "p_name",
-      graft.operators.FuzzyJoin.lastTokenBlock, maxDist = 2)
+      graft.operators.FuzzyJoin.lastTokenBlock, maxDist = 2,
+      blockOf2 = Some(graft.operators.FuzzyJoin.firstTokenBlock))
       .orderBy(col("name_a"), col("name_b"))
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -235,13 +236,20 @@ object Relational {
     "q_fuzzy_join" ->
       """WITH v AS (
         |  SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),
-        |p AS (SELECT name, n, string_split(name, ' ')[-1] AS blk FROM v)
-        |SELECT a.name AS name_a, b.name AS name_b,
-        |  levenshtein(a.name, b.name) AS dist,
-        |  a.n AS n_a, b.n AS n_b
-        |FROM p a JOIN p b ON a.blk = b.blk AND a.name < b.name
-        |WHERE ABS(LEN(a.name) - LEN(b.name)) <= 2
-        |  AND levenshtein(a.name, b.name) <= 2
+        |p AS (SELECT name, n, string_split(name, ' ')[-1] AS b1,
+        |             string_split(name, ' ')[1] AS b2 FROM v),
+        |cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM p a JOIN p b ON a.b1 = b.b1 AND a.name < b.name
+        |  WHERE ABS(LEN(a.name) - LEN(b.name)) <= 2
+        |  UNION
+        |  SELECT a.name, b.name, a.n, b.n
+        |  FROM p a JOIN p b ON a.b2 = b.b2 AND a.name < b.name
+        |  WHERE ABS(LEN(a.name) - LEN(b.name)) <= 2)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist,
+        |  n_a, n_b
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
     "q_select" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper,

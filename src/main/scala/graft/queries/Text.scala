@@ -129,20 +129,31 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-language document-length distribution: exact interpolated
-    * quantiles (Spark `percentile` ≡ DuckDB `quantile_cont`). At 100 TB
-    * the same query swaps in `approx_percentile` (KLL/GK sketch) —
-    * asserted within tolerance in TextSpec. */
+  /** Per-language document-length distribution: interpolated quantiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`), ROUTED by input
+    * size (operators.ScaleRouting): value-exact below the byte
+    * threshold (every oracle SF), the bounded-memory
+    * `approx_percentile` GK sketch above it — exact quantiles buffer
+    * every group value and OOM at 100 TB. The sketch branch's error
+    * bound is spec-asserted. */
   def qTextQuantiles(s: SparkSession, d: String): DataFrame =
+    textQuantiles(s, d, graft.operators.ScaleRouting
+      .exactPercentileOk(s, s"$d/documents.parquet"))
+
+  private[graft] def textQuantiles(
+      s: SparkSession, d: String, exact: Boolean): DataFrame = {
+    val q = (p: Double) =>
+      graft.operators.ScaleRouting.percentileCont(exact, "n_chars", p)
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
-        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
-        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
-        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+        round(q(0.25), 4).as("p25"),
+        round(q(0.5), 4).as("p50"),
+        round(q(0.75), 4).as("p75"),
+        round(q(0.95), 4).as("p95"))
       .orderBy(col("lang"))
+  }
 
   /** Deterministic stratified hash sample: md5-fraction membership per
     * doc_id with per-language keep rates — reproducible across runs,

@@ -51,6 +51,74 @@ class Round8OperatorsSpec extends SparkSpec {
     ip.unpersist()
   }
 
+  test("fuzzy join's second blocking pass recovers a block-token typo") {
+    // "misty salmon" vs "misty salmqn": the typo sits in the LAST
+    // token — the primary (last-token) block separates them, so only
+    // the first-token pass can pair them. A control pair with the typo
+    // in the first token checks the primary pass still works, and the
+    // union must not duplicate pairs caught by both passes.
+    import spark.implicits._
+    val rows = Seq(
+      "misty salmon", "misty salmqn", // recoverable only via first token
+      "dark linen", "dqrk linen",     // recoverable only via last token
+      "pale rose", "pale rosy",       // caught by BOTH passes — no dupes
+      "unrelated thing").toDF("p_name")
+    import graft.operators.FuzzyJoin._
+    val both = fuzzyNamePairs(rows, "p_name", lastTokenBlock, maxDist = 2,
+      blockOf2 = Some(firstTokenBlock))
+      .select("name_a", "name_b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(both.length == both.distinct.length, s"duplicate pairs: ${both.toSeq}")
+    assert(both.toSet == Set(
+      ("misty salmon", "misty salmqn"),
+      ("dark linen", "dqrk linen"),
+      ("pale rose", "pale rosy")), s"got ${both.toSet}")
+    // single-pass baseline really does lose the cross-block pair
+    val one = fuzzyNamePairs(rows, "p_name", lastTokenBlock, maxDist = 2)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!one.contains(("misty salmon", "misty salmqn")),
+      "planted pair no longer cross-block — fix the fixture")
+  }
+
+  test("percentile queries route exact below the byte threshold, sketch above") {
+    import graft.operators.ScaleRouting
+    // test SFs are far below the threshold — the registered queries
+    // must take the value-exact branch (what the oracle gate hashes)
+    assert(ScaleRouting.exactPercentileOk(spark, s"$sf/lineitem.parquet"))
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val exactPlan = planOf(graft.queries.Agg.qAggMedianMode(spark, sf))
+    assert(exactPlan.contains("percentile(")
+      && !exactPlan.contains("approx_percentile"),
+      s"registered median not on the exact branch:\n$exactPlan")
+    // the scale branch is a REAL plan: forced approx swaps the
+    // bounded-memory sketch into both queries
+    val approxPlan = planOf(graft.queries.Agg.aggMedianMode(spark, sf, exact = false))
+    assert(approxPlan.contains("approx_percentile"),
+      s"approx branch missing the sketch:\n$approxPlan")
+    assert(planOf(graft.queries.Text.textQuantiles(spark, sf, exact = false))
+      .contains("approx_percentile"))
+    // sketch accuracy is a RANK bound (the sketch returns observed
+    // values, not interpolations — value distance is meaningless in a
+    // sparse tail): each approx quantile must land between the exact
+    // quantiles at p ± 0.05, far looser than the n/10^4 rank error
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val bounds = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(expr(s"percentile(n_chars, array(${ps.flatMap(p =>
+        Seq(math.max(0, p - 0.05), math.min(1, p + 0.05))).mkString(",")}))")
+        .as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val ap = graft.queries.Text.textQuantiles(spark, sf, exact = false)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(ap.keySet == bounds.keySet)
+    for ((lang, a) <- ap; (p, k) <- ps.zipWithIndex) {
+      val (lo, hi, av) = (bounds(lang)(2 * k), bounds(lang)(2 * k + 1),
+        a.getDouble(k + 2))
+      assert(av >= lo - 1e-9 && av <= hi + 1e-9,
+        s"$lang p$p: approx $av outside exact rank band [$lo, $hi]")
+    }
+  }
+
   test("one-pass covariance aggregator equals the relational twin exactly") {
     // the d²-buffer path must be VALUE-identical (not approximately)
     // to the explode+self-join form: both sum the same quantized
