@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window => LWindow}
+
+/** Global scale lint: every registered query's plan, swept for the two
+  * shapes that silently stop scaling — quadratic joins (cartesian /
+  * pure-theta against an unbounded side) and whole-relation windows.
+  * PlanSpec asserts shapes query-by-query; this spec guards every
+  * FUTURE query by construction: a new registration with a stray
+  * crossJoin or unpartitioned window fails here unless it is
+  * explicitly reviewed onto an allowlist. */
+class PlanLintSpec extends SparkSpec {
+
+  /** A join side this small is broadcast-trivial at any scale: 1-row
+    * bounds/count aggregates, a LIMITed centroid pick, etc. */
+  private val SmallSide = 64L
+
+  /** Reviewed non-equi/cross joins:
+    *  - q_cross_join — the reference's cross-join parity query;
+    *  - q_ann_bruteforce — the exactness BASELINE the approximate ANN
+    *    paths are measured against; its query side is a bounded
+    *    broadcast by contract;
+    *  - q_events_gapfill / q_events_interpolate — the dense grid ×
+    *    event-type dimension cross; the type dimension is distinct()
+    *    of a low-cardinality column, small by data contract. */
+  private val crossAllowed = Set(
+    "q_cross_join", "q_ann_bruteforce",
+    "q_events_gapfill", "q_events_interpolate")
+
+  /** Reviewed whole-relation windows: q_win_unpartitioned is the
+    * documented driver-bounded reference-parity query. */
+  private val unpartitionedAllowed = Set("q_win_unpartitioned")
+
+  private def small(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= SmallSide)
+
+  test("the lint detectors fire on deliberately bad plans (negative control)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val big = Tables.orders(spark, sf)
+    // unbounded crossJoin → condition-less Join, neither side small
+    val cross = big.crossJoin(Tables.customer(spark, sf))
+      .queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.isEmpty && !small(j.left) && !small(j.right) => j
+      }
+    assert(cross.nonEmpty, "cross-join detector is blind")
+    // a broadcast 1-row aggregate cross MUST stay invisible to it
+    val tiny = big.crossJoin(
+      org.apache.spark.sql.functions.broadcast(big.agg(count(lit(1)).as("n"))))
+      .queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.isEmpty && !small(j.left) && !small(j.right) => j
+      }
+    assert(tiny.isEmpty, "1-row broadcast cross falsely flagged")
+    // whole-relation window → partitionSpec-less Window, unbounded child
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+    val unpart = big.withColumn("rk", row_number().over(w))
+      .queryExecution.optimizedPlan.collect {
+        case lw: LWindow
+          if lw.partitionSpec.isEmpty && !lw.child.maxRows.exists(_ <= 1000) => lw
+      }
+    assert(unpart.nonEmpty, "unpartitioned-window detector is blind")
+  }
+
+  test("no registered plan hides a quadratic join or unpartitioned window") {
+    val offences = Seq.newBuilder[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val qe = fn(spark, sf).queryExecution
+      qe.optimizedPlan.foreach {
+        case j: Join =>
+          // a join is quadratic-shaped when it has no equality
+          // component at all AND neither side is provably tiny
+          val hasEquality = j.condition.exists(_.exists {
+            case _: EqualTo | _: EqualNullSafe => true
+            case _ => false
+          })
+          if (!hasEquality && !small(j.left) && !small(j.right)
+              && !crossAllowed(name))
+            offences += s"$name: non-equi join over unbounded sides " +
+              s"(${j.joinType}, cond=${j.condition})"
+        case w: LWindow =>
+          // an unpartitioned window single-tasks the whole relation
+          // unless something upstream already bounded it (e.g. the
+          // 16-row IVF centroid pick under a LIMIT)
+          if (w.partitionSpec.isEmpty && !w.child.maxRows.exists(_ <= 1000)
+              && !unpartitionedAllowed(name))
+            offences += s"$name: unpartitioned window over unbounded input"
+        case _ =>
+      }
+      // CartesianProduct never survives review outside the parity query
+      if (qe.executedPlan.toString.contains("CartesianProduct")
+          && name != "q_cross_join")
+        offences += s"$name: CartesianProduct in the physical plan"
+    }
+    val bad = offences.result()
+    assert(bad.isEmpty, s"${bad.size} plan-lint offences:\n${bad.mkString("\n")}")
+  }
+}
