@@ -160,6 +160,30 @@ object DedupSim {
       .orderBy(col("cell_id"))
   }
 
+  /** Recall@5 of each approximate ANN path (IVF, LSH) against the
+    * brute-force truth on the shared query set — the operator that
+    * turns the ANN quality claim into a MEASURED, oracle-checked
+    * number instead of a spec-only assertion. Micro-averaged:
+    * Σ|approx∩exact| / (|queries|·k). Every subplan is the
+    * corresponding registered query verbatim, so the recall inherits
+    * their engine portability and the DuckDB oracle recomputes it
+    * end-to-end. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+    val approx = qAnnIvf(s, d)
+      .select(lit("ivf").as("method"), col("query_id"), col("vec_id"))
+      .unionByName(qAnnLsh(s, d)
+        .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
+    val hits = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("nhit"))
+    val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"))
+    hits.crossJoin(broadcast(tot))
+      .select(col("method"), col("n_queries"),
+        round(col("nhit") / (col("n_queries") * lit(5.0)), 6)
+          .as("recall_at_5"))
+      .orderBy(col("method"))
+  }
+
   private val KmeansCells = 16
   private val KmeansIters = 2
 
@@ -176,6 +200,7 @@ object DedupSim {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_kmeans" -> (qAnnKmeans _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -660,7 +685,33 @@ object DedupSim {
         |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_ann_lsh" ->
+    "q_ann_lsh" -> lshOracle,
+    "q_ann_ivf" -> ivfOracle,
+    "q_ann_bruteforce" -> bruteforceOracle,
+    "q_ann_recall" ->
+      // recall@5 of each approximate path against the brute-force
+      // truth — all three subplans are the EXISTING oracle queries
+      // verbatim (engine-portable), so the recall itself is fully
+      // hash-checkable
+      s"""WITH bf AS ($bruteforceOracle),
+         |lshq AS ($lshOracle),
+         |ivfq AS ($ivfOracle),
+         |approx AS (
+         |  SELECT 'ivf' AS method, query_id, vec_id FROM ivfq
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, vec_id FROM lshq),
+         |hits AS (
+         |  SELECT method, COUNT(*) AS nhit FROM approx a
+         |  WHERE EXISTS (SELECT 1 FROM bf b
+         |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
+         |  GROUP BY method),
+         |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf)
+         |SELECT method, n_queries,
+         |  ROUND(nhit / (n_queries * 5.0), 6) AS recall_at_5
+         |FROM hits CROSS JOIN tot ORDER BY method""".stripMargin,
+    "q_ann_kmeans" -> kmeansOracle)
+
+  private val lshOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         |sigs AS (
         |  SELECT vec_id, t.tbl,
@@ -687,8 +738,9 @@ object DedupSim {
         |  SELECT query_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM scored) t WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
-    "q_ann_ivf" ->
+        |ORDER BY query_id, rk""".stripMargin
+
+  private val ivfOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         |picked AS (
         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
@@ -725,8 +777,9 @@ object DedupSim {
         |  SELECT query_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
-    "q_ann_bruteforce" ->
+        |ORDER BY query_id, rk""".stripMargin
+
+  private val bruteforceOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
         |sims AS (
@@ -739,6 +792,5 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM sims)
         |SELECT query_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
-    "q_ann_kmeans" -> kmeansOracle)
+        |ORDER BY query_id, rk""".stripMargin
 }

@@ -25,7 +25,7 @@ class PlanLintSpec extends SparkSpec {
     *    event-type dimension cross; the type dimension is distinct()
     *    of a low-cardinality column, small by data contract. */
   private val crossAllowed = Set(
-    "q_cross_join", "q_ann_bruteforce",
+    "q_cross_join", "q_ann_bruteforce", "q_ann_recall",
     "q_events_gapfill", "q_events_interpolate")
 
   /** Reviewed whole-relation windows: q_win_unpartitioned is the

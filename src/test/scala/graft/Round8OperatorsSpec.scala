@@ -51,6 +51,20 @@ class Round8OperatorsSpec extends SparkSpec {
     ip.unpersist()
   }
 
+  test("ann recall query: one row per method, recall in [0,1], full query set") {
+    val rows = graft.queries.DedupSim.qAnnRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == Set("ivf", "lsh"), s"methods: ${rows.keySet}")
+    for ((m, (nq, rec)) <- rows) {
+      assert(nq == 20L, s"$m judged on $nq queries, want the full 20")
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall $rec out of range")
+    }
+    // IVF probes 4 of 16 cells (25% of the corpus); LSH scans a few
+    // hundred bucket collisions — IVF must dominate on this corpus
+    assert(rows("ivf")._2 > rows("lsh")._2,
+      s"expected ivf > lsh, got $rows")
+  }
+
   test("fuzzy join's second blocking pass recovers a block-token typo") {
     // "misty salmon" vs "misty salmqn": the typo sits in the LAST
     // token — the primary (last-token) block separates them, so only
