@@ -15,6 +15,12 @@ case class GapfillState(
 case class GapBucket(
     event_type: String, bucket_start: java.sql.Timestamp,
     n_events: Long, locf_value: Option[Double])
+case class InterpState(
+    nextBucket: Long, anchor: Option[(Long, Double)],
+    open: Map[Long, (Long, Double)])
+case class InterpBucket(
+    event_type: String, bucket_start: java.sql.Timestamp,
+    n_events: Long, interp_value: Double)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -199,6 +205,105 @@ object EventsStream {
             state.setTimeoutTimestamp(
               math.max((next + 1) * stepMicros / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming linear interpolation — the stateful twin of the batch
+    * `q_events_interpolate`, completing the densifier pair with
+    * `gapfillStream`: per event type, missing 5-minute buckets get the
+    * straight-line value between the nearest OBSERVED buckets on
+    * either side.
+    *
+    * Interpolation is inherently LOOK-AHEAD: a gap bucket needs its
+    * NEXT observed neighbor, so a finalized gap is held until the next
+    * observed bucket itself finalizes, then the whole segment emits at
+    * once — in order, exactly once, values bit-equal to the batch
+    * twin's (same double sequence, same half-up 6 dp round;
+    * spec-asserted). State is the cursor, the last emitted observation
+    * (the left anchor) and the still-open per-bucket aggregates —
+    * bounded by the watermark delay plus the longest gap between
+    * observations (the look-ahead's intrinsic cost; the batch twin
+    * needs the whole partition for the same reason).
+    *
+    * Deltas vs batch (documented, same spirit as gapfillStream): the
+    * grid starts at each type's first observed bucket, and trailing
+    * buckets after the last observation never emit — a stream cannot
+    * know the tail is final (batch emits them as NULL). */
+  def interpolateStream(
+      events: Dataset[TypedEvent],
+      watermarkDelay: String = "10 minutes",
+      stepMicros: Long = 300000000L): Dataset[InterpBucket] = {
+    import events.sparkSession.implicits._
+    // Spark round() semantics (HALF_UP on the BigDecimal of the
+    // double) so streamed values hash-match the batch twin
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[InterpState, InterpBucket](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String,
+         rows: Iterator[TypedEvent],
+         state: GroupState[InterpState]) =>
+          val prev = state.getOption
+            .getOrElse(InterpState(Long.MinValue, None, Map.empty))
+          var open = prev.open
+          rows.foreach { r =>
+            val b = Math.floorDiv(r.ts.getTime * 1000L, stepMicros)
+            val (n, s) = open.getOrElse(b, (0L, 0.0))
+            open = open.updated(b, (n + 1, s + r.value))
+          }
+          val horizon =
+            Math.floorDiv(state.getCurrentWatermarkMs() * 1000L, stepMicros)
+          // same cursor restore as gapfillStream: never above an open
+          // bucket (late in-watermark rows can precede the first-seen)
+          val earliestOpen =
+            if (open.isEmpty) Long.MaxValue else open.keys.min
+          var next =
+            if (prev.nextBucket != Long.MinValue)
+              math.min(prev.nextBucket, earliestOpen)
+            else if (open.nonEmpty) earliestOpen
+            else Long.MinValue
+          if (next == Long.MinValue) Iterator.empty
+          else {
+            var anchor = prev.anchor
+            val out = Seq.newBuilder[InterpBucket]
+            def ts(b: Long) = new java.sql.Timestamp(b * stepMicros / 1000L)
+            // every observed bucket past the horizon is final; emit
+            // its whole segment (the gap buckets it right-anchors,
+            // then the observation itself)
+            for (a <- open.keys.toSeq.sorted if a < horizon) {
+              val (n, s) = open(a)
+              anchor.foreach { case (pm, pv) =>
+                while (next < a) {
+                  // batch arithmetic verbatim: dm/dn in micros as
+                  // doubles, p + (nx - p) * (dm / dn), round 6
+                  val dm = (next * stepMicros - pm * stepMicros).toDouble
+                  val dn = (a * stepMicros - pm * stepMicros).toDouble
+                  out += InterpBucket(etype, ts(next), 0L,
+                    round6(pv + (s - pv) * (dm / dn)))
+                  next += 1
+                }
+              }
+              out += InterpBucket(etype, ts(a), n, round6(s))
+              next = a + 1
+              anchor = Some((a, s))
+              open = open - a
+            }
+            state.update(InterpState(next, anchor, open))
+            // wake when the watermark passes the end of the earliest
+            // still-open observation — gap buckets can't emit without
+            // a finalized right anchor, so there is nothing to wake
+            // for until then
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max((open.keys.min + 1) * stepMicros / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
       }

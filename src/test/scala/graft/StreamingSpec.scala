@@ -244,6 +244,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
   }
 
+  test("streaming interpolation equals the batch twin on finalized buckets") {
+    // observations at 10:00 (1.0), 10:20 (5.0), 11:00 (9.0): the two
+    // gap segments interpolate line-exactly; a 12:00 row advances the
+    // watermark so everything through 11:00 finalizes. The streamed
+    // rows must BIT-match the batch q_events_interpolate on the same
+    // corpus over the emitted range (the stream holds trailing gaps —
+    // 11:05 onward — until their right anchor finalizes).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val obs = Seq(
+      ("2024-01-01 10:00:00", 1.0),
+      ("2024-01-01 10:20:00", 5.0),
+      ("2024-01-01 11:00:00", 9.0),
+      ("2024-01-01 12:00:00", 99.0))
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.interpolateStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("interp_out")
+      .outputMode("append").start()
+    try {
+      // feed one observation per batch so segments emit incrementally
+      for ((ts, v) <- obs) {
+        stream.addData(TypedEvent("a", t(ts), v))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("interp_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // batch twin over the identical corpus (value column nullable, the
+    // on-disk shape Tables.events expects)
+    val dir = "/tmp/graft_interp_twin"
+    obs.zipWithIndex.map { case ((ts, v), i) =>
+      (i.toLong, 10L, t(ts).getTime * 1000000L, "a", "{}", Some(v))
+    }.toDF("event_id", "user_id", "ts", "event_type", "props", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Events.qEventsInterpolate(spark, dir)
+      .where(col("bucket_start") <= t("2024-01-01 11:00:00")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).toSeq.sortBy(_._2.getTime)}\n" +
+        s"extra=${(streamed -- batch).toSeq.sortBy(_._2.getTime)}")
+    // spot-check the line: 10:10 is halfway 1.0 -> 5.0 at 10:20
+    assert(streamed.exists(r => r._2 == t("2024-01-01 10:10:00") && r._4 == 3.0))
+  }
+
   test("streaming gap-fill emits dense finalized buckets with LOCF carry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
