@@ -160,6 +160,29 @@ object DedupSim {
       .orderBy(col("cell_id"))
   }
 
+  /** MinHash banding quality as a MEASURED number — recall of the
+    * minhash candidate path against the blocked exact-Jaccard baseline
+    * (q_dedup_ngram_jaccard), plus the raw pair counts. The minhash
+    * side blocks globally (LSH bands), the baseline within
+    * (lang, source) — so a minhash pair missing from the baseline is
+    * not necessarily wrong (it may be a true cross-block pair the
+    * blocked baseline cannot see), which is why the metric is recall
+    * of the BLOCKED truth, not precision. Subplans are the registered
+    * queries verbatim; the DuckDB oracle recomputes the recall
+    * end-to-end. */
+  def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = qDedupNgramJaccard(s, d).select(col("id_a"), col("id_b"))
+    val mh = qDedupMinhash(s, d).select(col("id_a"), col("id_b"))
+    val hit = truth.join(mh, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    val m = mh.agg(count(lit(1)).as("n_minhash"))
+    t.crossJoin(broadcast(m)).crossJoin(broadcast(hit))
+      .select(col("n_truth"), col("n_minhash"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_truth"), lit(1L)), 6)
+          .as("recall_vs_blocked"))
+  }
+
   /** Recall@5 of each approximate ANN path (IVF, LSH) against the
     * brute-force truth on the shared query set — the operator that
     * turns the ANN quality claim into a MEASURED, oracle-checked
@@ -201,6 +224,7 @@ object DedupSim {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -636,6 +660,23 @@ object DedupSim {
       s"""WITH $ShingleCte
          |SELECT id_a, id_b, jaccard FROM ($PairSelect)
          |ORDER BY id_a, id_b""".stripMargin,
+    // recall of the minhash candidate path against the blocked exact
+    // baseline: both subplans are the registered oracles verbatim (the
+    // nested WITH inside mh shadows the outer shingle CTE — distinct
+    // scopes)
+    "q_minhash_recall" ->
+      s"""WITH $ShingleCte,
+         |ex AS (SELECT id_a, id_b FROM ($PairSelect)),
+         |mh AS ($minhashOracle),
+         |hit AS (
+         |  SELECT COUNT(*) AS n_hit FROM ex
+         |  WHERE EXISTS (SELECT 1 FROM mh
+         |    WHERE mh.id_a = ex.id_a AND mh.id_b = ex.id_b)),
+         |t AS (SELECT COUNT(*) AS n_truth FROM ex),
+         |m AS (SELECT COUNT(*) AS n_minhash FROM mh)
+         |SELECT n_truth, n_minhash, n_hit,
+         |  ROUND(n_hit / GREATEST(n_truth, 1), 6) AS recall_vs_blocked
+         |FROM t CROSS JOIN m CROSS JOIN hit""".stripMargin,
     // connected components over the same pair graph, as a transitive-
     // closure recursive CTE (independent of Spark's label propagation)
     "q_dedup_cluster" ->

@@ -158,6 +158,29 @@ object Text {
   /** Deterministic stratified hash sample: md5-fraction membership per
     * doc_id with per-language keep rates — reproducible across runs,
     * partitionings, and engines (graft.operators.Sampling). */
+  /** Exactly-k-per-group deterministic sample ("k examples per class",
+    * the eval-set/few-shot curation shape): the k docs with the
+    * smallest md5-fraction per language. NOT a row_number window —
+    * that would shuffle+sort the whole corpus on lang; the bounded
+    * TopKAggregator keeps ≤ k candidates per group per task, so only
+    * |groups|·k rows per partition reach the shuffle. Hash order is
+    * engine-portable (the q_sample_stratified fraction), so the picked
+    * set is bit-identical cross-engine. */
+  def qSamplePergroup(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val tk = graft.operators.TopK.topk(k)
+    Tables.documents(s, d)
+      // TopK keeps the LARGEST values; negate the fraction to pick the
+      // smallest (ties broken by doc_id ASC on both engines)
+      .select(col("lang"),
+        (-graft.operators.Sampling.hashFraction(col("doc_id"))).as("v"),
+        col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(tk(col("v"), col("doc_id")).as("picks"))
+      .select(col("lang"), explode(col("picks.id")).as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   def qSampleStratified(s: SparkSession, d: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
       Tables.documents(s, d), keyCol = "doc_id", strataCol = "lang",
@@ -384,6 +407,7 @@ object Text {
     "q_pipeline_curate" -> (qPipelineCurate _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
+    "q_sample_pergroup" -> (qSamplePergroup _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
     "q_text_stats" -> (qTextStats _),
     "q_text_tokens" -> (qTextTokens _),
@@ -526,6 +550,14 @@ object Text {
         |    AS INTEGER) / 16777216.0
         |  < CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.5 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_pergroup" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |        AS INTEGER) / 16777216.0,
+        |      doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
     "q_sample_weighted" ->
       """WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
         |SELECT doc_id, lang, n_chars,

@@ -65,6 +65,32 @@ class Round8OperatorsSpec extends SparkSpec {
       s"expected ivf > lsh, got $rows")
   }
 
+  test("minhash recall query: one row, consistent counts, recall in [0,1]") {
+    val r = graft.queries.DedupSim.qMinhashRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val (nt, nm, nh, rec) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(nh <= math.min(nt, nm), s"hits $nh exceed truth $nt / minhash $nm")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(nt == 0 && rec == 0.0 || math.abs(rec - nh.toDouble / nt) < 1e-6)
+  }
+
+  test("per-group sample picks exactly the k hash-smallest docs per lang") {
+    val k = 10
+    val out = graft.queries.Text.qSamplePergroup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perLang = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute-force expectation from the same corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        graft.operators.Sampling.hashFraction(col("doc_id")).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = docs.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (t._3, t._2)).take(k).map(_._2).toSet).toMap
+    assert(perLang == want, "picked set differs from the k hash-smallest")
+    assert(out.length == want.values.map(_.size).sum)
+  }
+
   test("fuzzy join's second blocking pass recovers a block-token typo") {
     // "misty salmon" vs "misty salmqn": the typo sits in the LAST
     // token — the primary (last-token) block separates them, so only
