@@ -160,6 +160,27 @@ object DedupSim {
       .orderBy(col("cell_id"))
   }
 
+  /** Per-vector projection onto the learned top principal component —
+    * the "use the statistics" half of the PCA pair (outlier scoring /
+    * whitening first coordinate / 1-D semantic bucketing). The 64
+    * loadings come out of qEmbedPca already snapped to an 8 dp grid
+    * (bit-identical cross-engine), collapse to ONE broadcast array row
+    * (the packCentroids trick), and the projection is a pure per-row
+    * dot product — no window, no shuffle beyond the loadings' own
+    * aggregate. */
+  def qEmbedProject(s: SparkSession, d: String): DataFrame = {
+    val w = qEmbedPca(s, d)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("i"), col("loading"))))
+        .as("pl"))
+      .select(transform(col("pl"), p => p.getField("loading")).as("w"))
+    embParallel(s, d).crossJoin(broadcast(w))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("embedding"), col("w")), 6)
+          .as("pc1_score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** MinHash banding quality as a MEASURED number — recall of the
     * minhash candidate path against the blocked exact-Jaccard baseline
     * (q_dedup_ngram_jaccard), plus the raw pair counts. The minhash
@@ -225,6 +246,7 @@ object DedupSim {
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_embed_project" -> (qEmbedProject _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -664,6 +686,13 @@ object DedupSim {
     // baseline: both subplans are the registered oracles verbatim (the
     // nested WITH inside mh shadows the outer shingle CTE — distinct
     // scopes)
+    "q_embed_project" ->
+      s"""WITH pca AS ($pcaOracle),
+         |wv AS (SELECT LIST(loading ORDER BY i) AS w FROM pca),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+         |SELECT vec_id,
+         |  ROUND(LIST_DOT_PRODUCT(ve, (SELECT w FROM wv)), 6) AS pc1_score
+         |FROM v ORDER BY vec_id""".stripMargin,
     "q_minhash_recall" ->
       s"""WITH $ShingleCte,
          |ex AS (SELECT id_a, id_b FROM ($PairSelect)),

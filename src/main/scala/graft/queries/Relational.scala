@@ -206,8 +206,27 @@ object Relational {
       blockOf2 = Some(graft.operators.FuzzyJoin.firstTokenBlock))
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Salted join as a first-class query (operators.SkewJoin): the
+    * lineitem fact joins orders with the key spread over 4 salts —
+    * each hot orderkey lands on 4 reducers instead of one straggler —
+    * then rolls up revenue per order priority. The salt is invisible
+    * in the result (row-identical to the unsalted join, which is
+    * exactly what the plain-SQL oracle computes); sums are DECIMAL so
+    * the rollup is order-independent. */
+  def qSkewJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewJoin.saltedInnerJoin(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey", saltFactor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_select" -> (qSelect _),
     "q_mutate" -> (qMutate _),
     "q_filter" -> (qFilter _),
@@ -233,6 +252,12 @@ object Relational {
   private val segBSql = "SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
 
   def oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_fuzzy_join" ->
       """WITH v AS (
         |  SELECT p_name AS name, COUNT(*) AS n FROM part GROUP BY 1),

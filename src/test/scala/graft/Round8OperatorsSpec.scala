@@ -65,6 +65,44 @@ class Round8OperatorsSpec extends SparkSpec {
       s"expected ivf > lsh, got $rows")
   }
 
+  test("salted join equals the plain join rollup, salt spread over keys") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = graft.queries.Relational.qSkewJoin(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain, "salting changed the join result")
+    // the physical join key must carry the salt (that IS the operator)
+    val p = graft.queries.Relational.qSkewJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt"), s"salt not in the join keys:\n$p")
+  }
+
+  test("pca projection: one score per vector, bounded by the vector norms") {
+    val scores = graft.queries.DedupSim.qEmbedProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        sqrt(graft.similarity.Similarity.dot(col("embedding"), col("embedding")))
+          .as("nrm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == emb.keySet, "row set differs from the corpus")
+    // |v . w| <= ||v|| for a unit direction w (loadings are 8 dp snaps
+    // of a normalized vector — allow the rounding slack)
+    val bad = scores.filter { case (id, sc) => math.abs(sc) > emb(id) + 1e-4 }
+    assert(bad.isEmpty, s"projection exceeds Cauchy-Schwarz: ${bad.take(3)}")
+    // the direction is informative: scores are not all identical
+    assert(scores.values.toSet.size > 1)
+  }
+
   test("minhash recall query: one row, consistent counts, recall in [0,1]") {
     val r = graft.queries.DedupSim.qMinhashRecall(spark, sf).collect()
     assert(r.length == 1)
