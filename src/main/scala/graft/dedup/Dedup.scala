@@ -199,7 +199,10 @@ object Dedup {
     * rows, self-join buckets. Linear in corpus size; pairwise work only
     * inside buckets. Each side's shingle-set size rides along so the
     * verify step needs no extra join. */
-  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+  /** (id, sz, band, bucket) rows of a shingle table — the LSH banding
+    * shared by the self-join candidate path and the cross-set
+    * (batch vs corpus) incremental path. */
+  def minhashBands(sh: DataFrame): DataFrame = {
     val sig = minhashSigTable(sh)
     // band bucket = polynomial fold of the band's signature rows mod p
     // (portable integer arithmetic; acc·1000003 + m < 2^52, ANSI-safe)
@@ -207,13 +210,17 @@ object Dedup {
       (0 until BandRows).foldLeft(lit(bnd.toLong)) { (acc, r) =>
         (acc * 1000003L + col(s"m${bnd * BandRows + r}")) % MinhashP
       }
-    val bands = sig.select(
+    sig.select(
       col("id"), col("sz"),
       explode(array((0 until NumBands).map { bnd =>
         struct(lit(bnd).as("band"), bucket(bnd).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sz"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
@@ -253,6 +260,45 @@ object Dedup {
             lit(1.0)), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental ingest dedup — the daily-batch shape: screen each
+    * INCOMING document against the EXISTING corpus without ever
+    * pairing corpus docs with each other. Exact duplicates by
+    * normalized content hash (a semi-join against the corpus hash
+    * set), near-duplicates by cross-set LSH band collisions (batch
+    * bands ⋈ corpus bands — |batch|-proportional work, never
+    * corpus²). Returns one verdict row per incoming doc:
+    * (doc_id, is_exact_dup, n_near_candidates, keep).
+    *
+    * At production scale the corpus hash set and band table are the
+    * persisted dedup INDEX, incrementally appended as batches commit —
+    * here both derive from the corpus frame; the query shape is
+    * identical either way. */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol).as("id"),
+      md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
+    val exact = hashed(batch)
+      .join(hashed(corpus).select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("id"), lit(true).as("is_exact_dup"))
+    val near = minhashBands(minhashShingleRows(batch, idCol, textCol, n))
+      .select(col("id"), col("band"), col("bucket"))
+      .join(minhashBands(minhashShingleRows(corpus, idCol, textCol, n))
+        .select(col("id").as("cid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("cid")).as("n_near_candidates"))
+    batch.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_near_candidates"), lit(0L)).as("n_near_candidates"))
+      .withColumn("keep",
+        !col("is_exact_dup") && col("n_near_candidates") === 0)
+      .orderBy(col("doc_id"))
   }
 
   // ---- benchmark decontamination ------------------------------------

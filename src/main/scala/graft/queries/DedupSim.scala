@@ -160,6 +160,17 @@ object DedupSim {
       .orderBy(col("cell_id"))
   }
 
+  /** Incremental ingest dedup on the src0 slice (the "daily batch")
+    * against everything else (the "existing corpus") — one verdict row
+    * per incoming doc; see Dedup.incrementalDedup for the shape. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    Dedup.incrementalDedup(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"),
+      "doc_id", "text", n = 3)
+  }
+
   /** Per-vector projection onto the learned top principal component —
     * the "use the statistics" half of the PCA pair (outlier scoring /
     * whitening first coordinate / 1-D semantic bucketing). The 64
@@ -247,6 +258,7 @@ object DedupSim {
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_embed_project" -> (qEmbedProject _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -518,7 +530,10 @@ object DedupSim {
     * so the two sides cannot drift. Shingles are UNBLOCKED here
     * (minhash blocks globally, unlike the lang/source-blocked exact
     * Jaccard baseline). */
-  private def minhashOracle: String = {
+  /** The shared sh/sids/sigs/bands CTE chain of the MinHash oracles —
+    * generated from the same Scala constants the Spark pipeline uses
+    * (Dedup.familyA/familyB/MinhashP), so the sides cannot drift. */
+  private def minhashBandsCtes: String = {
     val p = Dedup.MinhashP
     val mCols = (0 until Dedup.NumHashes).map { i =>
       s"LIST_MIN(LIST_TRANSFORM(ids, h -> (${Dedup.familyA(i)} * (h % $p) + ${Dedup.familyB(i)}) % $p)) AS m$i"
@@ -529,7 +544,7 @@ object DedupSim {
       }
       s"WHEN ${bnd} THEN $e"
     }.mkString("\n      ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id,
        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\\s+')) >= 3
        |      THEN LIST_TRANSFORM(
@@ -553,7 +568,11 @@ object DedupSim {
        |      $bandExprs
        |    END AS bucket
        |  FROM sigs CROSS JOIN
-       |    (SELECT UNNEST(GENERATE_SERIES(0, ${Dedup.NumBands - 1})) AS band) b),
+       |    (SELECT UNNEST(GENERATE_SERIES(0, ${Dedup.NumBands - 1})) AS band) b)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashBandsCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
        |    y.doc_id AS id_b, y.sz AS sz_b
@@ -570,7 +589,36 @@ object DedupSim {
        |FROM inter
        |WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** DuckDB twin of Dedup.incrementalDedup on the src0 slice: one
+    * bands CTE over ALL documents (identical per-doc signatures),
+    * split batch/corpus by source in the verdict query. */
+  private def incrementalOracle: String =
+    s"""WITH $minhashBandsCtes,
+       |src AS (SELECT doc_id, source FROM documents),
+       |hx AS (
+       |  SELECT doc_id, source,
+       |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS h
+       |  FROM documents),
+       |bexact AS (
+       |  SELECT b.doc_id,
+       |    EXISTS (SELECT 1 FROM hx c
+       |      WHERE c.source <> 'src0' AND c.h = b.h) AS is_exact_dup
+       |  FROM hx b WHERE b.source = 'src0'),
+       |bnear AS (
+       |  SELECT bb.doc_id, COUNT(DISTINCT cb.doc_id) AS n_near
+       |  FROM bands bb
+       |  JOIN src sb ON bb.doc_id = sb.doc_id AND sb.source = 'src0'
+       |  JOIN bands cb ON bb.band = cb.band AND bb.bucket = cb.bucket
+       |  JOIN src sc ON cb.doc_id = sc.doc_id AND sc.source <> 'src0'
+       |  GROUP BY bb.doc_id)
+       |SELECT b.doc_id, e.is_exact_dup,
+       |  COALESCE(n.n_near, 0) AS n_near_candidates,
+       |  NOT e.is_exact_dup AND COALESCE(n.n_near, 0) = 0 AS keep
+       |FROM (SELECT doc_id FROM documents WHERE source = 'src0') b
+       |LEFT JOIN bexact e USING (doc_id)
+       |LEFT JOIN bnear n USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of qDedupSpans, GENERATED from Dedup.SpanK and the
     * same md5-15 span-id construction so the two sides cannot drift. */
@@ -651,6 +699,7 @@ object DedupSim {
         |  ROUND(CAST(SUM(CAST(maxerr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_maxerr
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_incremental" -> incrementalOracle,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

@@ -65,6 +65,36 @@ class Round8OperatorsSpec extends SparkSpec {
       s"expected ivf > lsh, got $rows")
   }
 
+  test("incremental dedup screens a batch against the corpus only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sleepy pelicans watch from a rusty pier near the old " +
+      "harbor wall and gulls wheel overhead calling into the salt wind " +
+      "as fishermen mend their nets beside weathered boats"
+    val corpus = Seq((1L, base), (2L, "an entirely separate corpus " +
+      "document about alpine meadows glaciers and the slow patience of " +
+      "stone under centuries of snowfall high above the treeline"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.toUpperCase + "  "),              // exact dup (normalized)
+      (11L, base.replace("pelicans", "herons")),   // near dup, not exact
+      (12L, "fresh unrelated text with nothing in common with either " +
+        "corpus document not even a single shared three gram anywhere " +
+        "in this entire string of deliberately novel words"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .incrementalDedup(batch, corpus, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(10L)._1, "case/whitespace variant not flagged exact")
+    assert(!out(10L)._3, "exact dup kept")
+    assert(!out(11L)._1 && out(11L)._2 >= 1L && !out(11L)._3,
+      s"one-word edit should band-collide with the corpus: ${out(11L)}")
+    assert(out(12L) == ((false, 0L, true)), s"fresh doc verdict ${out(12L)}")
+    // corpus docs never appear in the verdicts (no corpus x corpus work)
+    assert(out.keySet == Set(10L, 11L, 12L))
+  }
+
   test("salted join equals the plain join rollup, salt spread over keys") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
