@@ -29,8 +29,30 @@ object Media {
       .orderBy(col("modality"))
   }
 
+  /** The full multimodal transform pipeline registered end-to-end:
+    * frame-sample the video rows (every 4th payload byte stands in
+    * for every 4th frame), resize all records, then extract features
+    * from the TRANSFORMED payloads — three typed mapPartitions stages
+    * chained the way a real decode pipeline would be (codec init
+    * amortized per partition, only video rows pay the sampling cost).
+    * Deterministic stubs keep it oracle-checkable: DuckDB rebuilds the
+    * sampled byte set positionally over the ASCII corpus. */
+  def qMultimodalPipeline(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val sampled = Multimodal.frameSampleVideos(s, media, stride = 4)
+    val resized = Multimodal.resizeAll(s, sampled.toDF(), w = 32, h = 24)
+    Multimodal.extractFeatures(s, resized.toDF()).toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        round(avg(element_at(col("feat"), 1)), 6).as("avg_feat0"))
+      .orderBy(col("modality"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> (qMultimodalMeta _))
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_pipeline" -> (qMultimodalPipeline _))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -48,5 +70,27 @@ object Media {
         |SELECT modality, COUNT(*) AS n_media,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  ROUND(AVG(feat0), 6) AS avg_feat0
-        |FROM f GROUP BY modality ORDER BY modality""".stripMargin)
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin,
+    // video rows keep every 4th byte (positions 1, 5, 9, … 1-based)
+    // before feature extraction; image/audio pass through unchanged
+    "q_multimodal_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id % 3 AS m3, text FROM documents),
+        |p AS (
+        |  SELECT CASE WHEN m3 = 0 THEN 'image' WHEN m3 = 1 THEN 'audio'
+        |    ELSE 'video' END AS modality,
+        |    CASE WHEN m3 = 2
+        |      THEN CAST(FLOOR((LENGTH(text) - 1) / 4) + 1 AS BIGINT)
+        |      ELSE LENGTH(text) END AS n_bytes,
+        |    CASE WHEN m3 = 2
+        |      THEN LEN(LIST_FILTER(GENERATE_SERIES(1, LENGTH(text)),
+        |        i -> (i - 1) % 4 = 0 AND UNICODE(text[i]) % 8 = 0))
+        |      ELSE LEN(LIST_FILTER(GENERATE_SERIES(1, LENGTH(text)),
+        |        i -> UNICODE(text[i]) % 8 = 0)) END AS h0
+        |  FROM m)
+        |SELECT modality, COUNT(*) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  ROUND(AVG(CAST(h0 AS FLOAT) / CAST(GREATEST(n_bytes, 1) AS FLOAT)),
+        |    6) AS avg_feat0
+        |FROM p GROUP BY modality ORDER BY modality""".stripMargin)
 }

@@ -65,6 +65,35 @@ class Round8OperatorsSpec extends SparkSpec {
       s"expected ivf > lsh, got $rows")
   }
 
+  test("multimodal pipeline: sample->resize->extract transforms compose") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val piped = Multimodal.resizeAll(spark,
+      Multimodal.frameSampleVideos(spark, media, stride = 4).toDF(),
+      w = 32, h = 24).collect()
+    assert(piped.forall(r => r.width == 32 && r.height == 24),
+      "resize did not retag dimensions")
+    val byMod = piped.groupBy(_.modality)
+    assert(byMod("video").forall(_.codec == "raw;sampled/4;resized"),
+      "video rows missed a pipeline stage")
+    assert((byMod.keySet - "video").forall(m =>
+      byMod(m).forall(_.codec == "raw;resized")),
+      "non-video rows should skip sampling")
+    // sampling keeps ceil(n/4) bytes — positions 0, 4, 8, …
+    val origLen = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").length).toMap
+    assert(byMod("video").forall(r =>
+      r.payload.length == (origLen(r.media_id) + 3) / 4),
+      "sampled payload length wrong")
+    // the registered aggregate sees the TRANSFORMED payloads
+    val agg = graft.queries.Media.qMultimodalPipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val meta = graft.queries.Media.qMultimodalMeta(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(agg("video") < meta("video"), "video bytes should shrink 4x")
+    assert(agg("image") == meta("image") && agg("audio") == meta("audio"))
+  }
+
   test("incremental dedup screens a batch against the corpus only") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog while " +
