@@ -292,6 +292,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r._2 == t("2024-01-01 10:10:00") && r._4 == 3.0))
   }
 
+  test("streaming interpolation admits a late row in an EARLIER bucket") {
+    // same boundary as the gap-fill twin: the head row opens 10:20,
+    // then an in-watermark row lands at 10:01 — the cursor must back
+    // up so the 10:00 bucket anchors the segment instead of vanishing
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.interpolateStream(stream.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("interp_early_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(TypedEvent("click", t("2024-01-01 10:20:10"), 9.0))
+      q.processAllAvailable()
+      stream.addData(TypedEvent("click", t("2024-01-01 10:01:00"), 1.0))
+      q.processAllAvailable()
+      // watermark -> 10:26: finalizes 10:00 (anchor), the gaps, and
+      // the 10:20 observation, emitting the whole bridged segment
+      stream.addData(TypedEvent("click", t("2024-01-01 10:56:00"), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("interp_early_out").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = Set(
+      ("2024-01-01 10:00:00.0", 1L, 1.0),
+      ("2024-01-01 10:05:00.0", 0L, 3.0),
+      ("2024-01-01 10:10:00.0", 0L, 5.0),
+      ("2024-01-01 10:15:00.0", 0L, 7.0),
+      ("2024-01-01 10:20:00.0", 1L, 9.0))
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("streaming gap-fill emits dense finalized buckets with LOCF carry") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
