@@ -160,6 +160,24 @@ object DedupSim {
       .orderBy(col("cell_id"))
   }
 
+  /** Embedding near-dup pairs blocked by IVF CELL rather than by a
+    * data-given label — the SELF-CONTAINED scale path for
+    * embedding-cosine dedup (q_dedup_embedding needs a label column;
+    * this variant builds its own coarse partitioner, so it runs on any
+    * corpus). Pair work is bounded per cell; a true near-dup pair
+    * split across two cells is the documented recall trade of
+    * single-probe blocking (spec-asserted with planted vectors). */
+  def qDedupEmbeddingIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val cells = Similarity.ivfAssign(
+      emb, Similarity.ivfCentroids(emb, 16), "vec_id", "embedding",
+      nProbe = 1, cosineFn = Similarity.cosineIn(s))
+    Similarity.cosineNearDupPairs(
+      cells, threshold = 0.4, idCol = "vec_id", vecCol = "embedding",
+      blockCol = "cell_id", cosineFn = Similarity.cosineIn(s))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Incremental ingest dedup on the src0 slice (the "daily batch")
     * against everything else (the "existing corpus") — one verdict row
     * per incoming doc; see Dedup.incrementalDedup for the shape. */
@@ -259,6 +277,7 @@ object DedupSim {
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_embed_project" -> (qEmbedProject _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -735,6 +754,18 @@ object DedupSim {
     // baseline: both subplans are the registered oracles verbatim (the
     // nested WITH inside mh shadows the outer shingle CTE — distinct
     // scopes)
+    "q_dedup_embedding_ivf" ->
+      s"""WITH $ivfAsgCtes
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  ROUND(LIST_DOT_PRODUCT(x.ve, y.ve) /
+         |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.ve, x.ve)) *
+         |      SQRT(LIST_DOT_PRODUCT(y.ve, y.ve)), 1e-12), 6) AS cos_sim
+         |FROM asg x JOIN asg y
+         |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |WHERE ROUND(LIST_DOT_PRODUCT(x.ve, y.ve) /
+         |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.ve, x.ve)) *
+         |      SQRT(LIST_DOT_PRODUCT(y.ve, y.ve)), 1e-12), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_project" ->
       s"""WITH pca AS ($pcaOracle),
          |wv AS (SELECT LIST(loading ORDER BY i) AS w FROM pca),
@@ -859,8 +890,11 @@ object DedupSim {
         |  FROM scored) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
 
-  private val ivfOracle =
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+  /** The v/picked/cent/sims/asg CTE chain of the IVF oracles — the
+    * engine-portable index build shared by the top-k search and the
+    * cell-blocked near-dup pair oracle. */
+  private val ivfAsgCtes =
+      """v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         |picked AS (
         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
         |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
@@ -879,7 +913,10 @@ object DedupSim {
         |  SELECT vec_id, ve, cell_id FROM (
         |    SELECT vec_id, ve, cell_id,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
-        |    FROM sims) t WHERE crk = 1),
+        |    FROM sims) t WHERE crk = 1)""".stripMargin
+
+  private val ivfOracle =
+      s"""WITH $ivfAsgCtes,
         |probes AS (
         |  SELECT vec_id AS query_id, ve AS qv, cell_id FROM (
         |    SELECT vec_id, ve, cell_id,

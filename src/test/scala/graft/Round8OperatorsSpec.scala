@@ -65,6 +65,32 @@ class Round8OperatorsSpec extends SparkSpec {
       s"expected ivf > lsh, got $rows")
   }
 
+  test("ivf-blocked near-dup finds planted twins without a label column") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    val base = vec(999L)
+    val twin = base.clone(); twin(0) += 0.01f
+    val df = ((1L to 40L).map(i => (i, vec(i))) ++
+      Seq((100L, base), (101L, twin))).toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(
+      df, Similarity.ivfCentroids(df, 4), "vec_id", "embedding")
+    // twins are near-identical, so they route to the same cell and the
+    // cell-blocked pair join must surface them — no label needed
+    val pairs = Similarity.cosineNearDupPairs(
+      cells, threshold = 0.99, idCol = "vec_id", vecCol = "embedding",
+      blockCol = "cell_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"planted twin pair missing: $pairs")
+    // and the twins really did land in one cell (the blocking premise)
+    val cellOf = cells.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cellOf(100L) == cellOf(101L), "twins split across cells")
+  }
+
   test("multimodal pipeline: sample->resize->extract transforms compose") {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
