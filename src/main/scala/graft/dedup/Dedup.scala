@@ -92,25 +92,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Document-frequency cap for `ngramJaccardPairs`: shingles shared
+    * by more than this many documents OF A BLOCK are dropped before
+    * the pair self-join. A corpus-common "stop shingle" otherwise
+    * creates one df² pair group (10⁵ docs sharing a stop 3-gram ⇒
+    * 10¹⁰ pairs) — the standard similarity-join prefilter. Jaccard is
+    * then computed over the CAPPED shingle universe on both the
+    * numerator and the per-doc sizes (consistent set semantics; the
+    * generated oracle applies the identical cap). Effect on scores is
+    * tiny and one-sided: a capped shingle is one every pair in the
+    * block shares, so dropping it lowers |A∩B| and |A∪B| by the same
+    * 1 — at df > 100 the documents are essentially boilerplate-linked
+    * anyway, which is noise, not signal, for near-dup detection. */
+  val JaccardDfCap = 100
+
   /** Near-dup pairs by exact Jaccard within blocking buckets —
     * the correctness baseline that MinHash-LSH approximates.
     *
     * Distributed shape: self-join shingle rows on (block, shingle) — a
     * pair's match count IS its intersection size, and |A∪B| =
     * |A|+|B|−|A∩B|. One shuffle + one aggregation on the pair key;
-    * pairs sharing no shingle never materialize. */
+    * pairs sharing no shingle never materialize, and shingles with
+    * block document frequency above `dfCap` are dropped first so no
+    * single stop-shingle can make a bucket quadratic. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    // cached: feeds the size aggregate and both join sides
+      blockCols: Seq[String], n: Int, threshold: Double,
+      dfCap: Int = JaccardDfCap): DataFrame = {
     val shRows = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
-      .cache()
+    // block document frequency per shingle (rows are distinct per
+    // (id, block, shingle), so count(*) IS the doc count) — a map-side
+    // partial aggregate on the same key the self-join shuffles on
+    val dfKey = blockCols :+ "h3"
+    val keep = shRows.groupBy(dfKey.map(col): _*)
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= dfCap)
+      .select(dfKey.map(col): _*)
+    // cached: feeds the size aggregate and both join sides
+    val capped = shRows.join(keep, dfKey).cache()
     // per-doc shingle counts as an aggregate + join, NOT a window over
     // the full shingle table: the aggregate is map-side partial and
     // produces one row per doc, which AQE then broadcasts — vs a
     // window's full shuffle of every shingle row by id
-    val sizes = shRows.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val sh = shRows.join(sizes, "id")
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sh = capped.join(sizes, "id")
     val a = sh.select(
       col("id").as("id_a") +: col("sz").as("sz_a") +: col("h3").as("h_a") +:
         blockCols.map(c => col(c).as(s"${c}_a")): _*)

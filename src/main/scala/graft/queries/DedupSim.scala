@@ -27,6 +27,17 @@ object DedupSim {
   private def embParallel(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** Size-derived IVF cell count for the embeddings table (Similarity
+    * .ivfCellCountFor of its row count), memoized per table dir — the
+    * count is parquet footer metadata, no data scan, and the same
+    * ⌊√n⌋ formula runs inside the generated oracle SQL so both engines
+    * derive the identical K. */
+  private val cellCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def derivedCells(s: SparkSession, d: String): Int =
+    cellCountMemo.computeIfAbsent(d,
+      _ => Similarity.ivfCellCountFor(Tables.embeddings(s, d).count())).toInt
+
   /** Exact dedup by normalized content hash — keep-first semantics. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
@@ -91,9 +102,17 @@ object DedupSim {
     Dedup.duplicatedSpanStats(docsParallel(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** Embedding-cosine near-dup pairs, blocked on label. */
+  /** Embedding-cosine near-dup pairs, blocked on label — with the
+    * HOT-BLOCK GUARD: a label hotter than Similarity.HotBlockCap rows
+    * is sub-partitioned by IVF cell (size-derived cell count), so no
+    * single data-given label can make the pair join quadratic. Cold
+    * labels (every label at the oracle SF) are compared whole, so the
+    * gate result is unchanged; the oracle SQL encodes the same
+    * conditional split. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(embParallel(s, d), threshold = 0.95,
+    Similarity.cosineNearDupPairsGuarded(
+      embParallel(s, d), threshold = 0.95,
+      hotCap = Similarity.HotBlockCap, numCells = derivedCells(s, d),
       cosineFn = Similarity.cosineIn(s))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -119,15 +138,17 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** IVF coarse-quantized top-5: 16 cells, 4 probed per query. Fully
-    * oracle-checked — the md5-fraction centroid pick and the rounded
-    * argmax assignment are engine-portable, so DuckDB rebuilds the
-    * identical index. */
+  /** IVF coarse-quantized top-5: ⌊√n⌋ size-derived cells, 4 probed per
+    * query — per-probe scan cost stays ≈ √n as the corpus grows instead
+    * of n/16 with a constant cell count. Fully oracle-checked — the
+    * md5-fraction centroid pick, the rounded argmax assignment, AND the
+    * derived cell count (FLOOR(SQRT(COUNT(*)))) are engine-portable, so
+    * DuckDB rebuilds the identical index. */
   def qAnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.ivfTopK(
       emb.where(col("vec_id") < 20), emb, k = 5,
-      numCells = 16, nProbe = 4,
+      numCells = derivedCells(s, d), nProbe = 4,
       cosineFn = Similarity.cosineIn(s))
       .orderBy(col("query_id"), col("rk"))
   }
@@ -170,12 +191,72 @@ object DedupSim {
   def qDedupEmbeddingIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     val cells = Similarity.ivfAssign(
-      emb, Similarity.ivfCentroids(emb, 16), "vec_id", "embedding",
+      emb, Similarity.ivfCentroids(emb, derivedCells(s, d)),
+      "vec_id", "embedding",
       nProbe = 1, cosineFn = Similarity.cosineIn(s))
     Similarity.cosineNearDupPairs(
       cells, threshold = 0.4, idCol = "vec_id", vecCol = "embedding",
       blockCol = "cell_id", cosineFn = Similarity.cosineIn(s))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Multi-probe variant of the IVF-blocked near-dup pairs: every
+    * vector lives in its TWO nearest cells, pairs match on ANY shared
+    * cell — the standard recall lever for cell-boundary splits (a
+    * near-dup pair lands apart only when NEITHER of each side's two
+    * cells coincide). Pair work doubles per vector but stays bounded
+    * per cell; a pair sharing both cells collides twice, hence the
+    * distinct. */
+  def qDedupEmbeddingIvf2(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val cells = Similarity.ivfAssign(
+      emb, Similarity.ivfCentroids(emb, derivedCells(s, d)),
+      "vec_id", "embedding",
+      nProbe = 2, cosineFn = Similarity.cosineIn(s))
+    Similarity.cosineNearDupPairs(
+      cells, threshold = 0.4, idCol = "vec_id", vecCol = "embedding",
+      blockCol = "cell_id", cosineFn = Similarity.cosineIn(s))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Recall of the IVF-blocked near-dup paths (single- and two-probe)
+    * against the UNBLOCKED all-pairs truth at the same threshold — the
+    * measurement that turns q_dedup_embedding_ivf's documented
+    * cell-boundary recall trade into an oracle-checked number,
+    * mirroring q_ann_recall. The truth side is a bounded QA cross
+    * (|corpus|²/2 cosines — a measurement query, not a pipeline
+    * operator; at real scale it runs on a sample). Methods come from a
+    * STATIC dimension with coalesce(0), so a probe depth that finds
+    * nothing still reports recall 0.0 instead of vanishing. */
+  def qIvfDedupRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = embParallel(s, d).select(col("vec_id"), col("embedding"))
+    val truth = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .where(round(Similarity.cosineIn(s)(col("x.embedding"),
+        col("y.embedding")), 6) >= 0.4)
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .localCheckpoint()
+    val approx = qDedupEmbeddingIvf(s, d)
+      .select(lit("probe1").as("method"), col("id_a"), col("id_b"))
+      .unionByName(qDedupEmbeddingIvf2(s, d)
+        .select(lit("probe2").as("method"), col("id_a"), col("id_b")))
+      .localCheckpoint()
+    val nPairs = approx.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val hits = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hit"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    Seq("probe1", "probe2").toDF("method")
+      .join(nPairs, Seq("method"), "left")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("method"), col("n_truth"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) /
+          greatest(col("n_truth"), lit(1L)), 6).as("recall"))
+      .orderBy(col("method"))
   }
 
   /** Incremental ingest dedup on the src0 slice (the "daily batch")
@@ -221,8 +302,14 @@ object DedupSim {
     * queries verbatim; the DuckDB oracle recomputes the recall
     * end-to-end. */
   def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    // each subplan feeds TWO consumers (the semi-join and its own
+    // count); localCheckpoint materializes each once instead of
+    // re-running the full dedup pipelines per consumer — same oracle
+    // hash, roughly half the wall time
     val truth = qDedupNgramJaccard(s, d).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val mh = qDedupMinhash(s, d).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val hit = truth.join(mh, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     val t = truth.agg(count(lit(1)).as("n_truth"))
@@ -242,18 +329,29 @@ object DedupSim {
     * their engine portability and the DuckDB oracle recomputes it
     * end-to-end. */
   def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // checkpointed: the truth feeds both the semi-join and the totals
     val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
     val approx = qAnnIvf(s, d)
       .select(lit("ivf").as("method"), col("query_id"), col("vec_id"))
       .unionByName(qAnnLsh(s, d)
         .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
     val hits = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("nhit"))
-    val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"))
-    hits.crossJoin(broadcast(tot))
+    // denominator = the brute-force row count itself (k rows per query
+    // when the corpus has ≥ k neighbors; exact either way), and the
+    // methods come from a STATIC dimension with coalesce(0) — a method
+    // whose approximate path verifies zero hits still reports
+    // recall_at_5 = 0.0 instead of vanishing from the output
+    val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_bf"))
+    Seq("ivf", "lsh").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(tot))
       .select(col("method"), col("n_queries"),
-        round(col("nhit") / (col("n_queries") * lit(5.0)), 6)
-          .as("recall_at_5"))
+        round(coalesce(col("nhit"), lit(0L)) /
+          greatest(col("n_bf"), lit(1L)), 6).as("recall_at_5"))
       .orderBy(col("method"))
   }
 
@@ -278,6 +376,8 @@ object DedupSim {
     "q_embed_project" -> (qEmbedProject _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
+    "q_dedup_embedding_ivf2" -> (qDedupEmbeddingIvf2 _),
+    "q_ivf_dedup_recall" -> (qIvfDedupRecall _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
@@ -799,15 +899,71 @@ object DedupSim {
          |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT id AS doc_id, MIN(reach) AS cluster_id
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // label-blocked pairs with the hot-block guard: labels above the
+    // cap sub-partition by IVF cell, mirroring cosineNearDupPairsGuarded
     "q_dedup_embedding" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
-        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        |  ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
-        |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) AS cos_sim
-        |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
-        |WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v) /
-        |    GREATEST(SQRT(LIST_DOT_PRODUCT(x.v, x.v)) * SQRT(LIST_DOT_PRODUCT(y.v, y.v)), 1e-12), 6) >= 0.95
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ivfAsgCtes,
+         |bn AS (SELECT label, COUNT(*) AS bn FROM v GROUP BY 1),
+         |gk AS (
+         |  SELECT a.vec_id, a.ve,
+         |    CAST(a.label AS VARCHAR) || '#' ||
+         |      CAST(CASE WHEN b.bn > ${Similarity.HotBlockCap}
+         |        THEN a.cell_id ELSE 0 END AS VARCHAR) AS blk
+         |  FROM asg a JOIN bn b ON a.label = b.label)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  ${duckCos("x.ve", "y.ve")} AS cos_sim
+         |FROM gk x JOIN gk y ON x.blk = y.blk AND x.vec_id < y.vec_id
+         |WHERE ${duckCos("x.ve", "y.ve")} >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embedding_ivf2" ->
+      s"""WITH $ivfAsgCtes
+         |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  ${duckCos("x.ve", "y.ve")} AS cos_sim
+         |FROM asg2 x JOIN asg2 y
+         |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |WHERE ${duckCos("x.ve", "y.ve")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    // recall of the cell-blocked pair paths vs the unblocked all-pairs
+    // truth at the same threshold; static method dimension so zero-hit
+    // probe depths still report
+    "q_ivf_dedup_recall" ->
+      s"""WITH $ivfAsgCtes,
+         |truth AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM v x JOIN v y ON x.vec_id < y.vec_id
+         |  WHERE ${duckCos("x.ve", "y.ve")} >= 0.4),
+         |p1 AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM asg x JOIN asg y
+         |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |  WHERE ${duckCos("x.ve", "y.ve")} >= 0.4),
+         |p2 AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM asg2 x JOIN asg2 y
+         |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |  WHERE ${duckCos("x.ve", "y.ve")} >= 0.4),
+         |ap AS (
+         |  SELECT 'probe1' AS method, id_a, id_b FROM p1
+         |  UNION ALL
+         |  SELECT 'probe2' AS method, id_a, id_b FROM p2),
+         |np AS (SELECT method, COUNT(*) AS n_pairs FROM ap GROUP BY 1),
+         |hits AS (
+         |  SELECT method, COUNT(*) AS n_hit FROM ap
+         |  WHERE EXISTS (SELECT 1 FROM truth t
+         |    WHERE t.id_a = ap.id_a AND t.id_b = ap.id_b)
+         |  GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |methods AS (
+         |  SELECT 'probe1' AS method UNION ALL SELECT 'probe2' AS method)
+         |SELECT m.method, t.n_truth,
+         |  COALESCE(np.n_pairs, 0) AS n_pairs,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  ROUND(COALESCE(h.n_hit, 0) / GREATEST(t.n_truth, 1), 6) AS recall
+         |FROM methods m
+         |LEFT JOIN np USING (method)
+         |LEFT JOIN hits h USING (method)
+         |CROSS JOIN t
+         |ORDER BY m.method""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '\s+'), w ->
@@ -842,7 +998,9 @@ object DedupSim {
       // recall@5 of each approximate path against the brute-force
       // truth — all three subplans are the EXISTING oracle queries
       // verbatim (engine-portable), so the recall itself is fully
-      // hash-checkable
+      // hash-checkable; static method dimension + coalesce(0) and a
+      // denominator from the truth's own row count, mirroring the
+      // Spark side
       s"""WITH bf AS ($bruteforceOracle),
          |lshq AS ($lshOracle),
          |ivfq AS ($ivfOracle),
@@ -855,10 +1013,13 @@ object DedupSim {
          |  WHERE EXISTS (SELECT 1 FROM bf b
          |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
          |  GROUP BY method),
-         |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf)
-         |SELECT method, n_queries,
-         |  ROUND(nhit / (n_queries * 5.0), 6) AS recall_at_5
-         |FROM hits CROSS JOIN tot ORDER BY method""".stripMargin,
+         |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+         |  COUNT(*) AS n_bf FROM bf),
+         |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method)
+         |SELECT m.method, tot.n_queries,
+         |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
+         |FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot
+         |ORDER BY m.method""".stripMargin,
     "q_ann_kmeans" -> kmeansOracle)
 
   private val lshOracle =
@@ -890,30 +1051,49 @@ object DedupSim {
         |  FROM scored) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
 
-  /** The v/picked/cent/sims/asg CTE chain of the IVF oracles — the
-    * engine-portable index build shared by the top-k search and the
-    * cell-blocked near-dup pair oracle. */
+  /** DuckDB cosine between two DOUBLE[] expressions, rounded to the
+    * shared 6 dp grid — the SQL twin of Similarity.cosine. */
+  private def duckCos(a: String, b: String): String =
+    s"ROUND(LIST_DOT_PRODUCT($a, $b) / " +
+      s"GREATEST(SQRT(LIST_DOT_PRODUCT($a, $a)) * " +
+      s"SQRT(LIST_DOT_PRODUCT($b, $b)), 1e-12), 6)"
+
+  /** The v/kdyn/picked/cent/sims/asg/asg2 CTE chain of the IVF
+    * oracles — the engine-portable index build shared by the top-k
+    * search, the cell-blocked near-dup pair oracles, and the guarded
+    * label-block oracle. The cell count is DERIVED inside the SQL
+    * (GREATEST(16, LEAST(4096, FLOOR(SQRT(COUNT(*))))) — the exact
+    * twin of Similarity.ivfCellCountFor), so the oracle tracks the
+    * same K the Spark side computes from the table's row count. */
   private val ivfAsgCtes =
-      """v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+      """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+        |kdyn AS (
+        |  SELECT GREATEST(16, LEAST(4096,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER))) AS k FROM v),
         |picked AS (
         |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
         |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
         |        AS INTEGER) / 16777216.0,
         |      vec_id) AS cell_id
-        |  FROM v QUALIFY cell_id <= 16),
+        |  FROM v QUALIFY cell_id <= (SELECT k FROM kdyn)),
         |cent AS (SELECT p.cell_id, v.ve AS cv
         |  FROM picked p JOIN v ON p.vec_id = v.vec_id),
         |sims AS (
-        |  SELECT v.vec_id, v.ve, c.cell_id,
+        |  SELECT v.vec_id, v.label, v.ve, c.cell_id,
         |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
         |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
         |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
         |  FROM v CROSS JOIN cent c),
         |asg AS (
+        |  SELECT vec_id, label, ve, cell_id FROM (
+        |    SELECT vec_id, label, ve, cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+        |    FROM sims) t WHERE crk = 1),
+        |asg2 AS (
         |  SELECT vec_id, ve, cell_id FROM (
         |    SELECT vec_id, ve, cell_id,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
-        |    FROM sims) t WHERE crk = 1)""".stripMargin
+        |    FROM sims) t WHERE crk <= 2)""".stripMargin
 
   private val ivfOracle =
       s"""WITH $ivfAsgCtes,

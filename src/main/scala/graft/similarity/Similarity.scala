@@ -114,6 +114,59 @@ object Similarity {
 
   // ---- IVF (inverted-file) coarse quantization ----------------------
 
+  /** Size-derived IVF cell count: ⌊√n⌋ clamped to [16, 4096]. Expected
+    * cell size is then ≈ √n, so the within-cell pair join of
+    * cell-blocked dedup does ≈ n total pair work — linear overall —
+    * instead of O((n/K)²·K) with a constant K; the packed centroid row
+    * stays broadcastable at the cap (4096 × 64 doubles ≈ 2 MB). The
+    * formula is FLOOR(SQRT(n)) on an exact BIGINT — DuckDB computes
+    * the identical value from COUNT(*), so the generated oracles derive
+    * the same K and the whole IVF pipeline stays hash-checkable. The
+    * count itself is parquet footer metadata — no data scan. */
+  def ivfCellCountFor(n: Long): Int =
+    math.max(16L, math.min(4096L, math.sqrt(n.toDouble).toLong)).toInt
+
+  /** Block-size cap for `cosineNearDupPairsGuarded`: a 128-row block
+    * compares at most ~8k pairs, cheap anywhere; anything hotter gets
+    * sub-partitioned. */
+  val HotBlockCap = 128
+
+  /** `cosineNearDupPairs` with a HOT-BLOCK GUARD. The label-blocked
+    * variant inherits the data's block sizes, so one hot label makes
+    * its within-block pair join quadratic in that label's count. Here
+    * blocks whose row count exceeds `hotCap` are sub-partitioned by
+    * IVF cell (vectors route to their nearest of `numCells` centroids,
+    * so true near-duplicates still land together; only pairs straddling
+    * a cell boundary are missed — the same single-probe recall trade
+    * q_dedup_embedding_ivf documents); cold blocks are compared whole,
+    * exactly as the unguarded form. */
+  def cosineNearDupPairsGuarded(
+      vecs: DataFrame, threshold: Double, hotCap: Int, numCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame =
+    cosineNearDupPairs(
+      guardedBlockKeys(vecs, hotCap, numCells, idCol, vecCol, blockCol,
+        cosineFn),
+      threshold, idCol, vecCol, "_blk", cosineFn)
+
+  /** The guard's blocking keys (exposed for the spec): `_blk` is the
+    * block itself for cold blocks, (block, ivf cell) for hot ones. The
+    * per-block counts are a broadcast-sized aggregate; the cell
+    * assignment is the per-row broadcast argmax of `ivfAssign`. */
+  private[graft] def guardedBlockKeys(
+      vecs: DataFrame, hotCap: Int, numCells: Int,
+      idCol: String, vecCol: String, blockCol: String,
+      cosineFn: (Column, Column) => Column): DataFrame = {
+    val counts = vecs.groupBy(col(blockCol)).agg(count(lit(1)).as("_bn"))
+    ivfAssign(vecs, ivfCentroids(vecs, numCells, idCol, vecCol),
+        idCol, vecCol, 1, cosineFn)
+      .join(broadcast(counts), blockCol)
+      .withColumn("_blk", concat(col(blockCol).cast("string"), lit("#"),
+        when(col("_bn") > hotCap, col("cell_id")).otherwise(lit(0))
+          .cast("string")))
+  }
+
   /** Deterministic centroid pick: the `k` corpus vectors with the
     * smallest md5-fraction of their id (graft.operators.Sampling's
     * engine-portable hash — DuckDB computes the identical value, which
@@ -203,7 +256,8 @@ object Similarity {
       (-c.getField("cell_id")).as("_negCell"),
       c.getField("cell_id").as("cell_id")))
 
-  /** Assign every vector to its nearest centroid(s).
+  /** Assign every vector to its nearest centroid(s). All input columns
+    * pass through, plus `cell_id` (one row per probed cell).
     *
     * The centroid set is collapsed to a single broadcast array row, so
     * assignment is a PURE PER-ROW EXPRESSION: K dot products + an
@@ -221,9 +275,10 @@ object Similarity {
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val base = vecs.crossJoin(broadcast(packCentroids(centroids)))
     val scored = scoredCells(col(vecCol), col("_cents"), cosineFn)
+    val passthrough = vecs.columns.toSeq.map(col)
     if (nProbe <= 1)
-      base.select(col(idCol), col(vecCol),
-        array_max(scored).getField("cell_id").as("cell_id"))
+      base.select(passthrough :+
+        array_max(scored).getField("cell_id").as("cell_id"): _*)
     else {
       // rank by ascending (-sim, cell) = (sim DESC, cell ASC):
       // negation is antitone on Spark's total double order (incl.
@@ -231,9 +286,9 @@ object Similarity {
       val ranked = transform(scored, s => struct(
         (-s.getField("_sim")).as("_negSim"),
         s.getField("cell_id").as("cell_id")))
-      base.select(col(idCol), col(vecCol),
+      base.select(passthrough :+
         explode(transform(slice(array_sort(ranked), 1, nProbe),
-          s => s.getField("cell_id"))).as("cell_id"))
+          s => s.getField("cell_id"))).as("cell_id"): _*)
     }
   }
 

@@ -21,11 +21,17 @@ class PlanLintSpec extends SparkSpec {
     *  - q_ann_bruteforce — the exactness BASELINE the approximate ANN
     *    paths are measured against; its query side is a bounded
     *    broadcast by contract;
+    *  - q_ann_recall — embeds q_ann_bruteforce verbatim as its truth
+    *    subplan, so it inherits that bounded broadcast cross;
+    *  - q_ivf_dedup_recall — measurement query whose truth side is the
+    *    all-pairs cosine sweep at the dedup threshold; bounded QA
+    *    cross by design (run on a sample at real scale), documented on
+    *    DedupSim.qIvfDedupRecall;
     *  - q_events_gapfill / q_events_interpolate — the dense grid ×
     *    event-type dimension cross; the type dimension is distinct()
     *    of a low-cardinality column, small by data contract. */
   private val crossAllowed = Set(
-    "q_cross_join", "q_ann_bruteforce", "q_ann_recall",
+    "q_cross_join", "q_ann_bruteforce", "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate")
 
   /** Reviewed whole-relation windows: q_win_unpartitioned is the
