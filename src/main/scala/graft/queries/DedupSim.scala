@@ -633,15 +633,38 @@ object DedupSim {
       |      ELSE [] END) AS sh
       |  FROM documents)""".stripMargin
 
-  /** Near-dup pairs at jaccard >= 0.3 from the shared shingle CTE. */
-  private val PairSelect: String =
-    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
-      |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) AS jaccard
-      |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE ROUND(LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 /
-      |    GREATEST(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 1), 6) >= 0.3""".stripMargin
+  /** The capped-pair CTE chain appended after ShingleCte: unnest the
+    * per-doc shingle lists, drop shingles whose BLOCK document
+    * frequency exceeds Dedup.JaccardDfCap (the same stop-shingle
+    * prefilter the Spark side applies), then jaccard over the capped
+    * universe — numerator and per-doc sizes both from the kept rows,
+    * the relational twin of Dedup.ngramJaccardPairs. Ends with a
+    * `pairs` CTE: (id_a, id_b, jaccard) at jaccard >= 0.3. */
+  private def cappedPairCtes: String =
+    s"""shx AS (
+       |  SELECT doc_id, lang, source, UNNEST(sh) AS h FROM sh),
+       |dfk AS (
+       |  SELECT lang, source, h FROM shx
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= ${Dedup.JaccardDfCap}),
+       |kept AS (
+       |  SELECT s.doc_id, s.lang, s.source, s.h
+       |  FROM shx s JOIN dfk USING (lang, source, h)),
+       |szs AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+       |  FROM kept a JOIN kept b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+       |      AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(n_inter * 1.0 /
+       |      GREATEST(sa.sz + sb.sz - n_inter, 1), 6) AS jaccard
+       |  FROM pr
+       |  JOIN szs sa ON pr.id_a = sa.doc_id
+       |  JOIN szs sb ON pr.id_b = sb.doc_id
+       |  WHERE ROUND(n_inter * 1.0 /
+       |      GREATEST(sa.sz + sb.sz - n_inter, 1), 6) >= 0.3)""".stripMargin
 
   /** Generated MinHash oracle — the 64 family columns, 16 band-bucket
     * expressions, and all constants come from the same Scala code the
@@ -847,8 +870,9 @@ object DedupSim {
         |  doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
         |FROM h ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      s"""WITH $ShingleCte
-         |SELECT id_a, id_b, jaccard FROM ($PairSelect)
+      s"""WITH $ShingleCte,
+         |$cappedPairCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
     // recall of the minhash candidate path against the blocked exact
     // baseline: both subplans are the registered oracles verbatim (the
@@ -875,7 +899,8 @@ object DedupSim {
          |FROM v ORDER BY vec_id""".stripMargin,
     "q_minhash_recall" ->
       s"""WITH $ShingleCte,
-         |ex AS (SELECT id_a, id_b FROM ($PairSelect)),
+         |$cappedPairCtes,
+         |ex AS (SELECT id_a, id_b FROM pairs),
          |mh AS ($minhashOracle),
          |hit AS (
          |  SELECT COUNT(*) AS n_hit FROM ex
@@ -890,7 +915,7 @@ object DedupSim {
     // closure recursive CTE (independent of Spark's label propagation)
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $ShingleCte,
-         |pairs AS ($PairSelect),
+         |$cappedPairCtes,
          |e AS (SELECT id_a AS a, id_b AS b FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
          |r AS (

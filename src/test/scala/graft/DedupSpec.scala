@@ -60,6 +60,34 @@ class DedupSpec extends SparkSpec {
     assert(out(14L) == ((2L, 0L, 0L, 0.0)), s"doc 14: ${out(14L)}")
   }
 
+  test("df cap drops stop-shingles so no bucket goes quadratic") {
+    // ten docs whose ONLY shared shingle is a planted stop 3-gram,
+    // plus one near-dup pair sharing several rare shingles
+    val stop = "common header boilerplate"
+    val docs = spark.createDataFrame(
+      (0 until 10).map(i =>
+        (100L + i, s"$stop unique$i alpha$i beta$i gamma$i delta$i")) :+
+        (200L, "rare one two three four five six seven") :+
+        (201L, "rare one two three four five six eight")
+    ).toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.0,
+        dfCap = cap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap 5 < 10 sharers: the stop shingle drops BEFORE the self-join,
+    // so the filler docs produce zero pair rows even at threshold 0 —
+    // the candidate set is bounded by construction — while the planted
+    // near-dups (all shingle dfs = 2) survive untouched
+    val capped = pairs(5)
+    assert(capped.contains((200L, 201L)), s"near-dup lost: $capped")
+    assert(!capped.exists(p => p._1 >= 100L && p._1 < 110L && p._2 < 110L),
+      s"stop-shingle pairs leaked through the cap: $capped")
+    // without the cap the same stop shingle materializes all 45 pairs
+    assert(pairs(Int.MaxValue)
+      .count(p => p._1 >= 100L && p._1 < 110L && p._2 < 110L) == 45)
+  }
+
   test("minhash-LSH recovers the exact-jaccard near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(
         corpus, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.5)
