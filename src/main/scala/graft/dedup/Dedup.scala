@@ -302,16 +302,48 @@ object Dedup {
     * identical either way. */
   def incrementalDedup(
       batch: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    def hashed(df: DataFrame) = df.select(col(idCol).as("id"),
+      idCol: String, textCol: String, n: Int): DataFrame =
+    incrementalDedupScreen(batch,
+      contentHashes(corpus, idCol, textCol).select(col("h")).distinct(),
+      minhashBands(minhashShingleRows(corpus, idCol, textCol, n))
+        .select(col("id").as("cid"), col("band"), col("bucket")),
+      idCol, textCol, n)
+
+  /** (id, h) with h = the normalized 128-bit content hash. */
+  def contentHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
-    val exact = hashed(batch)
-      .join(hashed(corpus).select(col("h")).distinct(), Seq("h"), "left_semi")
+
+  /** Write the corpus MinHash band table as a BUCKETED index — the
+    * persisted half of the daily-ingest dedup at 100 TB. Bucketing on
+    * the full (band, bucket) join key pays the corpus-side shuffle
+    * ONCE at index-build time; every subsequent batch screen joins
+    * against the bucketed scan with NO corpus-side Exchange (only the
+    * small batch side shuffles to match) — asserted in BucketingSpec.
+    * Incremental maintenance is an append of the new batch's bands
+    * after its keep-decisions commit. */
+  def writeBandIndex(
+      corpus: DataFrame, idCol: String, textCol: String, n: Int,
+      table: String, numBuckets: Int): Unit =
+    graft.sources.Bucketing.writeBucketedOn(
+      minhashBands(minhashShingleRows(corpus, idCol, textCol, n))
+        .select(col("id").as("cid"), col("band"), col("bucket")),
+      table, Seq("band", "bucket"), numBuckets,
+      sortCols = Seq("band", "bucket"))
+
+  /** The verdict assembly shared by the in-plan and indexed forms:
+    * `corpusHashes` is the distinct corpus content-hash set (`h`),
+    * `corpusBands` the corpus band table (cid, band, bucket) — either
+    * derived in-plan or read back from the persisted bucketed index. */
+  def incrementalDedupScreen(
+      batch: DataFrame, corpusHashes: DataFrame, corpusBands: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val exact = contentHashes(batch, idCol, textCol)
+      .join(corpusHashes, Seq("h"), "left_semi")
       .select(col("id"), lit(true).as("is_exact_dup"))
     val near = minhashBands(minhashShingleRows(batch, idCol, textCol, n))
       .select(col("id"), col("band"), col("bucket"))
-      .join(minhashBands(minhashShingleRows(corpus, idCol, textCol, n))
-        .select(col("id").as("cid"), col("band"), col("bucket")),
+      .join(corpusBands.select(col("cid"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .groupBy(col("id"))
       .agg(countDistinct(col("cid")).as("n_near_candidates"))

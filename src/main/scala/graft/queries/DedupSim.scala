@@ -261,13 +261,36 @@ object DedupSim {
 
   /** Incremental ingest dedup on the src0 slice (the "daily batch")
     * against everything else (the "existing corpus") — one verdict row
-    * per incoming doc; see Dedup.incrementalDedup for the shape. */
+    * per incoming doc; see Dedup.incrementalDedupScreen for the shape.
+    *
+    * The corpus BAND side reads the persisted bucketed index (built
+    * once per table dir and reused for every subsequent screen in the
+    * session — the real daily-ingest shape: the corpus bands never
+    * re-shuffle, only the small batch side exchanges to match; the
+    * no-corpus-Exchange claim is spec-asserted in BucketingSpec).
+    * Results are identical to the fully in-plan form, so the oracle is
+    * unchanged. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
-    Dedup.incrementalDedup(
-      docs.where(col("source") === "src0"),
-      docs.where(col("source") =!= "src0"),
-      "doc_id", "text", n = 3)
+    val batch = docs.where(col("source") === "src0")
+    val corpus = docs.where(col("source") =!= "src0")
+    val tbl = bandIdxTable(d)
+    this.synchronized {
+      if (!s.catalog.tableExists(tbl))
+        Dedup.writeBandIndex(corpus, "doc_id", "text", n = 3, tbl,
+          numBuckets = 16)
+    }
+    Dedup.incrementalDedupScreen(batch,
+      Dedup.contentHashes(corpus, "doc_id", "text")
+        .select(col("h")).distinct(),
+      s.table(tbl), "doc_id", "text", n = 3)
+  }
+
+  /** Stable per-dir name for the persisted band index table. */
+  private def bandIdxTable(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_band_idx_${md.take(10)}"
   }
 
   /** Per-vector projection onto the learned top principal component —

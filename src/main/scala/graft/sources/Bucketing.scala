@@ -16,11 +16,19 @@ object Bucketing {
   /** Write `df` as a bucketed (and optionally sorted) managed table. */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit =
+    writeBucketedOn(df, table, Seq(bucketCol), numBuckets, sortCols)
+
+  /** Composite-key variant: bucket on several columns. A later join
+    * elides the bucketed side's shuffle when its equi-join keys cover
+    * ALL the bucket columns. */
+  def writeBucketedOn(
+      df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(numBuckets, bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

@@ -35,6 +35,52 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("incremental-dedup band join reads the index with no corpus-side shuffle") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val corpus = docs.where(col("source") =!= "src0")
+      val batch = docs.where(col("source") === "src0")
+      Dedup.writeBandIndex(corpus, "doc_id", "text", 3, "band_idx_t", 8)
+      val idx = spark.table("band_idx_t")
+      val joined = Dedup
+        .minhashBands(Dedup.minhashShingleRows(batch, "doc_id", "text", 3))
+        .select(col("id"), col("band"), col("bucket"))
+        .join(idx, Seq("band", "bucket"))
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val smj = strip(joined.queryExecution.executedPlan)
+        .collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "expected a sort-merge band join")
+      // the index side: contains the bucketed file scan and NO shuffle
+      val indexSide = Seq(smj.get.left, smj.get.right).filter(
+        _.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }
+          .nonEmpty)
+      assert(indexSide.nonEmpty, "bucketed index scan not found under the join")
+      assert(indexSide.head
+        .collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus side of the band join shuffled:\n${indexSide.head}")
+      // and the indexed screen returns exactly the in-plan verdicts
+      val viaIndex = Dedup.incrementalDedupScreen(batch,
+        Dedup.contentHashes(corpus, "doc_id", "text")
+          .select(col("h")).distinct(),
+        idx, "doc_id", "text", 3).collect().toSeq
+      val inPlan = Dedup.incrementalDedup(
+        batch, corpus, "doc_id", "text", 3).collect().toSeq
+      assert(viaIndex == inPlan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS band_idx_t")
+    }
+  }
+
   test("aggregation on the bucket key avoids the shuffle too") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
