@@ -70,6 +70,43 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.select("cell_id").distinct().count() <= 8)
   }
 
+  test("ivf cell count derives from corpus size: floor(sqrt) in [16, 4096]") {
+    assert(Similarity.ivfCellCountFor(100L) == 16)        // clamped up
+    assert(Similarity.ivfCellCountFor(500L) == 22)        // ⌊√500⌋
+    assert(Similarity.ivfCellCountFor(1000000L) == 1000)  // ⌊√10⁶⌋
+    assert(Similarity.ivfCellCountFor(1L << 40) == 4096)  // clamped down
+  }
+
+  test("hot-block guard sub-partitions only the hot label, keeps near-dups") {
+    // 40 vectors under a hot label spread over 4 orthogonal clusters
+    // (plus per-row jitter so they aren't exact ties), 5 under a cold
+    // one; ids 900/901 are a planted same-direction near-dup pair
+    def vec(c: Int, i: Int): Seq[Double] =
+      Seq.tabulate(8)(k => (if (k == c) 1.0 else 0.0) + 0.001 * ((i + k) % 7))
+    val rows = (0 until 40).map(i => (i.toLong, vec(i % 4, i), "hot")) ++
+      (0 until 5).map(i => (500L + i, vec(3, i), "cold")) ++
+      Seq((900L, vec(0, 1), "hot"), (901L, vec(0, 1).updated(7, 0.002), "hot"))
+    val vecs = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val keyed = Similarity.guardedBlockKeys(
+      vecs, hotCap = 16, numCells = 8, "vec_id", "embedding", "label",
+      Similarity.cosine)
+    val nb = keyed.groupBy(col("label"))
+      .agg(countDistinct(col("_blk")).as("nb")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nb("hot") > 1, s"hot label not sub-partitioned: $nb")
+    assert(nb("cold") == 1, s"cold label split: $nb")
+    // bounded: no sub-block of the hot label holds the whole label
+    val maxBlk = keyed.where(col("label") === "hot")
+      .groupBy(col("_blk")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBlk < 42, s"hot label still one block of $maxBlk")
+    // the planted near-identical pair still lands in one sub-block
+    val pairs = Similarity.cosineNearDupPairsGuarded(
+        vecs, threshold = 0.999, hotCap = 16, numCells = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900L, 901L)), s"planted near-dup lost: $pairs")
+  }
+
   test("int8 quantization: planted vector exact, error bounded by scale/2") {
     // [127, -63.5, 0.25]: scale = 1.0, snapped = [127, -64 (rounds
     // half away from zero), 0] → max error = 0.5 at the -63.5 element
