@@ -244,6 +244,34 @@ object Dedup {
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** The (band, bucket) array of ONE document as a pure per-row column
+    * expression — the STREAMING-SAFE twin of `minhashBands`: identical
+    * md5-15 shingle ids, family hashes, and band fold, but built from
+    * higher-order array functions instead of the posexplode + window +
+    * aggregate backbone (window functions don't run on streams).
+    * Bit-identical to the batch bands (spec-asserted), so a streaming
+    * batch side can join the SAME persisted corpus band index the
+    * batch screen uses. Interpreted (CodegenFallback) per-row work —
+    * right for a per-microbatch ingest screen, wrong for the batch hot
+    * path, which keeps the relational shape above. Documents shorter
+    * than `n` words yield an empty array (no bands), matching the
+    * batch pipeline's dropped rows. */
+  def minhashBandsExpr(text: Column, n: Int): Column = {
+    val sids = array_distinct(transform(shingles(text, n),
+      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")))
+    val mins = (0 until NumHashes).map { i =>
+      array_min(transform(sids,
+        h => (lit(familyA(i)) * (h % MinhashP) + lit(familyB(i))) % MinhashP))
+    }
+    def bucket(bnd: Int): Column =
+      (0 until BandRows).foldLeft(lit(bnd.toLong)) { (acc, r) =>
+        (acc * 1000003L + mins(bnd * BandRows + r)) % MinhashP
+      }
+    when(size(sids) > 0, array((0 until NumBands).map { bnd =>
+      struct(lit(bnd).as("band"), bucket(bnd).as("bucket"))
+    }: _*)).otherwise(array().cast("array<struct<band:int,bucket:bigint>>"))
+  }
+
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val bands = minhashBands(sh)
     bands.as("x").join(bands.as("y"),

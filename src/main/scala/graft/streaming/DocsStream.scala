@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
 /** Streaming twin of the document-curation pipeline (queries.Text
@@ -26,4 +27,47 @@ object DocsStream {
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming twin of the incremental ingest dedup
+    * (Dedup.incrementalDedupScreen): screen a continuous document feed
+    * against the EXISTING corpus — exact duplicates by content hash,
+    * near-duplicate candidates by cross-set MinHash band collisions —
+    * emitting one verdict row per document as the watermark finalizes
+    * its ingest window.
+    *
+    * Both corpus sides are STATIC relations (stream-static joins, no
+    * state): `corpusHashes` is the distinct content-hash set (`h`),
+    * `corpusBands` the corpus band table (cid, band, bucket) — at
+    * production scale the same persisted bucketed index the batch
+    * screen reads (Dedup.writeBandIndex), refreshed between ingest
+    * sessions. The batch side's bands come from the per-row
+    * `Dedup.minhashBandsExpr` (bit-identical to the batch banding, so
+    * the verdicts match the batch twin — spec-asserted); the only
+    * stateful operator is the windowed per-doc collapse, bounded by
+    * the watermark. */
+  def screenStream(
+      docs: DataFrame, corpusHashes: DataFrame, corpusBands: DataFrame,
+      watermarkDelay: String, n: Int = 3,
+      window_ : String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .withColumn("h",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      // explode_outer: a doc shorter than n words has no bands but
+      // still gets its verdict row (cid stays null → zero candidates)
+      .withColumn("bb", explode_outer(Dedup.minhashBandsExpr(col("text"), n)))
+      .select(col("doc_id"), col("ingest_ts"), col("h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(corpusHashes.select(col("h"), lit(true).as("_hx")).distinct(),
+        Seq("h"), "left")
+      .join(corpusBands.select(col("cid"), col("band"), col("bucket")),
+        Seq("band", "bucket"), "left")
+      .groupBy(window(col("ingest_ts"), window_), col("doc_id"),
+        coalesce(col("_hx"), lit(false)).as("is_exact_dup"))
+      // collect_set skips nulls, so its size IS the distinct count of
+      // colliding corpus docs (countDistinct isn't streamable)
+      .agg(size(collect_set(col("cid"))).cast("long")
+        .as("n_near_candidates"))
+      .select(col("doc_id"), col("is_exact_dup"), col("n_near_candidates"),
+        (!col("is_exact_dup") && col("n_near_candidates") === 0).as("keep"))
 }

@@ -98,6 +98,22 @@ class DedupSpec extends SparkSpec {
     assert(exact == approx) // verify step makes LSH output exact-equal
   }
 
+  test("per-row band expression is bit-identical to the batch banding") {
+    val viaExpr = corpus.select(col("doc_id"),
+        explode(Dedup.minhashBandsExpr(col("text"), 3)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaBatch = Dedup
+      .minhashBands(Dedup.minhashShingleRows(corpus, "doc_id", "text", 3))
+      .select(col("id"), col("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr == viaBatch)
+    // a doc too short to shingle yields an empty band array
+    val short = spark.createDataFrame(Seq((0L, "one two"))).toDF("doc_id", "text")
+      .select(size(Dedup.minhashBandsExpr(col("text"), 3))).collect()(0).getInt(0)
+    assert(short == 0)
+  }
+
   test("simhash: identical docs collide, near-dups within hamming 8") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

@@ -146,6 +146,62 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 4L), s"got ${ids.toSeq}")
   }
 
+  test("streaming incremental-dedup screen equals the batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away tonight while the moon rises over the quiet hills tonight"
+    val corpusDocs = spark.createDataFrame(Seq(
+      (0L, base),
+      (1L, "completely different corpus words about columnar storage")
+    )).toDF("doc_id", "text")
+    // exact dup (whitespace/case variant), near dup, fresh doc, and a
+    // doc too short to shingle (no bands → zero candidates)
+    val batchRows = Seq(
+      (10L, "  " + base.toUpperCase + " "),
+      (11L, base.replace("tonight", "today")),
+      (12L, "entirely novel text that matches nothing in the corpus here"),
+      (13L, "one two"))
+    val corpusHashes = Dedup.contentHashes(corpusDocs, "doc_id", "text")
+      .select(col("h")).distinct()
+    val corpusBands = Dedup
+      .minhashBands(Dedup.minhashShingleRows(corpusDocs, "doc_id", "text", 3))
+      .select(col("id").as("cid"), col("band"), col("bucket"))
+    val t0 = Timestamp.valueOf("2024-01-01 00:10:00")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream
+      .screenStream(sdf, corpusHashes, corpusBands, "10 minutes")
+      .writeStream.format("memory").queryName("screen_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchRows.map { case (id, tx) => (id, tx, t0) })
+      q.processAllAvailable()
+      // push the watermark past the ingest window so verdicts finalize
+      stream.addData((999L, "watermark pusher row",
+        Timestamp.valueOf("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("screen_out").where(col("doc_id") < 900)
+      .select("doc_id", "is_exact_dup", "n_near_candidates", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val want = Dedup.incrementalDedup(
+        spark.createDataFrame(batchRows).toDF("doc_id", "text"),
+        corpusDocs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"stream $got vs batch $want")
+    // sanity on the scenario itself: exact dup flagged, near dup has
+    // candidates, fresh + short docs keep
+    assert(want.map(v => (v._1, v._2, v._4)) ==
+      Seq((10L, true, false), (11L, false, false),
+        (12L, false, true), (13L, false, true)), s"scenario drifted: $want")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
