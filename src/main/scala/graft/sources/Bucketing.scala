@@ -25,6 +25,19 @@ object Bucketing {
   def writeBucketedOn(
       df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    // A managed table's warehouse directory outlives the in-memory
+    // catalog across JVMs: a fresh session sees no table but
+    // saveAsTable still refuses the stale location
+    // (LOCATION_ALREADY_EXISTS). Overwrite semantics here mean the
+    // orphaned directory is dead weight — clear it.
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
