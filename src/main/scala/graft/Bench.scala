@@ -36,11 +36,12 @@ object Bench {
       System.gc()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over 2 passes: pass 1 absorbs residual JIT/GC noise, the
+      // min over 3 passes: pass 1 absorbs residual JIT/GC noise, the
       // min is the reproducible cost of the plan itself (the driver's
-      // per-round comparisons need a low-variance statistic, not a
-      // wall-clock average polluted by neighbor queries)
-      val times = (1 to 2).map { _ =>
+      // per-round comparisons need a low-variance statistic — totals
+      // on this rig swing ±10% with machine load, which min-of-3
+      // suppresses; a wall-clock average would keep that noise)
+      val times = (1 to 3).map { _ =>
         settle()
         val t0 = System.nanoTime()
         // noop sink executes the full plan; count() would let Catalyst
@@ -61,16 +62,22 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // ALSO persist to the repo root: the driver snapshots only the
-    // tail of sbt output and has truncated the one-line JSON mid-line
-    // before (BENCH_r07 parsed=null) — the file survives verbatim
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    // ALSO persist to a file: the driver snapshots only the tail of
+    // sbt output and has truncated the one-line JSON mid-line before
+    // (BENCH_r07 parsed=null) — the file survives verbatim. The path
+    // is env-overridable and logged ABSOLUTE so a run from another
+    // cwd can't silently leave a stale repo-root snapshot looking
+    // current.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+      .toAbsolutePath
+    try {
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
     }
     spark.stop()
   }

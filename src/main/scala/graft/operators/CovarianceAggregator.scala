@@ -55,6 +55,12 @@ class CovarianceAggregator(d: Int)
     b(at) += (v >> 63) + carry // sign-extend v into the high word
   }
 
+  /** Quantized components must stay below 2²⁶ so a(i)·a(j) < 2⁵² fits
+    * a long — the ×2²⁴ quantization of unit-normish embeddings
+    * guarantees it, but a contract violation must fail LOUDLY here
+    * rather than silently overflow into a plausible-looking moment. */
+  private val MaxAbsComponent = 1L << 26
+
   override def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
     require(q.length == d, s"expected $d components, got ${q.length}")
     val a = q.toArray
@@ -62,6 +68,9 @@ class CovarianceAggregator(d: Int)
     var i = 0
     var t = 0
     while (i < d) {
+      require(math.abs(a(i)) < MaxAbsComponent,
+        s"quantized component ${a(i)} breaches |q| < 2^26 — " +
+          "product sums would overflow silently")
       add128(b, 1 + 2 * i, a(i))
       var j = i
       while (j < d) {

@@ -230,7 +230,19 @@ object EventsStream {
     * Deltas vs batch (documented, same spirit as gapfillStream): the
     * grid starts at each type's first observed bucket, and trailing
     * buckets after the last observation never emit — a stream cannot
-    * know the tail is final (batch emits them as NULL). */
+    * know the tail is final (batch emits them as NULL).
+    *
+    * KEY-CARDINALITY CONTRACT: once a key's open map drains, its
+    * (cursor, anchor) entry persists indefinitely — deliberately: the
+    * left anchor is what interpolates the gap up to that key's NEXT
+    * observation, however far off, exactly as the batch twin reaches
+    * back arbitrarily far within a partition. Evicting idle keys would
+    * silently change results on resume. State is therefore O(1) per
+    * DISTINCT event_type with no timeout-based cleanup, which is the
+    * right trade only because event_type is a low-cardinality
+    * dimension; keying a variant on an unbounded column (user id,
+    * session) would need timeout eviction plus the documented
+    * grid-restart semantics that come with it. */
   def interpolateStream(
       events: Dataset[TypedEvent],
       watermarkDelay: String = "10 minutes",
