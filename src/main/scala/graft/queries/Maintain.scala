@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.ZOrder
+
+/** Table-maintenance operators — the jobs that keep a 100 TB lake
+  * queryable: changelog compaction (MERGE/upsert materialization),
+  * SCD2 historization, and z-order layout planning. The reference has
+  * no storage or ingest layer (in-memory rows only,
+  * /root/reference/stupidb/api.py `table()`); these are what its users
+  * would run upstream of every query at real scale.
+  */
+object Maintain {
+
+  /** Materialize the current state of a keyed changelog — MERGE/upsert
+    * semantics: last writer wins, tombstones delete. The events log is
+    * read as a CDC stream keyed by user_id, ordered by (event time,
+    * event_id); 'error' rows act as the tombstone marker, so a user
+    * whose latest row is a tombstone vanishes from the compacted
+    * state. ONE aggregation: max_by keeps each key's latest row with
+    * map-side partial aggregation, so the shuffle carries at most one
+    * row per key per input partition — the shape that compacts a
+    * 100 TB changelog without ever sorting it (the window-rank
+    * formulation would shuffle and sort every raw row). */
+  def qMergeUpsert(s: SparkSession, d: String): DataFrame =
+    compactChangelog(Tables.events(s, d))
+
+  /** The MERGE core over any frame with the events schema — split out
+    * so specs can plant their own changelog. */
+  def compactChangelog(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts_us"), col("event_type"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("last"))
+      .where(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("last.ts_us").as("last_ts_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy(col("user_id"))
+
+  /** Type-2 slowly-changing-dimension history of each user's
+    * event_type state: one row per state CHANGE carrying its validity
+    * interval [valid_from, valid_to) in epoch micros, NULL valid_to =
+    * current version. One shuffle on user_id; the change filter
+    * preserves both the hash partitioning and the (ts, event_id) sort,
+    * so the second window (lead over the surviving change rows) reuses
+    * the first's exchange and sort instead of re-shuffling. */
+  def qScd2History(s: SparkSession, d: String): DataFrame =
+    scd2History(Tables.events(s, d))
+
+  /** The SCD2 core over any frame with the events schema. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
+  }
+
+  /** Z-order layout audit over lineitem's (l_partkey, l_suppkey):
+    * Morton-interleave both keys (ZOrder.zorderValue — pure codegen'd
+    * shift/mask arithmetic), bucket rows by the top interleaved bits,
+    * and report each bucket's bounding box in BOTH dimensions. The
+    * tight per-bucket min/max ranges ARE the pruning guarantee: laid
+    * out this way, a range predicate on either key (or both) skips
+    * every file whose box misses it — what a lead-key sort only gives
+    * the lead key. The write-side half is ZOrder.layout (spec-asserted
+    * in ZOrderSpec); this query is the audit a layout job would emit. */
+  def qZorder(s: SparkSession, d: String): DataFrame = {
+    // both keys are min/max-normalized onto the shared 11-bit budget
+    // (ZOrder.normalize) so the curve's top levels split BOTH
+    // dimensions at ANY scale factor — key domains here grow 10× per
+    // SF, so fixed bit constants would alias at sf0.1 and degenerate
+    // at sf0.001. The 1-row extent aggregate broadcasts back in (no
+    // second scan at the executors beyond the cheap agg pass).
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val ext = li.agg(
+      min(col("l_partkey")).as("minp"), max(col("l_partkey")).as("maxp"),
+      min(col("l_suppkey")).as("mins"), max(col("l_suppkey")).as("maxs"))
+    val pn = ZOrder.normalize(
+      col("l_partkey"), col("minp"), col("maxp"), ZBits)
+    val sn = ZOrder.normalize(
+      col("l_suppkey"), col("mins"), col("maxs"), ZBits)
+    val z = ZOrder.zorderValue(Seq(pn, sn), ZBits)
+    li.crossJoin(broadcast(ext))
+      .select(shiftright(z, ZBucketShift).as("zbucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("zbucket"))
+  }
+
+  /** Dropping the low 16 of the 22 interleaved bits buckets by the
+    * top 3 (partkey, suppkey) bit pairs: ≤64 buckets, each boxing
+    * BOTH normalized dimensions within 1/8 of their domain. */
+  private val ZBits = 11
+  private val ZBucketShift = 16
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_scd2_history" -> (qScd2History _),
+    "q_zorder" -> (qZorder _))
+
+  def oracles: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us AS last_ts_us, event_type AS last_type,
+        |  value AS last_value
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_scd2_history" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM lagged
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |  LEAD(ts_us, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM chg
+        |ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    "q_zorder" -> {
+      val pn = ZOrder.normalizeSql("l_partkey", "minp", "maxp", ZBits)
+      val sn = ZOrder.normalizeSql("l_suppkey", "mins", "maxs", ZBits)
+      val z = ZOrder.zorderSql(Seq("pn", "sn"), ZBits)
+      s"""WITH ext AS (
+         |  SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+         |    MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_partkey, l_suppkey, $pn AS pn, $sn AS sn
+         |  FROM lineitem CROSS JOIN ext)
+         |SELECT ($z >> $ZBucketShift) AS zbucket,
+         |  COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM n
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+}
