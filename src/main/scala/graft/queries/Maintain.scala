@@ -113,10 +113,48 @@ object Maintain {
   private val ZBits = 11
   private val ZBucketShift = 16
 
+  /** Data-quality audit — the expectation gate a pipeline runs before
+    * publishing a snapshot: every row-level constraint evaluates in
+    * ONE scan as conditional sums (a per-check pass would read the
+    * fact N times), plus one anti-join for referential integrity. One
+    * compact report row per check. */
+  def qQualityAudit(s: SparkSession, d: String): DataFrame =
+    qualityAudit(Tables.lineitem(s, d), Tables.orders(s, d))
+
+  /** The audit core — split out so specs can plant violations. */
+  def qualityAudit(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def viol(bad: org.apache.spark.sql.Column) =
+      sum(when(bad, 1L).otherwise(0L))
+    val row = lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .as("quantity_range"),
+      viol(col("l_discount") < 0 || col("l_discount") > 0.1)
+        .as("discount_range"),
+      viol(col("l_extendedprice") <= 0).as("price_positive"))
+    val orphans = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orderkey_resolves"))
+    row
+      .crossJoin(broadcast(orphans)) // 1-row audit scalar, in-plan
+      .select(col("n_rows"), expr(
+        """stack(4,
+          |  'quantity_range', quantity_range,
+          |  'discount_range', discount_range,
+          |  'price_positive', price_positive,
+          |  'orderkey_resolves', orderkey_resolves)
+          |  AS (check_name, n_violations)
+          |""".stripMargin))
+      .select(col("check_name"), col("n_rows"), col("n_violations"),
+        round(col("n_violations") / col("n_rows"), 6).as("violation_rate"))
+      .orderBy(col("check_name"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2_history" -> (qScd2History _),
-    "q_zorder" -> (qZorder _))
+    "q_zorder" -> (qZorder _),
+    "q_quality_audit" -> (qQualityAudit _))
 
   def oracles: Map[String, String] = Map(
     "q_merge_upsert" ->
@@ -160,5 +198,30 @@ object Maintain {
          |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
          |FROM n
          |GROUP BY 1 ORDER BY 1""".stripMargin
-    })
+    },
+    "q_quality_audit" ->
+      """WITH t AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS price_positive
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT COUNT(*) AS orderkey_resolves
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |checks AS (
+        |  SELECT 'quantity_range' AS check_name, n_rows,
+        |    quantity_range AS n_violations FROM t
+        |  UNION ALL SELECT 'discount_range', n_rows, discount_range FROM t
+        |  UNION ALL SELECT 'price_positive', n_rows, price_positive FROM t
+        |  UNION ALL SELECT 'orderkey_resolves', t.n_rows,
+        |    fk.orderkey_resolves FROM t, fk)
+        |SELECT check_name, n_rows, n_violations,
+        |  ROUND(n_violations / n_rows, 6) AS violation_rate
+        |FROM checks ORDER BY check_name""".stripMargin)
 }

@@ -10,6 +10,12 @@ case class UserEvent(user_id: Long, value: Double)
 case class UserState(n: Long, sum: Double)
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 case class TypedEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
+case class CdcEvent(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+case class CompactRow(
+    user_id: Long, last_ts_us: Long, last_event_id: Long,
+    last_type: String, last_value: Double, deleted: Boolean)
 case class GapfillState(
     nextBucket: Long, locf: Option[Double], open: Map[Long, (Long, Double)])
 case class GapBucket(
@@ -120,6 +126,40 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming changelog compaction — the stateful twin of
+    * Maintain.compactChangelog (MERGE semantics: last writer wins,
+    * tombstones delete). State per key is ONE row: the current
+    * (ts_us, event_id)-max version; each micro-batch folds its rows
+    * into that maximum and emits the key's refreshed state in update
+    * mode, tombstones included with `deleted = true` so a downstream
+    * sink can drop the key (emitting nothing would leave the sink
+    * holding the pre-tombstone version forever). Out-of-order rows
+    * BELOW the current maximum fold away without emitting a stale
+    * version — the cross-batch property the batch max_by gets for
+    * free and a naive per-batch latest-row stream would violate.
+    * State is O(1) per live key and never grows with stream length;
+    * NoTimeout because a key's current version stays addressable
+    * indefinitely, like the compacted table it mirrors. */
+  def compactStream(events: Dataset[CdcEvent]): Dataset[CompactRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CompactRow, CompactRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[CompactRow]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { r =>
+            // µs event time, matching the batch unix_micros(ts)
+            val tsUs = r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+            if (cur == null || tsUs > cur.last_ts_us ||
+                (tsUs == cur.last_ts_us && r.event_id > cur.last_event_id))
+              cur = CompactRow(uid, tsUs, r.event_id, r.event_type, r.value,
+                deleted = r.event_type == "error")
+          }
+          state.update(cur)
+          cur
+      }
+  }
 
   /** Streaming gap-fill + LOCF — the stateful twin of the batch
     * `q_events_gapfill`: per event type, emit a DENSE sequence of

@@ -52,6 +52,24 @@ class MaintainSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("qualityAudit counts planted violations and FK orphans") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10.0, 0.05, 100.0),  // clean
+      (1L, 99.0, 0.05, 100.0),  // quantity out of range
+      (2L, 10.0, 0.50, 100.0),  // discount out of range
+      (9L, 10.0, 0.05, -5.0))   // bad price AND orphan orderkey
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    val out = Maintain.qualityAudit(li, orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "quantity_range" -> ((4L, 1L)),
+      "discount_range" -> ((4L, 1L)),
+      "price_positive" -> ((4L, 1L)),
+      "orderkey_resolves" -> ((4L, 1L))), s"got $out")
+  }
+
   test("scd2 intervals on real data partition each user's timeline") {
     val hist = Maintain.qScd2History(spark, sf).collect()
     hist.groupBy(_.getLong(0)).foreach { case (_, rows) =>

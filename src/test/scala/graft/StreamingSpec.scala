@@ -431,4 +431,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"missing=${want -- got}\nextra=${got -- want}")
   }
+
+  test("streaming changelog compaction equals batch merge, late rows fold away") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val b1 = Seq(
+      CdcEvent(1L, t("2024-01-01 10:00:00"), 10L, "view", 1.0),
+      CdcEvent(2L, t("2024-01-01 10:05:00"), 20L, "view", 2.0),
+      CdcEvent(3L, t("2024-01-01 10:06:00"), 30L, "signup", 3.0))
+    val b2 = Seq(
+      CdcEvent(4L, t("2024-01-01 10:10:00"), 10L, "purchase", 9.0),
+      // LATE row for 20, older than its current version → must not win
+      CdcEvent(5L, t("2024-01-01 10:01:00"), 20L, "click", 8.0),
+      // tombstone for 30
+      CdcEvent(6L, t("2024-01-01 10:12:00"), 30L, "error", 0.0))
+    val stream = MemoryStream[CdcEvent]
+    val q = EventsStream.compactStream(stream.toDS())
+      .writeStream.format("memory").queryName("compact_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // last emission per key is the live compacted state
+    val emitted = spark.table("compact_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getBoolean(5)))
+    val latest = emitted.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.maxBy(r => (r._2, r._3))
+    }
+    // tombstoned key IS emitted (so sinks can delete), flagged deleted
+    assert(latest(30L)._6, s"tombstone not flagged: ${latest(30L)}")
+    // the late, older row for 20 must not displace its newer version
+    assert(latest(20L)._4 == "view" && latest(20L)._5 == 2.0)
+    // live keys match the batch MERGE of the full log
+    val live = latest.values.filterNot(_._6)
+      .map(r => (r._1, r._2, r._4, r._5)).toSet
+    val batch = graft.queries.Maintain.compactChangelog(
+        (b1 ++ b2).toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(live == batch, s"stream=$live batch=$batch")
+  }
 }
