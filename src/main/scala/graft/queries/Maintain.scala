@@ -113,6 +113,57 @@ object Maintain {
   private val ZBits = 11
   private val ZBucketShift = 16
 
+  /** Incremental SCD2 maintenance — apply a new batch of changes to an
+    * EXISTING history without rebuilding it: closed versions pass
+    * through untouched, each open version becomes the lag anchor for
+    * its user's batch rows (so a batch row continuing the current
+    * state folds away, a different one closes the open version and
+    * starts a new one), and brand-new users historize from their first
+    * batch row. Work is proportional to |open versions| + |batch|,
+    * never |history| — the daily-ingest shape at 100 TB, where the
+    * closed past is immutable. CORRECTNESS IS THE ORACLE: the result
+    * must hash-equal the full rebuild (q_scd2_history's SQL verbatim),
+    * and that equivalence holds for ANY cutoff, so the gate checks the
+    * incremental-view-maintenance algebra itself. */
+  def qScd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val cutoff = expr(s"timestamp'$Scd2Cutoff'")
+    val ev = Tables.events(s, d)
+    scd2Apply(
+      scd2History(ev.where(col("ts") < cutoff)),
+      ev.where(col("ts") >= cutoff))
+  }
+
+  /** The last week of January is the "daily batch"; any value works —
+    * the result is cutoff-invariant (spec-asserted). */
+  private val Scd2Cutoff = "2024-01-24 00:00:00"
+
+  /** The apply core: merge `batch` (events schema) into `hist` (a
+    * qScd2History output). */
+  def scd2Apply(hist: DataFrame, batch: DataFrame): DataFrame = {
+    val closed = hist.where(col("valid_to_us").isNotNull)
+    // the open version rides along as its user's sequence anchor,
+    // keeping its original valid_from; MinValue event_id orders it
+    // before any real row
+    val openSeq = hist.where(col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_type"),
+        col("valid_from_us").as("ts_us"),
+        lit(Long.MinValue).as("event_id"))
+    val batchSeq = batch
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val kept = openSeq.unionByName(batchSeq)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+    closed.unionByName(kept)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
+  }
+
   /** Data-quality audit — the expectation gate a pipeline runs before
     * publishing a snapshot: every row-level constraint evaluates in
     * ONE scan as conditional sums (a per-check pass would read the
@@ -154,7 +205,25 @@ object Maintain {
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2_history" -> (qScd2History _),
     "q_zorder" -> (qZorder _),
+    "q_scd2_incremental" -> (qScd2Incremental _),
     "q_quality_audit" -> (qQualityAudit _))
+
+  /** Full-rebuild SQL — q_scd2_history's oracle, and by the
+    * incremental-equals-rebuild invariant also q_scd2_incremental's. */
+  private val Scd2RebuildSql =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM lagged
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from_us,
+      |  LEAD(ts_us, 1) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS valid_to_us
+      |FROM chg
+      |ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_merge_upsert" ->
@@ -167,20 +236,10 @@ object Maintain {
         |  value AS last_value
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
-    "q_scd2_history" ->
-      """WITH lagged AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-        |    LAG(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS prev_type
-        |  FROM events),
-        |chg AS (
-        |  SELECT user_id, event_type, ts_us, event_id FROM lagged
-        |  WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id, event_type, ts_us AS valid_from_us,
-        |  LEAD(ts_us, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id) AS valid_to_us
-        |FROM chg
-        |ORDER BY user_id, valid_from_us, event_type""".stripMargin,
+    "q_scd2_history" -> Scd2RebuildSql,
+    // the incremental apply must reproduce the full rebuild exactly —
+    // the oracle IS the rebuild, checking the maintenance algebra
+    "q_scd2_incremental" -> Scd2RebuildSql,
     "q_zorder" -> {
       val pn = ZOrder.normalizeSql("l_partkey", "minp", "maxp", ZBits)
       val sn = ZOrder.normalizeSql("l_suppkey", "mins", "maxs", ZBits)

@@ -52,6 +52,29 @@ class MaintainSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("scd2Apply equals the full rebuild at EVERY cutoff") {
+    import org.apache.spark.sql.functions._
+    val log = changelog(
+      (1L, ts(0), 10L, "view", 0.0),
+      (2L, ts(1), 10L, "view", 0.0),     // continuation across cutoffs
+      (3L, ts(2), 10L, "purchase", 0.0),
+      (4L, ts(3), 10L, "view", 0.0),
+      (5L, ts(1), 20L, "signup", 0.0),   // single-version user
+      (6L, ts(4), 30L, "click", 0.0))    // batch-only new user
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val full = canon(Maintain.scd2History(log))
+    // every split point, including all-hist and all-batch
+    for (cutMin <- 0 to 5) {
+      val cut = ts(cutMin)
+      val inc = Maintain.scd2Apply(
+        Maintain.scd2History(log.where(col("ts") < lit(cut))),
+        log.where(col("ts") >= lit(cut)))
+      assert(canon(inc) == full, s"cutoff at minute $cutMin diverged")
+    }
+  }
+
   test("qualityAudit counts planted violations and FK orphans") {
     import spark.implicits._
     val li = Seq(
