@@ -70,7 +70,17 @@ object ExplainDump {
       "result row-identical to the unsalted join"),
     "q_dedup_incremental" -> ("incremental ingest dedup: batch hashes " +
       "semi-join the corpus hash set; batch bands equi-join corpus " +
-      "bands — |batch|-proportional, no corpus×corpus pair work"))
+      "bands — |batch|-proportional, no corpus×corpus pair work"),
+    "q_merge_upsert" -> ("changelog compaction: partial max_by " +
+      "aggregate — ≤ one row per key per input partition reaches the " +
+      "shuffle; no sort of the raw log (a window-rank form would " +
+      "shuffle + sort every row)"),
+    "q_scd2_history" -> ("SCD2 historization: the change filter " +
+      "preserves partitioning AND sort, so both windows share ONE " +
+      "exchange; final sort is presentation only"),
+    "q_zorder" -> ("z-order audit: 1-row extent aggregate broadcast " +
+      "back; normalize+interleave all codegen'd shift/mask; one " +
+      "two-phase hash aggregate over the bucketed rows"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
