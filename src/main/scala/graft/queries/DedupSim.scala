@@ -153,6 +153,26 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ top-5 — the compressed-index ANN shape (FAISS IVF-PQ): the
+    * corpus index carries ONLY each vector's IVF cell and its 8
+    * nibble codes (8 subspaces × 16-codeword codebooks), so at scale
+    * the candidate scan reads ~8 bytes per vector instead of 256
+    * floats; ADC (query slice vs codeword slice, ×10⁶-quantized BIGINT
+    * sums — exact and order-independent) shortlists 20 candidates per
+    * query, and only the shortlist's full vectors are fetched for the
+    * exact re-rank (FAISS refine). Fully oracle-checked: the md5
+    * codebook pick, the per-subspace argmin encode, the ADC sum, and
+    * the refine cosine are all engine-portable arithmetic, so DuckDB
+    * rebuilds the identical compressed index end-to-end. */
+  def qAnnIvfpq(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    Similarity.ivfPqTopK(
+      emb.where(col("vec_id") < 20), emb, k = 5,
+      numCells = derivedCells(s, d), nProbe = 4,
+      cosineFn = Similarity.cosineIn(s))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Distributed k-means IVF training: 2 Lloyd rounds over the 16 md5
     * seed centroids, then a per-cell membership summary (count + exact
     * decimal sum of each member's rounded cosine to its final
@@ -360,6 +380,8 @@ object DedupSim {
       .select(lit("ivf").as("method"), col("query_id"), col("vec_id"))
       .unionByName(qAnnLsh(s, d)
         .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
+      .unionByName(qAnnIvfpq(s, d)
+        .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
     val hits = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("nhit"))
     // denominator = the brute-force row count itself (k rows per query
@@ -369,7 +391,7 @@ object DedupSim {
     // recall_at_5 = 0.0 instead of vanishing from the output
     val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_bf"))
-    Seq("ivf", "lsh").toDF("method")
+    Seq("ivf", "lsh", "ivfpq").toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(tot))
       .select(col("method"), col("n_queries"),
@@ -393,6 +415,7 @@ object DedupSim {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
@@ -1041,6 +1064,7 @@ object DedupSim {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_ivfpq" -> pqOracle,
     "q_ann_bruteforce" -> bruteforceOracle,
     "q_ann_recall" ->
       // recall@5 of each approximate path against the brute-force
@@ -1052,10 +1076,13 @@ object DedupSim {
       s"""WITH bf AS ($bruteforceOracle),
          |lshq AS ($lshOracle),
          |ivfq AS ($ivfOracle),
+         |pqq AS ($pqOracle),
          |approx AS (
          |  SELECT 'ivf' AS method, query_id, vec_id FROM ivfq
          |  UNION ALL
-         |  SELECT 'lsh' AS method, query_id, vec_id FROM lshq),
+         |  SELECT 'lsh' AS method, query_id, vec_id FROM lshq
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, vec_id FROM pqq),
          |hits AS (
          |  SELECT method, COUNT(*) AS nhit FROM approx a
          |  WHERE EXISTS (SELECT 1 FROM bf b
@@ -1063,7 +1090,8 @@ object DedupSim {
          |  GROUP BY method),
          |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
          |  COUNT(*) AS n_bf FROM bf),
-         |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method)
+         |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method
+         |  UNION ALL SELECT 'ivfpq' AS method)
          |SELECT m.method, tot.n_queries,
          |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
          |FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot
@@ -1162,6 +1190,76 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
+
+  /** IVF-PQ oracle GENERATED from the same PQ constants (M=8 subspaces
+    * × 8 dims, K=16 codes): codebook = the md5-picked 16 vectors,
+    * per-subspace encode = argmin of the ×10⁶-quantized L2 (code
+    * tiebreak), ADC = BIGINT sum over subspaces — every step integer
+    * or IEEE-identical, so the compressed index matches bit-for-bit. */
+  private val pqOracle: String = {
+    val (m, sub, k) =
+      (graft.similarity.Similarity.PqM,
+        graft.similarity.Similarity.PqSub,
+        graft.similarity.Similarity.PqK)
+    def l2e6(a: String, b: String) =
+      s"CAST(ROUND((LIST_DOT_PRODUCT($a, $a) - 2.0 * LIST_DOT_PRODUCT($a, $b)" +
+        s" + LIST_DOT_PRODUCT($b, $b)) * 1000000.0, 0) AS BIGINT)"
+    val vSub = s"v.ve[ms.m * $sub + 1 : ms.m * $sub + $sub]"
+    val cwSubEnc = s"cbv.cw[ms.m * $sub + 1 : ms.m * $sub + $sub]"
+    val qSub = s"p.qv[co.m * $sub + 1 : co.m * $sub + $sub]"
+    val cwSubAdc = s"cbv.cw[co.m * $sub + 1 : co.m * $sub + $sub]"
+    s"""WITH $ivfAsgCtes,
+       |cbp AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
+       |        AS INTEGER) / 16777216.0,
+       |      vec_id) AS code
+       |  FROM v QUALIFY code <= $k),
+       |cbv AS (SELECT cbp.code, v.ve AS cw
+       |  FROM cbp JOIN v ON cbp.vec_id = v.vec_id),
+       |ms AS (SELECT CAST(range AS INTEGER) AS m FROM range(0, $m)),
+       |subd AS (
+       |  SELECT v.vec_id, ms.m, cbv.code,
+       |    ${l2e6(vSub, cwSubEnc)} AS qd
+       |  FROM v CROSS JOIN ms CROSS JOIN cbv),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |        ORDER BY qd, code) AS erk
+       |    FROM subd) t WHERE erk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, ve AS qv, cell_id FROM (
+       |    SELECT vec_id, ve, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+       |    FROM sims WHERE vec_id < 20) t WHERE crk <= 4),
+       |adc AS (
+       |  SELECT p.query_id, p.qv, a.vec_id,
+       |    CAST(SUM(${l2e6(qSub, cwSubAdc)}) AS BIGINT) AS adist_e6
+       |  FROM probes p
+       |  JOIN asg a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id
+       |  JOIN codes co ON co.vec_id = a.vec_id
+       |  JOIN cbv ON cbv.code = co.code
+       |  GROUP BY 1, 2, 3),
+       |shortlist AS (
+       |  SELECT query_id, qv, vec_id FROM (
+       |    SELECT query_id, qv, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist_e6, vec_id) AS ark
+       |    FROM adc) t WHERE ark <= 20),
+       |refined AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    ROUND(LIST_DOT_PRODUCT(s.qv, c.ve) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(s.qv, s.qv)) *
+       |        SQRT(LIST_DOT_PRODUCT(c.ve, c.ve)), 1e-12), 6) AS sim
+       |  FROM shortlist s JOIN v c ON s.vec_id = c.vec_id)
+       |SELECT query_id, vec_id, sim, rk FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, vec_id) AS rk
+       |  FROM refined) t WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   private val bruteforceOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -372,6 +372,115 @@ object Similarity {
     * exact, round() is half-away-from-zero in both engines, and the
     * per-label means sum as DECIMAL so accumulation order can't move
     * the 6-dp result. */
+  // ---- product quantization (IVF-PQ) ------------------------------
+
+  /** PQ geometry: 64-dim vectors split into M=8 subspaces of 8 dims,
+    * each quantized against a K=16 codebook — a vector compresses from
+    * 64 floats to 8 nibble codes (the FAISS IVF-PQ memory story: at
+    * 100 TB the candidate scan reads ~8 bytes per vector instead of
+    * 256, and the full vectors never leave the index build). K here is
+    * a FIDELITY constant (bits per code), not a corpus-partitioning
+    * constant — it must not grow with n; the IVF cell count does. */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 16
+
+  /** ×10⁶-quantized squared L2 between two equal-length array slices,
+    * as a BIGINT so downstream sums are exact and order-independent
+    * (the PageRank/kmeans discipline — a raw double SUM would depend
+    * on DuckDB's unspecified group accumulation order). Composed from
+    * dot products so the oracle reproduces the arithmetic literally. */
+  def l2E6(a: Column, b: Column): Column =
+    round((dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * 1e6, 0)
+      .cast("long")
+
+  /** The PQ codebook: the PqK md5-fraction-picked vectors (the
+    * ivfCentroids pick, so the oracle's CTE is the same shape), packed
+    * into ONE broadcast array row ordered by code id. Subspace m's
+    * codeword j is slice m of picked vector j. */
+  def pqCodebookRow(
+      corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfCentroids(corpus, PqK, idCol, vecCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("cell_id"), col("centroid")))),
+        c => c.getField("centroid")).as("_cw"))
+
+  /** Append `codes` (M 1-based code ids): per subspace, the nearest
+    * codeword by quantized L2, code-id tiebreak — a pure per-row
+    * expression over the broadcast codebook row: M·K tiny dot
+    * products, no explode, no window, no exchange. */
+  def pqEncode(vecsWithCw: DataFrame, vecCol: String): DataFrame = {
+    val codes = array((0 until PqM).map { m =>
+      val sub = slice(col(vecCol), m * PqSub + 1, PqSub)
+      val scored = zip_with(
+        col("_cw"), sequence(lit(1), lit(PqK)),
+        (cw, j) => struct(
+          (-l2E6(sub, slice(cw, m * PqSub + 1, PqSub))).as("_negD"),
+          (-j).as("_negJ"),
+          j.as("code")))
+      array_max(scored).getField("code")
+    }: _*)
+    vecsWithCw.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) score of a candidate against a query:
+    * Σ over subspaces of quantized L2(query slice, candidate's
+    * codeword slice) — 8 BIGINT adds per candidate; the candidate's
+    * full vector is never touched. */
+  def pqAdcE6(qv: Column, codes: Column, cw: Column): Column =
+    (0 until PqM).map { m =>
+      l2E6(
+        slice(qv, m * PqSub + 1, PqSub),
+        slice(element_at(cw, element_at(codes, m + 1)),
+          m * PqSub + 1, PqSub))
+    }.reduce(_ + _)
+
+  /** IVF-PQ approximate top-k with exact refine (the full FAISS
+    * shape): corpus rows live in their nearest IVF cell carrying ONLY
+    * their PQ codes; queries probe `nProbe` cells; ADC shortlists
+    * k·refineFactor candidates per query by quantized distance; only
+    * the shortlist's full vectors are fetched and re-ranked by exact
+    * cosine. At scale the expensive per-candidate work drops from
+    * |probed cells| · 64 floats to |probed cells| · 8 code bytes, and
+    * full vectors are read for k·refineFactor rows per query — the
+    * shortlist join is |queries|-proportional, never corpus-sized. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      numCells: Int, nProbe: Int, refineFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val centroids = ivfCentroids(corpus, numCells, idCol, vecCol)
+    val cbRow = pqCodebookRow(corpus, idCol, vecCol)
+    // the "index": cell + codes only — the full vector is dropped,
+    // which is the whole point at scale
+    val index = pqEncode(
+      ivfAssign(corpus, centroids, idCol, vecCol, 1, cosineFn)
+        .crossJoin(broadcast(cbRow)), vecCol)
+      .select(col(idCol).as("vec_id"), col("cell_id"), col("codes"))
+    val probes = ivfAssign(queries, centroids, idCol, vecCol, nProbe, cosineFn)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_e6"), col("vec_id"))
+    val shortlist = probes.join(index, "cell_id")
+      .where(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("adist_e6", pqAdcE6(col("qv"), col("codes"), col("_cw")))
+      .withColumn("ark", row_number().over(wAdc))
+      .where(col("ark") <= k * refineFactor)
+      .select(col("query_id"), col("qv"), col("vec_id"))
+    // refine: exact similarity over the tiny shortlist only
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv")),
+        "vec_id")
+      .withColumn("sim", round(cosineFn(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(wSim))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   def quantizeInt8Stats(
       vecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
