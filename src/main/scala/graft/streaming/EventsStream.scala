@@ -16,6 +16,10 @@ case class CdcEvent(
 case class CompactRow(
     user_id: Long, last_ts_us: Long, last_event_id: Long,
     last_type: String, last_value: Double, deleted: Boolean)
+case class Scd2State(eventType: String, validFromUs: Long)
+case class VersionRow(
+    user_id: Long, event_type: String, valid_from_us: Long,
+    valid_to_us: Option[Long], open: Boolean)
 case class GapfillState(
     nextBucket: Long, locf: Option[Double], open: Map[Long, (Long, Double)])
 case class GapBucket(
@@ -158,6 +162,50 @@ object EventsStream {
           }
           state.update(cur)
           cur
+      }
+  }
+
+  /** Streaming SCD2 historization — the stateful twin of
+    * Maintain.scd2History. State per key is the OPEN version (type +
+    * valid_from); each micro-batch folds its rows in event order: a
+    * state change emits the previous version CLOSED (exactly once,
+    * final) and opens the new one; the refreshed open version is
+    * re-emitted each update with `open = true` so a sink can upsert
+    * the current row. Contract (documented, mirrors the batch twin's
+    * deltas): rows must arrive in event-time order ACROSS batches per
+    * key — emitted closed versions are immutable, so a cross-batch
+    * regression below the open version cannot rewrite them (within a
+    * batch, rows are sorted before folding). Under that contract the
+    * union of closed emissions + the latest open emission equals the
+    * batch rebuild, spec-asserted. State is O(1) per key. */
+  def scd2Stream(events: Dataset[CdcEvent]): Dataset[VersionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, VersionRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[Scd2State]) =>
+          def tsUs(r: CdcEvent): Long =
+            r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+          val sorted = rows.toSeq.sortBy(r => (tsUs(r), r.event_id))
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ListBuffer.empty[VersionRow]
+          sorted.foreach { r =>
+            val t = tsUs(r)
+            if (cur == null) cur = Scd2State(r.event_type, t)
+            else if (cur.eventType != r.event_type) {
+              closed += VersionRow(uid, cur.eventType, cur.validFromUs,
+                Some(t), open = false)
+              cur = Scd2State(r.event_type, t)
+            }
+          }
+          if (cur == null) Iterator.empty
+          else {
+            state.update(cur)
+            (closed :+ VersionRow(uid, cur.eventType, cur.validFromUs,
+              None, open = true)).iterator
+          }
       }
   }
 

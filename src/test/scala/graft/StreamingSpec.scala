@@ -475,4 +475,43 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(live == batch, s"stream=$live batch=$batch")
   }
+
+  test("streaming SCD2 equals the batch rebuild under ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val b1 = Seq(
+      CdcEvent(1L, t("2024-01-01 10:00:00"), 10L, "view", 0.0),
+      CdcEvent(2L, t("2024-01-01 10:02:00"), 10L, "view", 0.0),
+      CdcEvent(3L, t("2024-01-01 10:04:00"), 10L, "purchase", 0.0),
+      CdcEvent(4L, t("2024-01-01 10:01:00"), 20L, "signup", 0.0))
+    val b2 = Seq(
+      // change in batch 2 closes a version opened in batch 1
+      CdcEvent(5L, t("2024-01-01 10:10:00"), 10L, "view", 0.0),
+      CdcEvent(6L, t("2024-01-01 10:11:00"), 20L, "click", 0.0),
+      CdcEvent(7L, t("2024-01-01 10:12:00"), 30L, "view", 0.0))
+    val stream = MemoryStream[CdcEvent]
+    val q = EventsStream.scd2Stream(stream.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("scd2_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    // closed versions are emitted exactly once, immutable
+    val closed = emitted.filter(!_._5)
+    assert(closed.length == closed.distinct.length, "a closed version re-emitted")
+    // latest open emission per key + all closed = the batch rebuild
+    val open = emitted.filter(_._5).groupBy(_._1)
+      .map { case (_, rs) => rs.maxBy(_._3) }
+    val streamed = (closed ++ open).map(v => (v._1, v._2, v._3, v._4)).toSet
+    val batch = graft.queries.Maintain.scd2History((b1 ++ b2).toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
 }
