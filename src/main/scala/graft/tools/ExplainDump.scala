@@ -80,7 +80,12 @@ object ExplainDump {
       "exchange; final sort is presentation only"),
     "q_zorder" -> ("z-order audit: 1-row extent aggregate broadcast " +
       "back; normalize+interleave all codegen'd shift/mask; one " +
-      "two-phase hash aggregate over the bucketed rows"))
+      "two-phase hash aggregate over the bucketed rows"),
+    "q_ann_ivfpq" -> ("IVF-PQ: codebook rides as ONE broadcast row; " +
+      "encode + ADC are pure per-row expressions over codes (the " +
+      "full-vector scan never happens); WindowGroupLimit pre-prunes " +
+      "the ADC shortlist before its exchange; refine joins full " +
+      "vectors for the |queries|·20 shortlist only"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -31,6 +31,28 @@ class ZOrderSpec extends SparkSpec {
       s"got $r")
   }
 
+  test("interleave is a bijection on the bit budget and SQL twin agrees") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(32).toLong, rnd.nextInt(32).toLong))
+      .distinct
+    val rows = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.zorderValue(Seq(col("x"), col("y")), 5).as("z"),
+        expr(ZOrder.zorderSql(Seq("x", "y"), 5)).as("zs"))
+      .collect()
+    // scala twin of the same interleave
+    def ref(x: Long, y: Long): Long =
+      (0 until 5).foldLeft(0L)((acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b + 1)) | (((y >> b) & 1L) << (2 * b)))
+    rows.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)))
+      assert(r.getLong(3) == r.getLong(2), "SQL twin diverged")
+    }
+    // distinct pairs → distinct z (bijection within the budget)
+    assert(rows.map(_.getLong(2)).distinct.length == pairs.length)
+  }
+
   test("z-order layout prunes a non-lead-dimension predicate; lead-key sort cannot") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
