@@ -16,6 +16,16 @@ import graft.Tables
   * the plan that scales to 100 TB. Sums over money-like doubles are
   * computed on DECIMAL(18,4) so the result is exact and order-independent,
   * making the DuckDB oracle comparison bit-stable.
+  *
+  * Output-type contract for big sums: a DECIMAL→DOUBLE cast is only
+  * cross-engine bit-stable while the decimal's unscaled value fits in
+  * 2^53 (Spark rounds the true rational correctly; other engines may
+  * convert int→double first and land on the adjacent double past 15-16
+  * significant digits — observed on sum_disc_price at sf0.1, unscaled
+  * 2.7e17 at scale 8). Sums that can exceed that at scale therefore
+  * stay DECIMAL(38,4) end-to-end: at 100 TB a double cannot even
+  * represent a money sum to the cent, so decimal output is the only
+  * honest type.
   */
 object Agg {
   private def dec(c: String) = col(c).cast("decimal(18,4)")
@@ -26,10 +36,10 @@ object Agg {
       .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(38,4)").as("sum_base_price"),
         sum((dec("l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec("l_discount")))
-          .cast("decimal(18,8)")).cast("double").as("sum_disc_price"),
+          .cast("decimal(18,8)")).cast("decimal(38,4)").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -38,9 +48,9 @@ object Agg {
 
   val tpch1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8))) AS DECIMAL(38,4)) AS sum_disc_price,
       |  ROUND(AVG(l_quantity), 4) AS avg_qty,
       |  ROUND(AVG(l_discount), 4) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -132,7 +142,7 @@ object Agg {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        sum(dec("o_totalprice")).cast("double").as("sum_price"),
+        sum(dec("o_totalprice")).cast("decimal(38,4)").as("sum_price"),
         grouping(col("o_orderstatus")).cast("long").as("g_status"),
         grouping(col("o_orderpriority")).cast("long").as("g_prio"))
       .orderBy(asc_nulls_first("o_orderstatus"),
@@ -153,7 +163,7 @@ object Agg {
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
       |                        (o_orderstatus, o_orderpriority))
@@ -397,7 +407,7 @@ object Agg {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
