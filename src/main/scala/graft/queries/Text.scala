@@ -398,7 +398,58 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-pair statistics — the tokenizer-training kernel (top
+    * candidate merges for the first BPE iteration; cf. Sennrich et al.
+    * 2016). The 100-TB shape is the classic two-level trick: the
+    * corpus-sized pass is ONE tokenize → word-frequency aggregate
+    * (map-side combined, shuffle carries the compact vocab), and the
+    * adjacent-character-pair expansion then runs over DISTINCT words
+    * weighted by their corpus frequency — vocab-sized work, not
+    * corpus-sized. A naive per-document pair explode would shuffle
+    * O(total chars); this shuffles O(|vocab| · avg word length). */
+  def qTextBpePairs(s: SparkSession, d: String): DataFrame = {
+    val wf = docs(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wf.where(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
+  /** Mixture resampling to target source weights — the corpus-blending
+    * shape (hit a prescribed domain mixture from whatever the crawl
+    * delivered). Globally COUPLED rates, unlike the per-stratum
+    * constants of q_sample_stratified: keep rate_s = C·w_s/n_s with
+    * C = min_t(n_t/w_t), so the most over-demanded source caps at
+    * rate 1.0 (a filter cannot upsample) and every other source is
+    * downsampled to match the target proportions exactly. The per-
+    * source counts are a tiny aggregate; C is a 1-row broadcast; the
+    * rate table is a broadcast join; membership stays the pure per-row
+    * deterministic hash filter (graft.operators.Sampling) — no
+    * corpus-sized shuffle anywhere. */
+  def qSampleMixture(s: SparkSession, d: String): DataFrame = {
+    val w = when(col("source") === "src0", lit(8.0))
+      .when(col("source") === "src1", lit(4.0)).otherwise(lit(1.0))
+    val dcs = Tables.documents(s, d)
+    val cnt = dcs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).withColumn("w", w)
+    val c = cnt.agg(min(col("n") / col("w")).as("c"))
+    val rates = cnt.crossJoin(broadcast(c)).select(col("source"),
+      least(lit(1.0), col("c") * col("w") / col("n")).as("rate"))
+    dcs.join(broadcast(rates), Seq("source"))
+      .where(graft.operators.Sampling.hashFraction(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bpe_pairs" -> (qTextBpePairs _),
+    "q_sample_mixture" -> (qSampleMixture _),
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_scrub" -> (qTextScrub _),
@@ -460,6 +511,31 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(STRING_SPLIT_REGEX(text, '\s+')) AS word
+        |    FROM documents) t
+        |  WHERE word <> '' GROUP BY word)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        |  SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(word) - 1),
+        |    i -> SUBSTR(word, i, 2))) AS pair, freq
+        |  FROM wf WHERE LEN(word) >= 2) p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH cnt AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(CASE source WHEN 'src0' THEN 8.0 WHEN 'src1' THEN 4.0
+        |      ELSE 1.0 END AS DOUBLE) AS w
+        |  FROM documents GROUP BY source),
+        |cm AS (SELECT MIN(n / w) AS c FROM cnt),
+        |r AS (SELECT source, LEAST(1.0, c * w / n) AS rate
+        |      FROM cnt CROSS JOIN cm)
+        |SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+        |    AS INTEGER) / 16777216.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q_text_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok

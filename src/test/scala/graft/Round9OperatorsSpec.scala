@@ -60,4 +60,55 @@ class Round9OperatorsSpec extends SparkSpec {
     assert(p2._4 >= p1._4, s"multi-probe lost recall: $rows")
     assert(p2._2 >= p1._2, s"multi-probe lost pairs: $rows")
   }
+
+  test("bpe pair counts: vocab-weighted path equals the naive corpus path") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Text.qTextBpePairs(spark, sf).collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getString(0).length == 2), "a pair is not 2 chars")
+    val counts = out.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts not descending")
+    // independent recount: naive per-token pair explode (corpus-sized,
+    // the shape the query deliberately avoids) must agree exactly
+    val naive = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "" && length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(naive(r.getString(0)) == r.getLong(1),
+        s"weighted vs naive mismatch on ${r.getString(0)}")
+    }
+  }
+
+  test("mixture resample: rates follow the coupled closed form, cap at 1") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val w = (src: String) =>
+      if (src == "src0") 8.0 else if (src == "src1") 4.0 else 1.0
+    val n = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c = n.map { case (s0, ns) => ns / w(s0) }.min
+    val expected = n.map { case (s0, ns) =>
+      s0 -> math.min(1.0, c * w(s0) / ns) }
+    val out = graft.queries.Text.qSampleMixture(spark, sf).collect()
+    val seen = out.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    seen.foreach { case (s0, r) =>
+      val e = BigDecimal(expected(s0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(r) == e, s"rate for $s0: $r != $e")
+    }
+    assert(seen.values.max == 1.0, "no source capped at rate 1.0")
+    assert(seen.values.exists(_ < 1.0), "nothing was downsampled")
+    // membership is the deterministic hash filter — kept count per
+    // unconstrained source tracks rate * n (hash-uniformity, loose)
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    kept.foreach { case (s0, k) =>
+      assert(k <= n(s0) && k >= 0)
+      if (expected(s0) == 1.0) assert(k == n(s0), s"capped source $s0 lost rows")
+    }
+  }
 }
