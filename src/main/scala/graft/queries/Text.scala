@@ -447,7 +447,25 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val/test split — the holdout-assignment shape
+    * every training pipeline needs. Keyed on the normalized-text
+    * FINGERPRINT, not doc_id: exact duplicates (crawl re-occurrences)
+    * hash to the same key and land in the SAME split, where a doc_id
+    * split would leak duplicated content across the eval boundary.
+    * Pure per-row expression — no shuffle, no join — and the hash
+    * fraction is engine-portable, so the assignment is reproducible
+    * across runs, partitionings, and engines. */
+  def qSplitTrainTest(s: SparkSession, d: String): DataFrame = {
+    val f = graft.operators.Sampling.hashFraction(
+      graft.text.TextAnalysis.fingerprint(col("text")))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(f < 0.8, "train").when(f < 0.9, "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_text_perplexity" -> (qTextPerplexity _),
@@ -511,6 +529,17 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_split_train_test" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(
+        |      MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'))), 1, 6))
+        |      AS INTEGER) / 16777216.0 AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN fr < 0.8 THEN 'train' WHEN fr < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT word, COUNT(*) AS freq FROM (

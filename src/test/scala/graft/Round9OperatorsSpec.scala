@@ -111,4 +111,24 @@ class Round9OperatorsSpec extends SparkSpec {
       if (expected(s0) == 1.0) assert(k == n(s0), s"capped source $s0 lost rows")
     }
   }
+
+  test("train/test split is leakage-safe: no fingerprint straddles splits") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Text.qSplitTrainTest(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val straddling = out.join(docs, "doc_id")
+      .groupBy(col("fp")).agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(straddling == 0, s"$straddling fingerprints span >1 split")
+    // every doc is assigned exactly once, and all three splits are
+    // non-empty with train dominant (0.8/0.1/0.1 hash thresholds)
+    val counts = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count(), "a doc was lost or duplicated")
+    assert(counts.keySet == Set("train", "val", "test"), s"splits: $counts")
+    assert(counts("train") > counts("val") && counts("train") > counts("test"),
+      s"train not dominant: $counts")
+  }
 }
