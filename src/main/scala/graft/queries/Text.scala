@@ -464,7 +464,45 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The full training-data assembly, composed in ONE Catalyst plan —
+    * the flagship of the LLM-pipeline block the way q_pipeline_curate
+    * is for curation, covering the three stages it doesn't: exact
+    * dedup (keep-first on the content fingerprint) → eval-set
+    * DECONTAMINATION (drop any candidate sharing a 5-gram shingle
+    * with the src0 eval set — the classic n-gram decontam pass) →
+    * leakage-safe TRAIN shard (fingerprint-hash < 0.8, q_split_
+    * train_test's key) → sequence PACKING into 2048-token bins.
+    * Every stage is individually oracle-checked elsewhere; this query
+    * checks their composition. Scale shape: one window on fp, the
+    * broadcast-sized eval shingle join, a per-row split filter, one
+    * window on (lang) — no corpus-sized pairwise work anywhere. */
+  def qPipelineTrain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.dedup.Dedup
+    val fp = docs(s, d).withColumn("fp",
+      graft.text.TextAnalysis.fingerprint(col("text")))
+    val canon = fp.withColumn("cid",
+      min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .where(col("doc_id") === col("cid"))
+    val cand = canon.where(col("source") =!= "src0")
+    val contaminated = Dedup.contaminationCounts(
+      cand, canon.where(col("source") === "src0"),
+      "doc_id", "text", n = 5).select(col("id").as("doc_id"))
+    val train = cand
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .where(graft.operators.Sampling.hashFraction(col("fp")) < 0.8)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    train.select(col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 2048.0).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_train" -> (qPipelineTrain _),
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_sample_mixture" -> (qSampleMixture _),
@@ -529,6 +567,49 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_train" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source, lang, text,
+        |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |canon AS (
+        |  SELECT * FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS cid FROM fp) t
+        |  WHERE doc_id = cid),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\s+')) >= 5
+        |      THEN LIST_TRANSFORM(
+        |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\s+')) - 4),
+        |        i -> STRING_SPLIT_REGEX(text, '\s+')[i] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+1] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+2] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+3] || ' ' ||
+        |             STRING_SPLIT_REGEX(text, '\s+')[i+4])
+        |      ELSE [] END) AS shl
+        |  FROM canon),
+        |ev AS (SELECT DISTINCT UNNEST(shl) AS sg FROM sh WHERE source = 'src0'),
+        |bad AS (
+        |  SELECT DISTINCT t.doc_id FROM (
+        |    SELECT doc_id, UNNEST(shl) AS sg FROM sh
+        |    WHERE source <> 'src0') t
+        |  JOIN ev USING (sg)),
+        |train AS (
+        |  SELECT * FROM canon
+        |  WHERE source <> 'src0'
+        |    AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |    AND CAST(CONCAT('0x', SUBSTR(MD5(fp), 1, 6)) AS INTEGER)
+        |      / 16777216.0 < 0.8)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    LEN(STRING_SPLIT_REGEX(text, '\s+')) AS n_tokens,
+        |    SUM(LEN(STRING_SPLIT_REGEX(text, '\s+'))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM train) z
+        |ORDER BY doc_id""".stripMargin,
     "q_split_train_test" ->
       """WITH f AS (
         |  SELECT doc_id,
