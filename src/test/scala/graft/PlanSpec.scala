@@ -172,4 +172,22 @@ class PlanSpec extends SparkSpec {
     assert("""\[blk#\d+, band#\d+""".r.findFirstIn(p).isDefined,
       s"join keys missing the length band:\n$p")
   }
+
+  test("pipeline_train: decontam screen is broadcast-sized, no quadratic join") {
+    // the composed flagship must keep every stage's scale shape: the
+    // eval-shingle screen and the contamination anti-join both key on
+    // small-by-construction sides, so the runtime (AQE) plan should
+    // carry broadcast hash joins and nothing worse than an equi-join
+    val df = gq.Text.qPipelineTrain(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("isFinalPlan=true"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a pipeline stage degenerated to a quadratic join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-shingle screen did not broadcast at runtime:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"contamination drop lost its anti-join shape:\n$p")
+  }
 }
