@@ -50,4 +50,38 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(n_regionkey"),
       s"no partition pruning:\n$plan")
   }
+
+  test("size-targeted write picks a data-proportional file count") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    val docs = Tables.documents(spark, sf)
+    def parts(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    // tiny target → many files, one per ~target chunk
+    val nSmall = Sources.writeParquetSized(docs, s"$dir/small",
+      targetBytes = 8L << 10)
+    assert(nSmall > 1, "tiny target produced a single file")
+    assert(parts(s"$dir/small").length == nSmall,
+      "file count does not match the decision")
+    // huge target → exactly one file, but never a serialized-write
+    // coalesce: the decision is an explicit repartition
+    val nBig = Sources.writeParquetSized(docs, s"$dir/big",
+      targetBytes = 1L << 40)
+    assert(nBig == 1 && parts(s"$dir/big").length == 1)
+    // rows survive both shapes
+    assert(Sources.readParquet(spark, s"$dir/small").count() == docs.count())
+    assert(Sources.readParquet(spark, s"$dir/big").count() == docs.count())
+    // sortBy clusters: each file's doc_id range is disjoint
+    Sources.writeParquetSized(docs, s"$dir/sorted",
+      targetBytes = 8L << 10, sortBy = Seq("doc_id"))
+    val ranges = parts(s"$dir/sorted").map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")),
+             org.apache.spark.sql.functions.max(col("doc_id")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.zip(ranges.tail).forall { case ((_, hi), (lo, _)) => hi < lo },
+      s"sorted write produced overlapping file ranges: ${ranges.toSeq}")
+  }
 }
