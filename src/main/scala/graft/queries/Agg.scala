@@ -123,6 +123,29 @@ object Agg {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** Bounded-memory approximate distinct count via the portable KMV
+    * sketch (operators.KmvSketch) — the 100-TB alternative to
+    * q_count_distinct's distinct shuffle; each task ships ≤ k doubles
+    * per group. A MEASUREMENT query in the q_ann_recall mould: the
+    * exact count rides along so the estimate's relative error is an
+    * oracle-checked number, and because the hash is the engine-
+    * portable md5 fraction, even the approximate estimate itself is
+    * bit-reproducible in DuckDB. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val kmv = graft.operators.KmvSketch.kmv(k)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"),
+        graft.operators.Sampling.hashFraction(col("l_partkey")).as("f"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(kmv(col("f")), 4).as("est_distinct"),
+        countDistinct(col("l_partkey")).as("n_distinct"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("n_distinct")) / col("n_distinct"), 4))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** ROLLUP hierarchy totals — subtotal rows per returnflag and a grand
     * total, in ONE aggregation pass (Spark plans rollup as an Expand +
     * single hash aggregate, not one pass per level). */
@@ -325,7 +348,8 @@ object Agg {
     "q_agg_group" -> (qAggGroup _),
     "q_agg_stats" -> (qAggStats _),
     "q_total" -> (qTotal _),
-    "q_count_distinct" -> (qCountDistinct _))
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_approx_distinct" -> (qApproxDistinct _))
 
   def oracles: Map[String, String] = Map(
     "q_agg_median_mode" ->
@@ -450,5 +474,27 @@ object Agg {
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
         |  COUNT(*) AS n_orders
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CAST(l_partkey AS VARCHAR)), 1, 6))
+        |      AS INTEGER) / 16777216.0 AS f
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, f,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY f) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS nh
+        |  FROM h),
+        |e AS (
+        |  SELECT g,
+        |    ROUND(CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |      ELSE 63 / MAX(CASE WHEN rk = 64 THEN f END) END, 4) AS est
+        |  FROM r GROUP BY g),
+        |x AS (
+        |  SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS nd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.g AS l_returnflag, e.est AS est_distinct, x.nd AS n_distinct,
+        |  ROUND(ABS(e.est - x.nd) / x.nd, 4) AS rel_err
+        |FROM e JOIN x USING (g) ORDER BY l_returnflag""".stripMargin)
 }

@@ -112,6 +112,30 @@ class Round9OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch: exact below k, duplicate-proof, merge-order invariant") {
+    val small = new graft.operators.KmvAggregator(8)
+    // below k the buffer IS the distinct hash set — count is exact,
+    // and re-seen hashes must not enter twice
+    val b = Seq(0.5, 0.1, 0.3, 0.1, 0.5, 0.2).foldLeft(small.zero)(small.reduce)
+    assert(small.finish(b) == 4.0, s"exact path broke: ${small.finish(b)}")
+    // estimate path: (k-1)/h_k lands near the true distinct count
+    val agg = new graft.operators.KmvAggregator(64)
+    val rnd = new scala.util.Random(7)
+    val hs = Seq.fill(1000)(rnd.nextDouble())
+    val whole = hs.foldLeft(agg.zero)(agg.reduce)
+    val est = agg.finish(whole)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.5,
+      s"estimate $est implausibly far from 1000")
+    // any partitioning of the stream merges to the same buffer — the
+    // property that makes the sketch a correct distributed aggregate
+    for (cut <- Seq(1, 100, 500, 999)) {
+      val (a1, a2) = hs.splitAt(cut)
+      val m = agg.merge(
+        a2.foldLeft(agg.zero)(agg.reduce), a1.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole, s"merge at cut=$cut diverged")
+    }
+  }
+
   test("train/test split is leakage-safe: no fingerprint straddles splits") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.Text.qSplitTrainTest(spark, sf)
