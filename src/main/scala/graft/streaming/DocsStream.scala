@@ -70,4 +70,35 @@ object DocsStream {
         .as("n_near_candidates"))
       .select(col("doc_id"), col("is_exact_dup"), col("n_near_candidates"),
         (!col("is_exact_dup") && col("n_near_candidates") === 0).as("keep"))
+
+  /** Streaming decontamination screen — the eval-overlap gate
+    * (Dedup.contaminationCounts / q_decontaminate) applied to an
+    * ingest feed. The eval shingle set is a STATIC relation built once
+    * from the frozen eval corpus — broadcast-sized by construction
+    * (eval sets are thousands of docs, not the corpus) — so the screen
+    * is a stateless stream-static join; the only state is the
+    * watermark-bounded per-doc collapse.
+    *
+    * Per-row shingling uses the column-expression builder
+    * (Dedup.shingles; the window-based relational builder isn't
+    * stream-safe) and hashes each shingle with the SAME portable
+    * md5-15 s_id as the batch path, so verdicts are bit-equal to the
+    * batch screen — spec-asserted. explode_outer keeps shingle-less
+    * (short) docs: they get a verdict row with zero overlap. */
+  def decontamStream(
+      docs: DataFrame, evalShingles: DataFrame,
+      watermarkDelay: String, n: Int = 5,
+      window_ : String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .withColumn("sh", explode_outer(Dedup.shingles(col("text"), n)))
+      .withColumn("s_id",
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+      .join(evalShingles.select(col("s_id"), lit(true).as("_ex")).distinct(),
+        Seq("s_id"), "left")
+      .groupBy(window(col("ingest_ts"), window_), col("doc_id"))
+      .agg(size(collect_set(when(col("_ex"), col("s_id")))).cast("long")
+        .as("n_overlap"))
+      .select(col("doc_id"), col("n_overlap"),
+        (col("n_overlap") === 0).as("keep"))
 }

@@ -202,6 +202,60 @@ class StreamingSpec extends SparkSpec {
         (12L, false, true), (13L, false, true)), s"scenario drifted: $want")
   }
 
+  test("streaming decontamination screen equals the batch overlap counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val evalDocs = spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven")
+    )).toDF("doc_id", "text")
+    // full 5-gram hit, partial-window hit, clean doc, too-short doc
+    val batchRows = Seq(
+      (20L, "alpha beta gamma delta epsilon unrelated trailing words here"),
+      (21L, "prefix words then three four five six seven closing"),
+      (22L, "completely clean document with no overlapping windows at all"),
+      (23L, "tiny doc"))
+    val evalShingles = Dedup
+      .minhashShingleRows(evalDocs, "doc_id", "text", 5)
+      .select(col("s_id")).distinct()
+    val t0 = Timestamp.valueOf("2024-01-01 00:10:00")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream
+      .decontamStream(sdf, evalShingles, "10 minutes")
+      .writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchRows.map { case (id, tx) => (id, tx, t0) })
+      q.processAllAvailable()
+      stream.addData((999L, "watermark pusher row",
+        Timestamp.valueOf("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("decontam_out").where(col("doc_id") < 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    // batch truth: contaminationCounts left-joined back so clean and
+    // short docs appear with zero overlap (the stream emits a verdict
+    // row per doc)
+    val train = spark.createDataFrame(batchRows).toDF("doc_id", "text")
+    val want = train.select(col("doc_id"))
+      .join(Dedup.contaminationCounts(train, evalDocs, "doc_id", "text", 5)
+        .select(col("id").as("doc_id"), col("n_overlap")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(1) == 0L))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"stream $got vs batch $want")
+    // scenario sanity: doc 20 hits (windows of the first eval doc),
+    // doc 21 hits (the three..seven window), 22 and 23 are clean
+    assert(want.map(v => (v._1, v._3)) ==
+      Seq((20L, false), (21L, false), (22L, true), (23L, true)),
+      s"scenario drifted: $want")
+  }
+
   test("mapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
