@@ -173,6 +173,26 @@ class PlanSpec extends SparkSpec {
       s"join keys missing the length band:\n$p")
   }
 
+  test("bpe pair stats shuffle the vocab, not the corpus") {
+    val p = plan(gq.Text.qTextBpePairs(spark, sf))
+    // exactly two hash-partitioned exchanges: the word-frequency
+    // aggregate (corpus → vocab, map-side combined) and the pair
+    // aggregate (vocab-sized); the char-pair explode must run ABOVE
+    // the word aggregate so pair work never touches corpus rows
+    val shuffles = """Exchange hashpartitioning\((\w+)#""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffles.sorted == Seq("pair", "word"),
+      s"unexpected shuffle set $shuffles:\n$p")
+    // plans print top-down: the FIRST Generate is the pair explode,
+    // the last is the corpus tokenize below the word exchange
+    val wordAgg = p.indexOf("Exchange hashpartitioning(word")
+    val pairGen = p.indexOf("Generate explode")
+    assert(pairGen >= 0 && wordAgg >= 0 && pairGen < wordAgg,
+      s"pair explode not above the word aggregate (vocab-sized claim):\n$p")
+    // top-50 is a distributed TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-50:\n$p")
+  }
+
   test("pipeline_train: decontam screen is broadcast-sized, no quadratic join") {
     // the composed flagship must keep every stage's scale shape: the
     // eval-shingle screen and the contamination anti-join both key on
