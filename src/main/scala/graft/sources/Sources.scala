@@ -79,10 +79,19 @@ object Sources {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((bytes + targetBytes - 1) / targetBytes)
       .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    // with hive partitioning, a hash repartition would spread every
+    // hive partition across every task — one file per (task,
+    // partition), the explosion this sink exists to prevent. Range-
+    // cluster on the partition columns (then sort keys) instead: each
+    // task holds a contiguous (partition, key) slice, so a task
+    // writes into at most two adjacent hive partitions while hot
+    // partitions still split across tasks for size.
+    val clusterCols = (partitionBy ++ sortBy)
+      .map(org.apache.spark.sql.functions.col)
     val shaped =
-      if (sortBy.nonEmpty)
-        df.repartitionByRange(nFiles, sortBy.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(nFiles, clusterCols: _*)
+          .sortWithinPartitions(clusterCols: _*)
       else df.repartition(nFiles)
     val w = shaped.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

@@ -83,5 +83,17 @@ class SourcesSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(ranges.zip(ranges.tail).forall { case ((_, hi), (lo, _)) => hi < lo },
       s"sorted write produced overlapping file ranges: ${ranges.toSeq}")
+    // hive-partitioned + tiny target: file count stays ~nFiles (range
+    // clustering on the partition column), NOT tasks × partitions
+    val nHp = Sources.writeParquetSized(docs, s"$dir/hp",
+      targetBytes = 8L << 10, partitionBy = Seq("lang"))
+    val hpFiles = new java.io.File(s"$dir/hp").listFiles()
+      .filter(_.getName.startsWith("lang="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    val nLangs = docs.select("lang").distinct().count().toInt
+    assert(hpFiles.length <= nHp + nLangs,
+      s"partitioned write explodeed to ${hpFiles.length} files " +
+        s"(nFiles=$nHp, langs=$nLangs)")
+    assert(Sources.readParquet(spark, s"$dir/hp").count() == docs.count())
   }
 }
