@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-preparation operators beyond the curation/dedup blocks
+  * (SURVEY.md §2, LLM-pipeline): retrieval chunking, entropy-based
+  * quality signals, sketch-based heavy hitters, and the batching
+  * padding audit. All four are linear, per-row or vocab-sized shapes —
+  * no corpus-sized self-joins, no unpartitioned windows.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  // ---------------------------------------------------------------------
+  // q_chunk_docs — overlapping token-window chunking (retrieval prep)
+  // ---------------------------------------------------------------------
+
+  /** Chunk window/stride in tokens. 64/48 gives 25% overlap — the
+    * standard retrieval-indexing shape scaled to this corpus's 10–99
+    * token docs (a prod corpus would use 512/384; the plan is
+    * identical for any pair of constants). */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Split every document into overlapping token windows and
+    * fingerprint each chunk — the retrieval-indexing / context-window
+    * prep stage. 100-TB shape: ONE pass, pure per-row codegen'd
+    * expressions + a Generate for the ~n/stride chunk rows; no
+    * shuffle at all before the presentation sort. Chunk count =
+    * ceil(max(n-W,0)/S)+1, so every token is covered and short docs
+    * yield exactly one chunk.
+    */
+  def qChunkDocs(s: SparkSession, d: String): DataFrame = {
+    val w = ChunkTokens
+    val st = ChunkStride
+    val base = docs(s, d).select(
+      col("doc_id"),
+      split(col("text"), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= w, lit(1L)).otherwise(
+          ceil((col("n") - w).cast("double") / st) + 1L))
+    base
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * st).as("chunk_start"),
+        least(lit(w.toLong), col("n") - col("chunk_id") * st)
+          .as("n_chunk_tokens"),
+        md5(array_join(
+          slice(col("toks"), (col("chunk_id") * st + 1).cast("int"),
+            lit(w)), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_text_entropy — token-entropy + type-token-ratio quality signal
+  // ---------------------------------------------------------------------
+
+  /** Per-document token Shannon entropy (bits) and type-token ratio —
+    * the gibberish/boilerplate detector quality filters pair with
+    * repetition signals (low entropy = repetitive/templated text).
+    * Same portable-log discipline as q_text_perplexity: each distinct
+    * token contributes round(c·ln c, 9) as DECIMAL(18,9), summed
+    * exactly, so the only doubles that cross engines are post-round.
+    * 100-TB shape: both aggregations co-partition on doc_id — one
+    * shuffle of (doc_id, tok) counts, map-side combined.
+    */
+  def qTextEntropy(s: SparkSession, d: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    docs(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log(col("c").cast("double")), 9)
+          .cast("decimal(18,9)")).as("sclnc"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        round(
+          (log(col("n_tokens").cast("double")) -
+            col("sclnc").cast("double") / col("n_tokens")) / ln2, 6)
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_approx_topk — count-min-sketch heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Count-min rows (independent hash functions) and bucket width.
+    * 4×256 int64 counters = 8 KiB — the whole sketch broadcasts for
+    * free; estimates overestimate by ≤ 2·N/w with prob 1−2⁻⁴. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Heavy hitters by count-min sketch, checked against the exact
+    * counts (Cormode & Muthukrishnan 2005). The sketch is the
+    * 100-TB story: 4×256 counters are mergeable partial sums — at
+    * real scale each executor folds its partition into 1 KiB of
+    * state and the driver never sees per-token rows. Here the bucket
+    * sums build from the vocab-sized token-count table (the
+    * q_text_bpe_pairs two-level trick: corpus-sized work is ONE
+    * map-side-combined count, the ×4 row expansion runs over the
+    * compact vocab). Candidates = the exact top-20 tokens; for each,
+    * est = min over the 4 rows of its bucket sum — the CM guarantee
+    * est ≥ exact is a reported column and spec-asserted.
+    */
+  def qApproxTopk(s: SparkSession, d: String): DataFrame = {
+    // The vocab table feeds all 4 sketch rows AND the candidate probes
+    // (8 plan branches); checkpoint it once so the corpus tokenize+count
+    // runs once (the q_minhash_recall shared-backbone pattern).
+    val vocab = docs(s, d).select(
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // Row-j bucket of a token: first 6 md5 hex digits of "j:tok" mod w.
+    def bucket(j: Int, tok: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 6), 16, 10)
+        .cast("long") % CmsWidth).as("bucket")
+    val sketch = (0 until CmsDepth).map { j =>
+        vocab.select(lit(j).as("row_id"), bucket(j, col("tok")), col("c"))
+      }.reduce(_ unionAll _)
+      .groupBy(col("row_id"), col("bucket")).agg(sum(col("c")).as("bsum"))
+    val cand = vocab.orderBy(col("c").desc, col("tok")).limit(20)
+    val probes = (0 until CmsDepth).map { j =>
+        cand.select(col("tok"), col("c"), lit(j).as("row_id"),
+          bucket(j, col("tok")))
+      }.reduce(_ unionAll _)
+    probes
+      .join(broadcast(sketch), Seq("row_id", "bucket"))
+      .groupBy(col("tok"))
+      .agg(max(col("c")).as("exact"), min(col("bsum")).as("est"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("never_under"),
+        round((col("est") - col("exact")).cast("double") / col("exact"), 6)
+          .as("rel_overestimate"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_length_buckets — padding-waste audit for length-bucketed batching
+  // ---------------------------------------------------------------------
+
+  /** Batch size for the padding audit — fixed micro-batch of docs
+    * padded to the batch max, the standard training collate shape. */
+  val BatchDocs = 32
+
+  /** Padding-waste audit: per language, group documents into batches
+    * of 32 either by LENGTH order (length-bucketed batching) or by
+    * hash order (random batching), pad each batch to its max token
+    * count, and report the padded-token overhead per strategy — the
+    * measured justification for length bucketing in a training input
+    * pipeline. 100-TB shape: windows partition by language (the
+    * batching domain), every aggregate is map-side combined; output
+    * is |langs|×2 rows.
+    */
+  def qLengthBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
+    def audit(strategy: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val win = Window.partitionBy(col("lang")).orderBy(order: _*)
+      base
+        .withColumn("batch",
+          ((row_number().over(win) - 1) / BatchDocs).cast("long"))
+        .groupBy(col("lang"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("real_toks"),
+          (max(col("n_tokens")) * BatchDocs).as("padded_toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("real_toks")).as("real_tokens"),
+          sum(col("padded_toks")).as("padded_tokens"))
+        .select(col("lang"), lit(strategy).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          round((col("padded_tokens") - col("real_tokens")).cast("double") /
+            col("padded_tokens"), 6).as("waste_frac"))
+    }
+    audit("length", Seq(col("n_tokens"), col("doc_id")))
+      .unionAll(audit("hash", Seq(col("h"), col("doc_id"))))
+      .orderBy(col("lang"), col("strategy"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q_decontaminate_bloom — Bloom-filter eval-overlap screen
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry: m = 2^18 bit positions, k = 3 hash functions.
+    * At the sf0.01 eval-shingle count (~10⁴) that is ~26 bits/key →
+    * false-positive rate ~10⁻³; the filter itself is 32 KiB of bits
+    * (here kept as the distinct set-bit positions — the relational
+    * form of the same structure). */
+  val BloomBits = 1 << 18
+  val BloomK = 3
+
+  /** Benchmark decontamination through a Bloom filter of the eval
+    * set's word-5-gram shingles — the 100-TB form of q_decontaminate:
+    * when the eval slice is too big to broadcast as raw shingle ids,
+    * its Bloom filter still fits in kilobytes and the screen stays a
+    * per-row probe. One-sided error is the point: the filter can
+    * only OVER-flag (false positives, measured here against the exact
+    * screen), never miss a contaminated doc — so the gate stays safe.
+    * Shapes: filter build is |eval-shingles|×k → distinct (tiny,
+    * broadcast); probe is |train-shingles|×k rows joined against the
+    * broadcast bit set, then two doc-co-partitioned aggregates.
+    * Spec: zero false negatives + planted-contamination flagged.
+    */
+  def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docsAll = docs(s, d)
+    val trainSh = Dedup.minhashShingleRows(
+      docsAll.where(col("source") =!= "src0"), "doc_id", "text", n = 5)
+    val evalSh = Dedup.minhashShingleRows(
+      docsAll.where(col("source") === "src0"), "doc_id", "text", n = 5)
+      .select(col("s_id")).distinct()
+    // bit position of shingle id under hash function j
+    def bitpos(j: Int) =
+      conv(substring(md5(concat(lit(s"$j:"), col("s_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % BloomBits
+    val posArr = array((0 until BloomK).map(bitpos): _*)
+    val bits = evalSh.select(explode(posArr).as("bitpos")).distinct()
+    // a shingle is bloom-positive iff ALL k of its probe rows find a
+    // set bit; a doc is flagged iff any of its shingles is positive
+    val bloomHits = trainSh
+      .select(col("id"), col("s_id"), explode(posArr).as("bitpos"))
+      .join(broadcast(bits), "bitpos")
+      .groupBy(col("id"), col("s_id")).agg(count(lit(1)).as("nbit"))
+      .where(col("nbit") === BloomK)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_bloom_hits"))
+    val exactHits = trainSh.join(evalSh, "s_id")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_exact_hits"))
+    trainSh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+      .join(bloomHits, Seq("id"), "left")
+      .join(exactHits, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) > 0).as("bloom_flagged"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) > 0 &&
+          coalesce(col("n_exact_hits"), lit(0L)) === 0).as("false_positive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_text_entropy" -> (qTextEntropy _),
+    "q_approx_topk" -> (qApproxTopk _),
+    "q_length_buckets" -> (qLengthBuckets _))
+
+  // DuckDB twins — same constants, same rounding discipline.
+
+  private def cmsBucketSql(j: Int, tok: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate_bloom" -> {
+      def bitposSql(sid: String) =
+        s"CAST(CONCAT('0x', SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || " +
+          s"CAST($sid AS VARCHAR)), 1, 15)) AS BIGINT) % $BloomBits"
+      val js = (0 until BloomK).mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\\s+')) >= 5
+         |      THEN LIST_TRANSFORM(
+         |        GENERATE_SERIES(1, LEN(STRING_SPLIT_REGEX(text, '\\s+')) - 4),
+         |        i -> STRING_SPLIT_REGEX(text, '\\s+')[i] || ' ' ||
+         |             STRING_SPLIT_REGEX(text, '\\s+')[i+1] || ' ' ||
+         |             STRING_SPLIT_REGEX(text, '\\s+')[i+2] || ' ' ||
+         |             STRING_SPLIT_REGEX(text, '\\s+')[i+3] || ' ' ||
+         |             STRING_SPLIT_REGEX(text, '\\s+')[i+4])
+         |      ELSE [] END) AS shl
+         |  FROM documents),
+         |tr AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) AS sid
+         |  FROM (SELECT doc_id, UNNEST(shl) AS s FROM sh
+         |        WHERE source <> 'src0')),
+         |ev AS (
+         |  SELECT DISTINCT
+         |    CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) AS sid
+         |  FROM (SELECT UNNEST(shl) AS s FROM sh WHERE source = 'src0')),
+         |bits AS (
+         |  SELECT DISTINCT ${bitposSql("sid")} AS bitpos
+         |  FROM ev, (SELECT UNNEST([$js]) AS j)),
+         |probe AS (
+         |  SELECT doc_id, sid, ${bitposSql("sid")} AS bitpos
+         |  FROM tr, (SELECT UNNEST([$js]) AS j)),
+         |bloom AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM (
+         |    SELECT doc_id, sid FROM probe JOIN bits USING (bitpos)
+         |    GROUP BY doc_id, sid HAVING COUNT(*) = $BloomK)
+         |  GROUP BY doc_id),
+         |exact AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+         |  FROM tr JOIN ev USING (sid) GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |  FROM tr GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_shingles,
+         |  CAST(COALESCE(bl.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+         |  CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+         |  COALESCE(bl.n_bloom_hits, 0) > 0 AS bloom_flagged,
+         |  COALESCE(bl.n_bloom_hits, 0) > 0
+         |    AND COALESCE(e.n_exact_hits, 0) = 0 AS false_positive
+         |FROM base b
+         |LEFT JOIN bloom bl USING (doc_id)
+         |LEFT JOIN exact e USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
+    },
+    "q_chunk_docs" -> {
+      val w = ChunkTokens; val st = ChunkStride
+      s"""WITH t AS (
+         |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks,
+         |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    UNNEST(GENERATE_SERIES(0, CASE WHEN n <= $w THEN 0
+         |      ELSE CAST(CEIL((n - $w) / $st.0) AS BIGINT) END)) AS chunk_id
+         |  FROM t)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $st AS chunk_start,
+         |  LEAST($w, n - chunk_id * $st) AS n_chunk_tokens,
+         |  MD5(ARRAY_TO_STRING(
+         |    toks[chunk_id * $st + 1 : chunk_id * $st + $w], ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    "q_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS sclnc
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+        |  ROUND((LN(CAST(n_tokens AS DOUBLE))
+        |    - CAST(sclnc AS DOUBLE) / n_tokens) / LN(2.0), 6) AS entropy_bits
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+    "q_approx_topk" -> {
+      val rows = (0 until CmsDepth).map { j =>
+        s"SELECT $j AS row_id, ${cmsBucketSql(j, "tok")} AS bucket, c FROM vocab"
+      }.mkString("\n  UNION ALL ")
+      val probes = (0 until CmsDepth).map { j =>
+        s"SELECT tok, c, $j AS row_id, ${cmsBucketSql(j, "tok")} AS bucket FROM cand"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH vocab AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |    SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS tok
+         |    FROM documents) GROUP BY tok),
+         |expanded AS (
+         |  $rows),
+         |sketch AS (
+         |  SELECT row_id, bucket, CAST(SUM(c) AS BIGINT) AS bsum
+         |  FROM expanded GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 20),
+         |probes AS (
+         |  $probes)
+         |SELECT p.tok,
+         |  MAX(p.c) AS exact,
+         |  MIN(s.bsum) AS est,
+         |  MIN(s.bsum) >= MAX(p.c) AS never_under,
+         |  ROUND(CAST(MIN(s.bsum) - MAX(p.c) AS DOUBLE) / MAX(p.c), 6)
+         |    AS rel_overestimate
+         |FROM probes p JOIN sketch s USING (row_id, bucket)
+         |GROUP BY p.tok
+         |ORDER BY exact DESC, tok""".stripMargin
+    },
+    "q_length_buckets" -> {
+      def audit(strategy: String, order: String) =
+        s"""SELECT lang, '$strategy' AS strategy,
+           |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+           |  CAST(SUM(real_toks) AS BIGINT) AS real_tokens,
+           |  CAST(SUM(padded_toks) AS BIGINT) AS padded_tokens,
+           |  ROUND(CAST(SUM(padded_toks) - SUM(real_toks) AS DOUBLE)
+           |    / SUM(padded_toks), 6) AS waste_frac
+           |FROM (
+           |  SELECT lang, batch, SUM(n_tokens) AS real_toks,
+           |    MAX(n_tokens) * $BatchDocs AS padded_toks
+           |  FROM (
+           |    SELECT lang, n_tokens,
+           |      CAST(FLOOR((ROW_NUMBER() OVER (
+           |        PARTITION BY lang ORDER BY $order) - 1) / $BatchDocs.0)
+           |        AS BIGINT) AS batch
+           |    FROM base) GROUP BY 1, 2) GROUP BY lang""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    MD5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents)
+         |${audit("length", "n_tokens, doc_id")}
+         |UNION ALL
+         |${audit("hash", "h, doc_id")}
+         |ORDER BY lang, strategy""".stripMargin
+    })
+}
