@@ -99,11 +99,12 @@ object Corpus {
   // q_approx_topk — count-min-sketch heavy hitters
   // ---------------------------------------------------------------------
 
-  /** Count-min rows (independent hash functions) and bucket width.
-    * 4×256 int64 counters = 8 KiB — the whole sketch broadcasts for
-    * free; estimates overestimate by ≤ 2·N/w with prob 1−2⁻⁴. */
-  val CmsDepth = 4
-  val CmsWidth = 256
+  /** Count-min rows (independent hash functions) and bucket width —
+    * shared with the streaming twin via operators.CountMin. 4×256
+    * int64 counters = 8 KiB — the whole sketch broadcasts for free;
+    * estimates overestimate by ≤ 2·N/w with prob 1−2⁻⁴. */
+  val CmsDepth = graft.operators.CountMin.Depth
+  val CmsWidth = graft.operators.CountMin.Width
 
   /** Heavy hitters by count-min sketch, checked against the exact
     * counts (Cormode & Muthukrishnan 2005). The sketch is the
@@ -125,18 +126,11 @@ object Corpus {
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    // Row-j bucket of a token: first 6 md5 hex digits of "j:tok" mod w.
-    def bucket(j: Int, tok: org.apache.spark.sql.Column) =
-      (conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 6), 16, 10)
-        .cast("long") % CmsWidth).as("bucket")
-    val sketch = (0 until CmsDepth).map { j =>
-        vocab.select(lit(j).as("row_id"), bucket(j, col("tok")), col("c"))
-      }.reduce(_ unionAll _)
-      .groupBy(col("row_id"), col("bucket")).agg(sum(col("c")).as("bsum"))
+    val sketch = graft.operators.CountMin.sketch(vocab, "tok", "c")
     val cand = vocab.orderBy(col("c").desc, col("tok")).limit(20)
     val probes = (0 until CmsDepth).map { j =>
         cand.select(col("tok"), col("c"), lit(j).as("row_id"),
-          bucket(j, col("tok")))
+          graft.operators.CountMin.bucket(j, col("tok")).as("bucket"))
       }.reduce(_ unionAll _)
     probes
       .join(broadcast(sketch), Seq("row_id", "bucket"))

@@ -85,6 +85,20 @@ object DocsStream {
     * md5-15 s_id as the batch path, so verdicts are bit-equal to the
     * batch screen — spec-asserted. explode_outer keeps shingle-less
     * (short) docs: they get a verdict row with zero overlap. */
+  /** Streaming heavy-hitters sketch — the count-min twin of
+    * queries.Corpus.qApproxTopk. The sketch IS a streaming aggregate:
+    * every counter is an associative sum over a FIXED Depth×Width key
+    * space, so the state is 1024 rows forever — no watermark needed,
+    * no growth with stream length (the property that makes frequency
+    * sketches the right tool on an unbounded feed). Emitted in
+    * update/complete mode; because the counters are deterministic
+    * sums, the sketch after any prefix of batches is bit-equal to the
+    * batch sketch over the same rows — spec-asserted. */
+  def heavyHittersStream(docs: DataFrame): DataFrame =
+    graft.operators.CountMin.sketchRaw(
+      docs.select(explode(split(lower(col("text")), "\\s+")).as("tok")),
+      "tok")
+
   def decontamStream(
       docs: DataFrame, evalShingles: DataFrame,
       watermarkDelay: String, n: Int = 5,

@@ -568,4 +568,43 @@ class StreamingSpec extends SparkSpec {
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
+
+  test("streaming count-min sketch equals the batch sketch at every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.CountMin
+    val b1 = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"))
+    val b2 = Seq((3L, "alpha epsilon zeta zeta zeta"))
+    def batchSketch(rows: Seq[(Long, String)]): Set[(Int, Long, Long)] = {
+      val vocab = rows.toDF("doc_id", "text")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      CountMin.sketch(vocab, "tok", "c").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocsStream.heavyHittersStream(sdf)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      // deterministic associative sums: the streamed sketch matches the
+      // batch sketch after EVERY prefix of batches, not just the end
+      stream.addData(b1); q.processAllAvailable()
+      val afterB1 = spark.table("cms_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB1 == batchSketch(b1), "prefix sketch diverged")
+      stream.addData(b2); q.processAllAvailable()
+      val afterB2 = spark.table("cms_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB2 == batchSketch(b1 ++ b2), "final sketch diverged")
+      // fixed-size state: the sketch can never exceed Depth*Width rows
+      assert(afterB2.size <= CountMin.Depth * CountMin.Width)
+      // every hash row carries the same total mass (= token count)
+      val byRow = afterB2.groupBy(_._1).view.mapValues(_.toSeq.map(_._3).sum)
+      val nToks = (b1 ++ b2).map(_._2.split("\\s+").length).sum
+      assert(byRow.values.toSet == Set(nToks.toLong),
+        s"row mass drifted: ${byRow.toMap}")
+    } finally q.stop()
+  }
 }
