@@ -50,6 +50,64 @@ object AsofJoin {
       payloadCols: Seq[String]): DataFrame =
     unionFill(left, right, keyCol, timeCol, payloadCols, forward = true)
 
+  /** NEAREST as-of: attach the payload of the right row minimizing
+    * |rightTime − leftTime| in either direction; equal distances
+    * resolve to the EARLIER (backward) row. `timeCol` must be numeric
+    * (e.g. epoch micros) — the pick compares subtractions.
+    *
+    * Same union-sort scale shape as [[asof]]: ONE shuffle on the key,
+    * then the backward and forward fills are two frames over the SAME
+    * partitioning and sort (the exchange and sort are shared between
+    * the two Window nodes), and the pick is stateless column
+    * arithmetic. A same-time right row is captured by the backward
+    * fill at distance 0, which wins every comparison, so the forward
+    * frame's strict exclusion of same-time rights never shows.
+    *
+    * The matched right time lands in `nearest_<timeCol>`; payload
+    * columns keep their names (NULL when the key has no right rows).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payloadCols.exists(leftCols.contains),
+      s"payload columns ${payloadCols.filter(leftCols.contains).mkString(",")} " +
+        "collide with left-side columns — rename them first")
+    val taggedLeft = payloadCols
+      .foldLeft(left)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("_side", lit(1))
+      .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
+    val taggedRight = leftCols
+      .filterNot(c => c == keyCol || c == timeCol || payloadCols.contains(c))
+      .foldLeft(right)((df, c) => df.withColumn(c, lit(null)))
+      .withColumn("_side", lit(0))
+      .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
+    val base = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // one atomic struct per right row (see unionFill's rationale), with
+    // the right time under _rt for the distance compare
+    val atomic = when(col("_side") === 0,
+      struct((col(timeCol).as("_rt") +: payloadCols.map(col)): _*))
+    val pb = last(atomic, ignoreNulls = true).over(wb)
+    val pf = first(atomic, ignoreNulls = true).over(wf)
+    val chosen = when(pb.isNull, pf).when(pf.isNull, pb)
+      .otherwise(when(
+        col(timeCol) - pb("_rt") <= pf("_rt") - col(timeCol), pb)
+        .otherwise(pf))
+    val withPick = taggedLeft.unionByName(taggedRight)
+      .withColumn("_payload", chosen)
+      .where(col("_side") === 1)
+    payloadCols.foldLeft(
+      withPick.withColumn(s"nearest_$timeCol", col("_payload")("_rt"))) {
+      (df, c) => df.withColumn(c, col("_payload")(c))
+    }.drop("_side", "_payload")
+  }
+
   private def unionFill(
       left: DataFrame,
       right: DataFrame,

@@ -109,6 +109,32 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of join: each event attaches the user's CLOSEST
+    * purchase in either time direction (ties to the earlier one) —
+    * the sensor-alignment / nearest-fill shape kdb calls `aj` with
+    * bidirectional tolerance. One union-sort pass (AsofJoin
+    * .asofNearest): both directional fills share one exchange+sort;
+    * the oracle composes DuckDB's two directional ASOF joins with the
+    * same tie rule, so the result is hash-exact. */
+  def qAsofJoinNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("p_value"))
+    graft.operators.AsofJoin.asofNearest(
+      ev.select("event_id", "user_id", "ts_us"), purchases,
+      keyCol = "user_id", timeCol = "ts_us", payloadCols = Seq("p_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("nearest_ts_us"), col("p_value").as("nearest_value"),
+        when(col("nearest_ts_us").isNull, lit(null).cast("string"))
+          .when(col("nearest_ts_us") <= col("ts_us"), lit("back"))
+          .otherwise(lit("fwd")).as("matched_dir"))
+      .orderBy(col("event_id"))
+  }
+
   /** Top-5 events per type by value via the bounded-heap aggregate
     * (graft.operators.TopK) — only |types|·5 candidates per partition
     * reach the shuffle, vs the window form shuffling and sorting every
@@ -380,6 +406,7 @@ object Events {
     "q_events_topn_user" -> (qEventsTopnUser _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_forward" -> (qAsofJoinForward _),
+    "q_asof_join_nearest" -> (qAsofJoinNearest _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
 
@@ -533,6 +560,31 @@ object Events {
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     // independent implementation: DuckDB's NATIVE asof join operator
+    "q_asof_join_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, ts_us, MAX(value) AS p_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, p.ts_us AS bt, p.p_value AS bv
+        |  FROM ev e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts_us >= p.ts_us),
+        |f AS (
+        |  SELECT e.event_id, p.ts_us AS ft, p.p_value AS fv
+        |  FROM ev e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts_us <= p.ts_us)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR e.ts_us - bt <= ft - e.ts_us)
+        |       THEN bt ELSE ft END AS nearest_ts_us,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR e.ts_us - bt <= ft - e.ts_us)
+        |       THEN bv ELSE fv END AS nearest_value,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN bt IS NOT NULL AND (ft IS NULL OR e.ts_us - bt <= ft - e.ts_us)
+        |       THEN 'back' ELSE 'fwd' END AS matched_dir
+        |FROM ev e JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

@@ -55,6 +55,36 @@ class AsofPropertySpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of matches the brute-force definition with back ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { i =>
+      val left = List.fill(1 + rnd.nextInt(30))(
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+      val right = List.fill(1 + rnd.nextInt(30))(
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong))
+        .distinct.map { case (k, t) => (k, t, s"p$k-$t") }
+      val got = graft.operators.AsofJoin.asofNearest(
+          left.toDF("k", "t"), right.toDF("k", "t", "p"),
+          "k", "t", Seq("p")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.getString(2))))).toMap
+      // brute force: min |rt - t|; equal distance -> the EARLIER row
+      val want = left.distinct.map { case (k, t) =>
+        val cand = right.filter(_._1 == k)
+        val best =
+          if (cand.isEmpty) (None, None)
+          else {
+            val b = cand.minBy(r => (math.abs(r._2 - t), r._2))
+            (Some(b._2), Some(b._3))
+          }
+        (k, t) -> best
+      }.toMap
+      assert(got == want, s"case $i: left=$left right=$right")
+    }
+  }
+
   test("interpolation matches the closed-form line on a constructed series") {
     // hand-checkable: observations at buckets 0 and 3 of one day;
     // the two gap buckets must sit exactly on the line between them
