@@ -190,6 +190,44 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // q_text_keywords — per-document TF-IDF top terms
+  // ---------------------------------------------------------------------
+
+  /** Top-3 keywords per document by TF-IDF — the per-doc topical
+    * signature (q_text_bm25 ranks docs for a bounded query set; this
+    * ranks TERMS per doc over the open vocabulary). Portable-double
+    * discipline: score = round((c/n)·ln(N/df), 9), ranked under the
+    * (score desc, token) total order so ranks are engine-identical.
+    * 100-TB shapes: the (doc, tok) counts and per-doc totals
+    * co-partition on doc_id; df is a vocab-sized aggregate joined
+    * back on tok; N is a 1-row broadcast; the per-doc top-3 is a
+    * rank-filtered doc-partitioned window — WindowGroupLimit pushes
+    * the limit below the exchange, so the shuffle carries ≤3 rows
+    * per doc per task, not the full token fan-out. */
+  def qTextKeywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokc = docs(s, d).select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val withN = tokc.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val dfTok = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, d).agg(count(lit(1)).as("nd"))
+    val scored = withN.join(dfTok, "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        round((col("c") / col("n")) * log(col("nd") / col("df")), 9)
+          .as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // q_decontaminate_bloom — Bloom-filter eval-overlap screen
   // ---------------------------------------------------------------------
 
@@ -253,6 +291,7 @@ object Corpus {
   // ---------------------------------------------------------------------
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keywords" -> (qTextKeywords _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_text_entropy" -> (qTextEntropy _),
@@ -265,6 +304,32 @@ object Corpus {
     s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q_text_keywords" ->
+      """WITH tokc AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id,
+        |      UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |withn AS (
+        |  SELECT doc_id, tok, c,
+        |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM tokc),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM tokc GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    ROUND((c / n) * LN(nd / df), 9) AS score
+        |  FROM withn JOIN dft USING (tok) CROSS JOIN nd),
+        |r AS (
+        |  SELECT doc_id, tok, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+        |  ROUND(score, 6) AS score
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_decontaminate_bloom" -> {
       def bitposSql(sid: String) =
         s"CAST(CONCAT('0x', SUBSTR(MD5(CAST(j AS VARCHAR) || ':' || " +

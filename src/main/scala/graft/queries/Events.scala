@@ -135,6 +135,32 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** OHLC downsampling: per (event_type, 5-minute bucket) the open
+    * (earliest value), high, low, close (latest value) and count — the
+    * candlestick/min-max-preserving time-series reduction. ONE
+    * hash aggregate: open/close ride min_by/max_by over the unique
+    * (ts, event_id) struct key, so the shuffle carries one partial
+    * row per (type, bucket) per input partition — no window, no sort
+    * of the raw events. Deterministic because the struct key is
+    * unique. */
+  def qEventsOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        // integer-exact bucket floor (the gap-fill idiom; no double div)
+        (unix_micros(col("ts")) -
+          pmod(unix_micros(col("ts")), lit(300000000L))).as("bucket_us"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("bucket_us"))
+
   /** Top-5 events per type by value via the bounded-heap aggregate
     * (graft.operators.TopK) — only |types|·5 candidates per partition
     * reach the shuffle, vs the window form shuffling and sorting every
@@ -407,6 +433,7 @@ object Events {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_join_forward" -> (qAsofJoinForward _),
     "q_asof_join_nearest" -> (qAsofJoinNearest _),
+    "q_events_ohlc" -> (qEventsOhlc _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
 
@@ -560,6 +587,27 @@ object Events {
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     // independent implementation: DuckDB's NATIVE asof join operator
+    "q_events_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 300000000) * 300000000 AS bucket_us,
+        |    epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts_us, event_id) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, bucket_us,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, bucket_us""".stripMargin,
     "q_asof_join_nearest" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

@@ -97,6 +97,54 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("events_ohlc: candle invariants and aligned buckets") {
+    val rows = graft.queries.Events.qEventsOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (open, high, low, close, n) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))
+      assert(r.getLong(1) % 300000000L == 0, "bucket not aligned")
+      assert(n >= 1)
+      assert(high >= math.max(open, close) && low <= math.min(open, close),
+        s"candle broken: o=$open h=$high l=$low c=$close")
+      if (n == 1) assert(open == close && high == low && open == high)
+    }
+    // open/close equal a window-rank recompute (the max_by tie contract)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          pmod(unix_micros(col("ts")), lit(300000000L))).as("bucket_us"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("event_type"), col("bucket_us"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val want = e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("bucket_us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) == want((r.getString(0), r.getLong(1))),
+        s"open drifted at ${(r.getString(0), r.getLong(1))}")
+    }
+  }
+
+  test("text_keywords: contiguous ranks, descending scores per doc") {
+    val byDoc = graft.queries.Corpus.qTextKeywords(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length <= 3)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rows.length),
+        s"doc $id ranks not contiguous")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not descending: ${scores.toSeq}")
+    }
+  }
+
   test("length_buckets: sorted batching dominates hash batching") {
     val rows = Corpus.qLengthBuckets(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
