@@ -333,7 +333,50 @@ object Agg {
         Array(col("p_size"), col("p_retailprice")), "measure", "value")
       .orderBy(col("p_partkey"), col("measure"))
 
+  /** RFM customer segmentation (recency / frequency / monetary with
+    * quartile scores) — the classic mart-building aggregate. The
+    * scale-correct scoring shape: quartile BOUNDARIES come from ONE
+    * tiny global aggregate (3×3 exact percentiles over the per-customer
+    * rollup) broadcast into a stateless per-row comparison — NOT a
+    * global ntile window, which would funnel every customer through a
+    * single partition. Round-4 quantiles and exact cent sums keep the
+    * boundaries engine-identical. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("last_date")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+    def q(c: String, pct: Int) =
+      round(expr(s"percentile($c, 0.$pct)"), 4).as(s"${c}_q$pct")
+    val bounds = cust.agg(
+      q("recency_days", 25), q("recency_days", 50), q("recency_days", 75),
+      q("frequency", 25), q("frequency", 50), q("frequency", 75),
+      q("monetary", 25), q("monetary", 50), q("monetary", 75))
+    def hi(v: Column, c: String) =
+      (lit(1) + (v > col(s"${c}_q25")).cast("int") +
+        (v > col(s"${c}_q50")).cast("int") +
+        (v > col(s"${c}_q75")).cast("int")).cast("long")
+    cust.crossJoin(broadcast(bounds))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // recency: smaller = better, so invert the quartile index
+        (lit(5L) - hi(col("recency_days"), "recency_days")).as("r_score"),
+        hi(col("frequency"), "frequency").as("f_score"),
+        hi(col("monetary"), "monetary").as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_agg_median_mode" -> (qAggMedianMode _),
     "q_agg_corr_regr" -> (qAggCorrRegr _),
     "q_agg_list" -> (qAggList _),
@@ -352,6 +395,44 @@ object Agg {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', MAX(o_orderdate),
+        |      (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+        |      AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(o_totalprice) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT
+        |    ROUND(QUANTILE_CONT(recency_days, 0.25), 4) AS r25,
+        |    ROUND(QUANTILE_CONT(recency_days, 0.50), 4) AS r50,
+        |    ROUND(QUANTILE_CONT(recency_days, 0.75), 4) AS r75,
+        |    ROUND(QUANTILE_CONT(frequency, 0.25), 4) AS f25,
+        |    ROUND(QUANTILE_CONT(frequency, 0.50), 4) AS f50,
+        |    ROUND(QUANTILE_CONT(frequency, 0.75), 4) AS f75,
+        |    ROUND(QUANTILE_CONT(monetary, 0.25), 4) AS m25,
+        |    ROUND(QUANTILE_CONT(monetary, 0.50), 4) AS m50,
+        |    ROUND(QUANTILE_CONT(monetary, 0.75), 4) AS m75
+        |  FROM cust),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    CAST(5 - (1 + CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+        |                + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+        |                + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r_score,
+        |    CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+        |           + CASE WHEN frequency > f75 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_score,
+        |    CAST(1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+        |           + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+        |           + CASE WHEN monetary > m75 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS m_score
+        |  FROM cust CROSS JOIN b)
+        |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_cell
+        |FROM s ORDER BY o_custkey""".stripMargin,
     "q_agg_median_mode" ->
       """WITH stats AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

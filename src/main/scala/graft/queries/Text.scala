@@ -447,6 +447,31 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled mixture resampling (the multilingual /
+    * multi-source flattening used by mBERT/XLM-style pipelines):
+    * resampled source proportions ∝ p_s^α with α = 0.5, i.e. target
+    * weights w_s = √n_s under the same globally COUPLED rate scheme
+    * as qSampleMixture (rate_s = C·w_s/n_s, C = min n_t/w_t, so the
+    * flattest-demand source caps at 1.0 and the rest follow exactly).
+    * α = 0.5 is deliberate: the weight is computed with SQRT, which
+    * IEEE requires to be correctly rounded — bit-identical across
+    * engines where a general pow() need not be. Same plan shape as
+    * the mixture: tiny per-source agg, 1-row broadcast C, pure
+    * per-row hash-fraction membership — no corpus-sized shuffle. */
+  def qSampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val dcs = Tables.documents(s, d)
+    val cnt = dcs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+    val c = cnt.agg(min(col("n") / col("w")).as("c"))
+    val rates = cnt.crossJoin(broadcast(c)).select(col("source"),
+      round(least(lit(1.0), col("c") * col("w") / col("n")), 9).as("rate"))
+    dcs.join(broadcast(rates), Seq("source"))
+      .where(graft.operators.Sampling.hashFraction(col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe train/val/test split — the holdout-assignment shape
     * every training pipeline needs. Keyed on the normalized-text
     * FINGERPRINT, not doc_id: exact duplicates (crawl re-occurrences)
@@ -503,6 +528,7 @@ object Text {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_train" -> (qPipelineTrain _),
+    "q_sample_temperature" -> (qSampleTemperature _),
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_sample_mixture" -> (qSampleMixture _),
@@ -567,6 +593,19 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_sample_temperature" ->
+      """WITH cnt AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SQRT(CAST(COUNT(*) AS DOUBLE)) AS w
+        |  FROM documents GROUP BY source),
+        |cm AS (SELECT MIN(n / w) AS c FROM cnt),
+        |r AS (SELECT source, ROUND(LEAST(1.0, c * w / n), 9) AS rate
+        |      FROM cnt CROSS JOIN cm)
+        |SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+        |    AS INTEGER) / 16777216.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pipeline_train" ->
       """WITH fp AS (
         |  SELECT doc_id, source, lang, text,

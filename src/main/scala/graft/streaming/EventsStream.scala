@@ -55,6 +55,31 @@ object EventsStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC twin of queries.Events.qEventsOhlc: watermarked
+    * 5-minute tumbling candles per event type. min_by/max_by are
+    * declarative aggregates with partial merge, so the candle is a
+    * plain windowed streaming aggregate — state is one partial row
+    * per open (window, type), finalized in append mode when the
+    * watermark passes. The (ts_us, event_id) struct key keeps
+    * open/close deterministic under any arrival order, so the
+    * finalized candles equal the batch query's — spec-asserted. */
+  def ohlcStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("open"), col("high"), col("low"),
+        col("close"), col("n_events"))
+
   /** Running per-user event counts — stateful aggregation in streaming
     * (complete/update mode), plain groupBy in batch. */
   def userCounts(events: DataFrame): DataFrame =

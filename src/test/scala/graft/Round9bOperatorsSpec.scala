@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Late round-9 additions: RFM segmentation and temperature-scaled
+  * mixture resampling. */
+class Round9bOperatorsSpec extends SparkSpec {
+
+  test("rfm: scores span 1..4, quartiles balance, cell composes digits") {
+    val rows = graft.queries.Agg.qRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms, cell) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+      assert(cell == rs * 100 + fs * 10 + ms)
+    }
+    // quartile boundaries from exact percentiles: each monetary score
+    // bucket holds between 5% and 60% of customers (ties can skew the
+    // split, but a broken boundary would put ~everything in one bucket)
+    val byM = rows.groupBy(_.getLong(6)).view.mapValues(_.length)
+    assert(byM.keySet == Set(1L, 2L, 3L, 4L), s"m-score levels: ${byM.toMap}")
+    byM.values.foreach { n =>
+      val frac = n.toDouble / rows.length
+      assert(frac > 0.05 && frac < 0.60, s"degenerate quartile: ${byM.toMap}")
+    }
+    // more recent customers never score lower than older ones
+    val sorted = rows.sortBy(_.getLong(1))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        if (a.getLong(1) < b.getLong(1))
+          assert(a.getLong(4) >= b.getLong(4), "recency score not monotone")
+      case _ =>
+    }
+  }
+
+  test("temperature sampling flattens source proportions toward sqrt") {
+    val docs = Tables.documents(spark, sf)
+    val nBySource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.queries.Text.qSampleTemperature(spark, sf).collect()
+    val rateBySource = kept.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // coupled closed form: rate_s = C / sqrt(n_s), capped at 1.0 — the
+    // smallest source demands the highest rate and caps the system
+    val minSource = nBySource.minBy(_._2)._1
+    assert(math.abs(rateBySource(minSource) - 1.0) < 1e-9,
+      s"smallest source must keep everything: $rateBySource")
+    val c = math.sqrt(nBySource(minSource).toDouble)
+    nBySource.foreach { case (src, n) =>
+      val want = math.min(1.0, c / math.sqrt(n.toDouble))
+      assert(math.abs(rateBySource(src) - want) < 1e-5,
+        s"$src: rate ${rateBySource(src)} != closed form $want")
+    }
+    // kept counts concentrate toward the closed-form expectation
+    val keptBySource = kept.groupBy(_.getString(1)).view.mapValues(_.length)
+    nBySource.foreach { case (src, n) =>
+      val expect = n * rateBySource(src)
+      assert(math.abs(keptBySource(src) - expect) <= 4 * math.sqrt(expect) + 8,
+        s"$src kept ${keptBySource(src)} vs expected $expect")
+    }
+  }
+}

@@ -569,6 +569,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming OHLC candles equal the batch aggregate on close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    // two buckets for type a (out-of-order arrivals), one for type b;
+    // equal-time tie inside a bucket exercises the event_id tie-break
+    val rows = Seq(
+      (1L, "a", ts("00:01"), 10.0), (2L, "a", ts("00:04"), 7.0),
+      (3L, "a", ts("00:03"), 99.0), (4L, "a", ts("00:03"), 1.0),
+      (5L, "a", ts("00:07"), 5.0), (6L, "b", ts("00:02"), 3.0))
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("event_id", "event_type", "ts", "value")
+    val q = graft.streaming.EventsStream.ohlcStream(sdf, "10 minutes")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      // deliver out of order across two micro-batches, then push the
+      // watermark so both buckets finalize
+      stream.addData(rows.take(2)); q.processAllAvailable()
+      stream.addData(rows.drop(2)); q.processAllAvailable()
+      stream.addData((99L, "z", ts("03:00"), 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ohlc_out").where(col("event_type") =!= "z")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    // batch truth over the same rows, same candle definition
+    val batch = rows.toDF("event_id", "event_type", "ts", "value")
+      .select(col("event_type"),
+        (unix_micros(col("ts")) -
+          pmod(unix_micros(col("ts")), lit(300000000L))).as("bucket_us"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(min_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(1), r.getString(0)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(got == batch, s"stream=$got\nbatch=$batch")
+    // scenario sanity: the 00:00 bucket of type a opens at 10 (00:01),
+    // closes at 7 (00:04), with high 99 / low 1 from the tied minute
+    val a0 = got((Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L, "a"))
+    assert(a0 == ((10.0, 99.0, 1.0, 7.0, 4L)), s"candle drifted: $a0")
+  }
+
   test("streaming count-min sketch equals the batch sketch at every prefix") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
