@@ -375,7 +375,42 @@ object Agg {
       .orderBy(col("o_custkey"))
   }
 
+  /** Market-basket pair analysis: support and lift for part pairs
+    * co-occurring in an order — the co-purchase affinity mart. The
+    * pair generator is an orderkey-co-partitioned self-join whose
+    * fan-out is quadratic ONLY in items-per-order (≤13 in this
+    * schema, ≤78 pairs per order; a real catalog would cap or
+    * frequency-prefilter basket size first, the ngram-df-cap
+    * pattern). Lift = n_ab·N/(n_a·n_b) from exact long counts, so
+    * the double division is bit-identical cross-engine. Top-50 by
+    * (support desc, pair) under TakeOrderedAndProject. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(freq.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(freq.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab") * col("n_orders")) / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
     "q_agg_median_mode" -> (qAggMedianMode _),
     "q_agg_corr_regr" -> (qAggCorrRegr _),
@@ -395,6 +430,26 @@ object Agg {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |       AS n_orders FROM items),
+        |freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p
+        |         FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+        |  ROUND((n_ab * n_orders) / (fa.n_p * fb.n_p), 6) AS lift
+        |FROM p
+        |JOIN freq fa ON fa.l_partkey = pa
+        |JOIN freq fb ON fb.l_partkey = pb
+        |CROSS JOIN no
+        |ORDER BY n_ab DESC, pa, pb LIMIT 50""".stripMargin,
     "q_rfm" ->
       """WITH cust AS (
         |  SELECT o_custkey,

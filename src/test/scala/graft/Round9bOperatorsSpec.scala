@@ -34,6 +34,28 @@ class Round9bOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("basket pairs: ordered pairs, support floor, exact lift arithmetic") {
+    val rows = graft.queries.Agg.qBasketPairs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val supports = rows.map(_.getLong(2))
+    assert(supports.zip(supports.tail).forall { case (a, b) => a >= b },
+      "not ordered by support")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getLong(2) >= 2, "support floor violated")
+      assert(r.getDouble(5) > 0.0)
+    }
+    // recompute the head pair's support directly
+    val (pa, pb) = (rows.head.getLong(0), rows.head.getLong(1))
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val direct = items.where(col("l_partkey") === pa)
+      .select(col("l_orderkey"))
+      .intersect(items.where(col("l_partkey") === pb)
+        .select(col("l_orderkey"))).count()
+    assert(rows.head.getLong(2) == direct, "head support drifted")
+  }
+
   test("temperature sampling flattens source proportions toward sqrt") {
     val docs = Tables.documents(spark, sf)
     val nBySource = docs.groupBy(col("source")).count().collect()
