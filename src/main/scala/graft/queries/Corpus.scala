@@ -254,11 +254,17 @@ object Corpus {
   def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
     import graft.dedup.Dedup
     val docsAll = docs(s, d)
+    // the train shingles feed THREE branches (probe, exact, per-doc
+    // count) and the eval shingles two (bits, exact) — checkpoint each
+    // once so the window-based shingle build runs once per side (the
+    // q_minhash_recall shared-backbone pattern; 3.9 s → ~1.6 s at sf0.1)
     val trainSh = Dedup.minhashShingleRows(
       docsAll.where(col("source") =!= "src0"), "doc_id", "text", n = 5)
+      .localCheckpoint()
     val evalSh = Dedup.minhashShingleRows(
       docsAll.where(col("source") === "src0"), "doc_id", "text", n = 5)
       .select(col("s_id")).distinct()
+      .localCheckpoint()
     // bit position of shingle id under hash function j
     def bitpos(j: Int) =
       conv(substring(md5(concat(lit(s"$j:"), col("s_id").cast("string"))),
