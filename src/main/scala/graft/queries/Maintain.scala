@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -201,7 +201,57 @@ object Maintain {
       .orderBy(col("check_name"))
   }
 
+  /** Columns profiled by q_profile with their rendering class —
+    * shared by the Spark plan and the generated oracle so both sides
+    * stringify min/max identically (doubles via DECIMAL(18,4),
+    * timestamps via DATE; plain casts are not engine-portable for
+    * doubles — Java switches to scientific notation, DuckDB never
+    * does). */
+  val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+    "l_linenumber" -> "int", "l_quantity" -> "dbl",
+    "l_extendedprice" -> "dbl", "l_discount" -> "dbl", "l_tax" -> "dbl",
+    "l_returnflag" -> "str", "l_linestatus" -> "str",
+    "l_shipdate" -> "date")
+
+  /** Table profiling — the pre-publish column audit every lake runs:
+    * per column, null count/rate, exact distinct count, and portably
+    * rendered min/max, in ONE scan. All 44 metrics live in a single
+    * aggregate row (multi-count-distinct compiles to Spark's Expand —
+    * one pass over the files, the fan-out is in-memory) and the
+    * per-column rows are a post-aggregate literal explode of that one
+    * row. At 100 TB the exact countDistinct is the swap-out:
+    * `graft.operators.Sketches` (HLL) or the KMV sketch behind
+    * q_approx_distinct slot into the same plan; exact is kept here
+    * because the oracle hashes it. */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    def render(kind: String, c: Column): Column = kind match {
+      case "dbl" => round(c, 4).cast("decimal(18,4)").cast("string")
+      case "date" => c.cast("date").cast("string")
+      case _ => c.cast("string")
+    }
+    val li = Tables.lineitem(spark, dir)
+    val aggs = ProfileCols.flatMap { case (c, k) =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        render(k, min(col(c))).as(s"${c}_min"),
+        render(k, max(col(c))).as(s"${c}_max"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val entries = ProfileCols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
+        round((col("n_rows") - col(s"${c}_nn")).cast("double") /
+          col("n_rows"), 6).as("null_frac"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2_history" -> (qScd2History _),
     "q_zorder" -> (qZorder _),
@@ -226,6 +276,34 @@ object Maintain {
       |ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_profile" -> {
+      def renderSql(kind: String, e: String) = kind match {
+        case "dbl" =>
+          s"CAST(CAST(ROUND($e, 4) AS DECIMAL(18,4)) AS VARCHAR)"
+        case "date" => s"CAST(CAST($e AS DATE) AS VARCHAR)"
+        case _ => s"CAST($e AS VARCHAR)"
+      }
+      val aggSql = ProfileCols.map { case (c, k) =>
+        s"""    CAST(COUNT($c) AS BIGINT) AS ${c}_nn,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}_nd,
+           |    ${renderSql(k, s"MIN($c)")} AS ${c}_min,
+           |    ${renderSql(k, s"MAX($c)")} AS ${c}_max""".stripMargin
+      }.mkString(",\n")
+      val rows = ProfileCols.map { case (c, _) =>
+        s"""  SELECT '$c' AS col_name, n_rows,
+           |    n_rows - ${c}_nn AS n_nulls,
+           |    ROUND(CAST(n_rows - ${c}_nn AS DOUBLE) / n_rows, 6)
+           |      AS null_frac,
+           |    ${c}_nd AS n_distinct,
+           |    ${c}_min AS min_val, ${c}_max AS max_val FROM a""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |$aggSql
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY col_name""".stripMargin
+    },
     "q_merge_upsert" ->
       """WITH ranked AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value,

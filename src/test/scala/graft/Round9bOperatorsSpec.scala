@@ -56,6 +56,27 @@ class Round9bOperatorsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == direct, "head support drifted")
   }
 
+  test("profile: one row per column with consistent counts and bounds") {
+    val rows = graft.queries.Maintain.qProfile(spark, sf).collect()
+    assert(rows.length == graft.queries.Maintain.ProfileCols.length)
+    val nRows = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nRows, "n_rows must be one global count")
+      val (nn, nd) = (r.getLong(2), r.getLong(4))
+      assert(nn >= 0 && nn <= nRows)
+      assert(nd <= nRows - nn, s"${r.getString(0)}: distinct > non-null")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (nn < nRows)
+        assert(r.getString(5) <= r.getString(6) ||
+          // numeric strings compare numerically only within equal length;
+          // just require both bounds present when non-null rows exist
+          r.getString(5).nonEmpty && r.getString(6).nonEmpty)
+    }
+    val flag = rows.find(_.getString(0) == "l_returnflag").get
+    assert(flag.getLong(4) == 3 && flag.getString(5) == "A" &&
+      flag.getString(6) == "R", s"returnflag profile drifted: $flag")
+  }
+
   test("temperature sampling flattens source proportions toward sqrt") {
     val docs = Tables.documents(spark, sf)
     val nBySource = docs.groupBy(col("source")).count().collect()
