@@ -409,7 +409,36 @@ object Agg {
       .limit(50)
   }
 
+  /** Equi-DEPTH histogram of l_extendedprice (10 quantile buckets) —
+    * the optimizer-statistics shape, complementing q_histogram's
+    * equi-width buckets. Boundaries come from ONE exact-percentile
+    * aggregate (array form — one pass) broadcast into a stateless
+    * per-row bucket assignment (1 + #boundaries below the value), so
+    * there is no global sort/ntile; per-bucket stats use the exact
+    * DECIMAL sum pattern for the mean. Duplicate values straddling a
+    * boundary make depths unequal by exactly their multiplicity —
+    * inherent to equi-depth, not drift. */
+  def qHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val pcts = (1 to 9).map(_ / 10.0)
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val bounds = li.agg(
+      expr(s"transform(percentile(l_extendedprice, array(${pcts.mkString(",")})), x -> round(x, 4))")
+        .as("b"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1) + expr("size(filter(b, x -> l_extendedprice > x))"))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 4).as("lo"),
+        round(max(col("l_extendedprice")), 4).as("hi"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / count(lit(1)), 6).as("mean"))
+      .orderBy(col("bucket"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
     "q_agg_median_mode" -> (qAggMedianMode _),
@@ -430,6 +459,25 @@ object Agg {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_histogram_equidepth" ->
+      """WITH b AS (
+        |  SELECT LIST_TRANSFORM(
+        |    QUANTILE_CONT(l_extendedprice,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> ROUND(x, 4)) AS b
+        |  FROM lineitem),
+        |assigned AS (
+        |  SELECT l_extendedprice,
+        |    CAST(1 + LEN(LIST_FILTER(b, x -> l_extendedprice > x))
+        |      AS BIGINT) AS bucket
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(MIN(l_extendedprice), 4) AS lo,
+        |  ROUND(MAX(l_extendedprice), 4) AS hi,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |    AS DOUBLE) / COUNT(*), 6) AS mean
+        |FROM assigned GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "q_basket_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

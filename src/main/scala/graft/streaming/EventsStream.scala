@@ -80,6 +80,37 @@ object EventsStream {
         col("event_type"), col("open"), col("high"), col("low"),
         col("close"), col("n_events"))
 
+  /** Streaming data-quality audit — the expectation gate
+    * (queries.Maintain.qualityAudit) applied per ingest window: every
+    * row-level check evaluates as a conditional sum inside ONE
+    * windowed streaming aggregate, and the membership check rides a
+    * stream-static left join against the frozen dimension (the same
+    * one-sided shape as decontamStream). One report row per
+    * (window, check) finalizes in append mode when the watermark
+    * passes — the continuous version of the pre-publish gate, so a
+    * bad ingest hour flags itself instead of poisoning the day's
+    * batch audit. */
+  def auditStream(
+      events: DataFrame, validTypes: DataFrame,
+      watermarkDelay: String, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(validTypes.select(col("event_type"), lit(true).as("_known"))
+        .distinct(), Seq("event_type"), "left")
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("value_nonneg"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("type_known"))
+      .select(col("w.start").as("window_start"), col("n_rows"), expr(
+        """stack(2,
+          |  'value_nonneg', value_nonneg,
+          |  'type_known', type_known) AS (check_name, n_violations)
+          |""".stripMargin))
+      .select(col("window_start"), col("check_name"), col("n_rows"),
+        col("n_violations"),
+        round(col("n_violations") / col("n_rows"), 6).as("violation_rate"))
+
   /** Running per-user event counts — stateful aggregation in streaming
     * (complete/update mode), plain groupBy in batch. */
   def userCounts(events: DataFrame): DataFrame =

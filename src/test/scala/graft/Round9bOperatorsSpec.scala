@@ -56,6 +56,27 @@ class Round9bOperatorsSpec extends SparkSpec {
     assert(rows.head.getLong(2) == direct, "head support drifted")
   }
 
+  test("equi-depth histogram: ordered disjoint buckets of ~equal depth") {
+    val rows = graft.queries.Agg.qHistogramEquidepth(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 10, s"expected 10 buckets, got ${rows.length}")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must tile the table")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "lo > hi")
+      assert(r.getDouble(4) >= r.getDouble(2) - 1e-6 &&
+        r.getDouble(4) <= r.getDouble(3) + 1e-6, "mean outside bucket")
+      val frac = r.getLong(1).toDouble / total
+      assert(frac > 0.05 && frac < 0.15, s"depth drifted: $frac")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(2) + 1e-6,
+          "buckets overlap in value space")
+      case _ =>
+    }
+  }
+
   test("profile: one row per column with consistent counts and bounds") {
     val rows = graft.queries.Maintain.qProfile(spark, sf).collect()
     assert(rows.length == graft.queries.Maintain.ProfileCols.length)

@@ -569,6 +569,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming audit gate flags planted violations per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    // window 1: one negative value; window 2: one unknown type
+    val rows = Seq(
+      (1L, "view", ts("00:10"), 1.0), (2L, "view", ts("00:20"), -5.0),
+      (3L, "purchase", ts("00:40"), 2.0),
+      (4L, "mystery", ts("01:10"), 1.0), (5L, "view", ts("01:30"), 3.0))
+    val valid = Seq("view", "purchase").toDF("event_type")
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val sdf = stream.toDF().toDF("event_id", "event_type", "ts", "value")
+    val q = graft.streaming.EventsStream.auditStream(sdf, valid, "10 minutes")
+      .writeStream.format("memory").queryName("audit_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows); q.processAllAvailable()
+      stream.addData((99L, "view", ts("05:00"), 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("audit_out")
+      .where(col("window_start") < ts("02:00")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("2024-01-01 00:00:00.0", "value_nonneg") -> ((3L, 1L, 0.333333)),
+      ("2024-01-01 00:00:00.0", "type_known") -> ((3L, 0L, 0.0)),
+      ("2024-01-01 01:00:00.0", "value_nonneg") -> ((2L, 0L, 0.0)),
+      ("2024-01-01 01:00:00.0", "type_known") -> ((2L, 1L, 0.5))),
+      s"audit drifted: $got")
+  }
+
   test("streaming OHLC candles equal the batch aggregate on close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
