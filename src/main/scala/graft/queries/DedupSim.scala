@@ -74,6 +74,31 @@ object DedupSim {
       n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Per-document nearest neighbor by MinHash banding: each doc's
+    * best candidate partner by verified exact Jaccard (ties to the
+    * smaller partner id) — the "find my closest duplicate" lookup
+    * table, built at threshold 0 so every band collision competes.
+    * Same linear banding shapes as q_dedup_minhash; the per-doc
+    * argmax is ONE max_by aggregate over the symmetrized pair list
+    * (shuffle carries ≤1 row per doc per partition), not a window.
+    * Docs with no band collisions have no nearest row — by design
+    * (the banding scheme found nothing similar enough to collide). */
+  def qDedupNearest(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
+      n = 3, threshold = 0.0)
+    val sym = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("best"),
+        col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"),
+        col("id_a").as("best"), col("jaccard")))
+    sym.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("best"), col("jaccard")),
+        struct(col("jaccard"), -col("best"))).as("bm"))
+      .select(col("doc_id"), col("bm.best").as("best_match"),
+        col("bm.jaccard").as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-dup pairs, hamming ≤ 8. Fully oracle-checked: the
     * two-half md5 token hash is engine-portable, so DuckDB rebuilds
     * identical signatures, chunk buckets, and hamming distances. */
@@ -408,6 +433,7 @@ object DedupSim {
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -887,6 +913,35 @@ object DedupSim {
         |  ROUND(CAST(SUM(CAST(maxerr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_maxerr
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_nearest" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
+         |    y.doc_id AS id_b, y.sz AS sz_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+         |    LEN(LIST_INTERSECT(sa.ids, sb.ids)) AS n_inter
+         |  FROM cand c
+         |  JOIN sids sa ON c.id_a = sa.doc_id
+         |  JOIN sids sb ON c.id_b = sb.doc_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6)
+         |      AS jaccard
+         |  FROM inter),
+         |sym AS (
+         |  SELECT id_a AS doc_id, id_b AS best_match, jaccard FROM scored
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS best_match, jaccard FROM scored),
+         |r AS (
+         |  SELECT doc_id, best_match, jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, best_match) AS rn
+         |  FROM sym)
+         |SELECT doc_id, best_match, jaccard FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" -> incrementalOracle,
     "q_decontaminate" ->
       """WITH sh AS (

@@ -98,6 +98,26 @@ class Round9bOperatorsSpec extends SparkSpec {
       flag.getString(6) == "R", s"returnflag profile drifted: $flag")
   }
 
+  test("dedup nearest equals the argmax over the symmetrized pair list") {
+    val out = graft.queries.DedupSim.qDedupNearest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    val pairs = graft.dedup.Dedup.minhashDedup(
+      Tables.documents(spark, sf), "doc_id", "text", n = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = (pairs.map(p => (p._1, p._2, p._3)) ++
+      pairs.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1).view.mapValues { cs =>
+        val best = cs.minBy(c => (-c._3, c._2))
+        (best._2, best._3)
+      }.toMap
+    assert(out == want, "nearest drifted from the brute-force argmax")
+    // the best match's own best is at least as similar (argmax symmetry)
+    out.foreach { case (_, (partner, j)) =>
+      assert(out(partner)._2 >= j - 1e-9)
+    }
+  }
+
   test("temperature sampling flattens source proportions toward sqrt") {
     val docs = Tables.documents(spark, sf)
     val nBySource = docs.groupBy(col("source")).count().collect()
