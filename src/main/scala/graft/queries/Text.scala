@@ -447,6 +447,55 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus report — the "dataset card" a curation run
+    * publishes per slice: volume, exact-duplicate fraction (distinct
+    * fingerprints), mean quality score, mean token count, and the
+    * language-distribution entropy (how multilingual the slice is).
+    * ONE per-doc pass (the token backbone joined back to the doc row
+    * on doc_id — co-partitioned) feeding two tiny per-source
+    * aggregates; every mean runs through exact DECIMAL sums and the
+    * entropy uses the portable round-9 log discipline, so the card is
+    * bit-stable cross-engine. Output is |sources| rows. */
+  def qCorpusReport(s: SparkSession, d: String): DataFrame = {
+    val lenScore = least(col("n_toks").cast("double") / lit(64.0), lit(1.0))
+    val punctScore = lit(1.0) - least(
+      (col("n_chars") - col("n_nopunct")).cast("double") /
+        greatest(col("n_chars").cast("double"), lit(1.0)) * 10.0, lit(1.0))
+    val swScore = least(
+      col("n_sw").cast("double") /
+        greatest(col("n_toks").cast("double"), lit(1.0)) * 5.0, lit(1.0))
+    val quality = round((lenScore + punctScore + swScore) / 3.0, 6)
+    val perdoc = tokenAgg(s, d)
+      .select(col("doc_id"), quality.as("quality"), col("n_toks"))
+      .join(docs(s, d).select(col("doc_id"), col("source"),
+        col("lang").as("doc_lang"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp")),
+        "doc_id")
+    val bySource = perdoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_unique"),
+      round(sum(col("quality").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("mean_quality"),
+      round(sum(col("n_toks")).cast("double") / count(lit(1)), 4)
+        .as("mean_tokens"))
+    val langEnt = perdoc.groupBy(col("source"), col("doc_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(
+        sum(round(col("c") * log(col("c").cast("double")), 9)
+          .cast("decimal(18,9)")).as("sclnc"),
+        sum(col("c")).as("n"))
+      .select(col("source"), round(
+        (log(col("n").cast("double")) -
+          col("sclnc").cast("double") / col("n")) / math.log(2.0), 6)
+        .as("lang_entropy_bits"))
+    bySource.join(langEnt, "source")
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"),
+        col("mean_quality"), col("mean_tokens"), col("lang_entropy_bits"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-scaled mixture resampling (the multilingual /
     * multi-source flattening used by mBERT/XLM-style pipelines):
     * resampled source proportions ∝ p_s^α with α = 0.5, i.e. target
@@ -529,6 +578,7 @@ object Text {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_train" -> (qPipelineTrain _),
     "q_sample_temperature" -> (qSampleTemperature _),
+    "q_corpus_report" -> (qCorpusReport _),
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_sample_mixture" -> (qSampleMixture _),
@@ -593,6 +643,47 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_report" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id, source, lang,
+        |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS BIGINT)
+        |      AS n_toks,
+        |    ROUND((
+        |      LEAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) / 64.0, 1.0)
+        |      + 1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+        |          '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+        |          / GREATEST(LENGTH(text), 1)) * 10.0, 1.0)
+        |      + LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |          t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |          * 1.0
+        |          / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')), 1))
+        |          * 5.0, 1.0)
+        |      ) / 3.0, 6) AS quality
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+        |    ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_quality,
+        |    ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4)
+        |      AS mean_tokens
+        |  FROM perdoc GROUP BY source),
+        |lc AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM perdoc GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT source,
+        |    SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS sclnc,
+        |    CAST(SUM(c) AS BIGINT) AS n
+        |  FROM lc GROUP BY source)
+        |SELECT s1.source, n_docs, n_unique,
+        |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_frac,
+        |  mean_quality, mean_tokens,
+        |  ROUND((LN(CAST(n AS DOUBLE)) - CAST(sclnc AS DOUBLE) / n)
+        |    / LN(2.0), 6) AS lang_entropy_bits
+        |FROM s1 JOIN s2 USING (source)
+        |ORDER BY s1.source""".stripMargin,
     "q_sample_temperature" ->
       """WITH cnt AS (
         |  SELECT source, COUNT(*) AS n,

@@ -98,6 +98,25 @@ class Round9bOperatorsSpec extends SparkSpec {
       flag.getString(6) == "R", s"returnflag profile drifted: $flag")
   }
 
+  test("corpus report: cards tile the corpus with in-range metrics") {
+    val rows = graft.queries.Text.qCorpusReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "cards must tile the corpus")
+    val nLangs = Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, "dup_frac range")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, "quality range")
+      assert(r.getDouble(5) > 0.0, "mean tokens positive")
+      val h = r.getDouble(6)
+      assert(h >= -1e-6 &&
+        h <= math.log(nLangs.toDouble) / math.log(2.0) + 1e-6,
+        s"lang entropy $h outside [0, log2($nLangs)]")
+    }
+  }
+
   test("dedup nearest equals the argmax over the symmetrized pair list") {
     val out = graft.queries.DedupSim.qDedupNearest(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
