@@ -228,6 +228,73 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // q_chunk_index — chunk → feature-hash embed → LSH bucket (flagship #3)
+  // ---------------------------------------------------------------------
+
+  /** Feature-hash embedding dims and LSH hyperplane count for the
+    * chunk index. All arithmetic is INTEGER (signed ±1 token hashes,
+    * centered-integer hyperplane components), so dot products are
+    * exact and associative — no float summation order anywhere. */
+  val IndexDims = 32
+  val IndexPlanes = 8
+
+  /** The retrieval-indexing pipeline composed end-to-end in ONE
+    * Catalyst plan (flagship #3): overlapping token chunks
+    * (q_chunk_docs's tiling) → hashing-trick embedding (Weinberger
+    * et al. 2009: dim = md5(token) mod D, sign = md5 bit — the
+    * model-free baseline embedder) → random-hyperplane LSH bucket
+    * per chunk (the index key a retrieval store shards by).
+    * Portability is by construction: the embedding components are
+    * ±1 sums and the hyperplane components centered 24-bit integers
+    * (md5 hex − 2²³), so every dot product is an exact BIGINT sum —
+    * deterministic under any partitioning — and the bucket bits are
+    * strict integer sign tests. Shapes: per-row chunk Generate, two
+    * (doc, chunk)-co-partitioned aggregates, a 256-row broadcast
+    * plane table — linear at any corpus size. */
+  def qChunkIndex(s: SparkSession, d: String): DataFrame = {
+    val w = ChunkTokens; val st = ChunkStride
+    val chunkToks = docs(s, d).select(
+        col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= w, lit(1L)).otherwise(
+          ceil((col("n") - w).cast("double") / st) + 1L))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        explode(slice(col("toks"), (col("chunk_id") * st + 1).cast("int"),
+          lit(w))).as("tok"))
+    val vec = chunkToks.select(col("doc_id"), col("chunk_id"),
+        (conv(substring(md5(concat(lit("d:"), col("tok"))), 1, 6), 16, 10)
+          .cast("long") % IndexDims).as("dim"),
+        when(conv(substring(md5(concat(lit("s:"), col("tok"))), 1, 1), 16, 10)
+          .cast("long") < 8, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+    val planes = s.createDataFrame(
+        for { j <- 0 until IndexPlanes; k <- 0 until IndexDims }
+          yield (j, k)).toDF("j", "k")
+      .select(col("j"), col("k"),
+        (conv(substring(md5(concat(lit("p:"), col("j").cast("string"),
+          lit(":"), col("k").cast("string"))), 1, 6), 16, 10)
+          .cast("long") - (1L << 23)).as("h"))
+    val buckets = vec
+      .join(broadcast(planes), col("dim") === col("k"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("j"))
+      .agg(sum(col("v") * col("h")).as("dot"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sum(when(col("dot") > 0,
+        pow(lit(2.0), col("j")).cast("long")).otherwise(0L)).as("bucket"))
+    val norms = vec.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(when(col("v") =!= 0, lit(1))).as("n_dims"),
+        sum(col("v") * col("v")).as("norm2"))
+    buckets.join(norms, Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("bucket"),
+        col("n_dims"), col("norm2"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // q_decontaminate_bloom — Bloom-filter eval-overlap screen
   // ---------------------------------------------------------------------
 
@@ -297,6 +364,7 @@ object Corpus {
   // ---------------------------------------------------------------------
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_index" -> (qChunkIndex _),
     "q_text_keywords" -> (qTextKeywords _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_chunk_docs" -> (qChunkDocs _),
@@ -310,6 +378,53 @@ object Corpus {
     s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q_chunk_index" -> {
+      val w = ChunkTokens; val st = ChunkStride
+      s"""WITH t AS (
+         |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks,
+         |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    UNNEST(GENERATE_SERIES(0, CASE WHEN n <= $w THEN 0
+         |      ELSE CAST(CEIL((n - $w) / $st.0) AS BIGINT) END)) AS chunk_id
+         |  FROM t),
+         |ct AS (
+         |  SELECT doc_id, chunk_id,
+         |    UNNEST(toks[chunk_id * $st + 1 : chunk_id * $st + $w]) AS tok
+         |  FROM c),
+         |vec AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('d:' || tok), 1, 6)) AS BIGINT)
+         |      % $IndexDims AS dim,
+         |    CAST(SUM(CASE WHEN CAST(CONCAT('0x',
+         |        SUBSTR(MD5('s:' || tok), 1, 1)) AS BIGINT) < 8
+         |      THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |  FROM ct GROUP BY 1, 2, 3),
+         |planes AS (
+         |  SELECT j, k,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('p:' || CAST(j AS VARCHAR) || ':'
+         |      || CAST(k AS VARCHAR)), 1, 6)) AS BIGINT) - 8388608 AS h
+         |  FROM (SELECT UNNEST(GENERATE_SERIES(0, ${IndexPlanes - 1})) AS j),
+         |       (SELECT UNNEST(GENERATE_SERIES(0, ${IndexDims - 1})) AS k)),
+         |dots AS (
+         |  SELECT doc_id, chunk_id, j, CAST(SUM(v * h) AS BIGINT) AS dot
+         |  FROM vec JOIN planes ON dim = k GROUP BY 1, 2, 3),
+         |bk AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(SUM(CASE WHEN dot > 0
+         |      THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |nm AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS n_dims,
+         |    CAST(SUM(v * v) AS BIGINT) AS norm2
+         |  FROM vec GROUP BY 1, 2)
+         |SELECT doc_id, chunk_id, bucket, n_dims, norm2
+         |FROM bk JOIN nm USING (doc_id, chunk_id)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
     "q_text_keywords" ->
       """WITH tokc AS (
         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (

@@ -97,6 +97,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunk_index: bounded buckets, identical chunks share a bucket") {
+    val idx = Corpus.qChunkIndex(spark, sf).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      assert(r.getLong(2) >= 0 &&
+        r.getLong(2) < (1L << Corpus.IndexPlanes), "bucket out of range")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= Corpus.IndexDims)
+      assert(r.getLong(4) >= r.getLong(3), "norm2 below nonzero-dim count")
+    }
+    // the index tiles exactly the chunk set of q_chunk_docs
+    val chunks = Corpus.qChunkDocs(spark, sf).collect()
+    assert(idx.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      chunks.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // determinism across content: chunks with equal fingerprints embed
+    // to equal vectors, hence equal buckets
+    val fpOf = chunks.map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4))
+      .toMap
+    idx.groupBy(r => fpOf((r.getLong(0), r.getLong(1))))
+      .foreach { case (fp, rs) =>
+        assert(rs.map(_.getLong(2)).distinct.length == 1,
+          s"equal-content chunks split buckets: $fp")
+      }
+  }
+
   test("events_ohlc: candle invariants and aligned buckets") {
     val rows = graft.queries.Events.qEventsOhlc(spark, sf).collect()
     assert(rows.nonEmpty)
