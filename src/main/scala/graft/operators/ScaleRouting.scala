@@ -52,6 +52,15 @@ object ScaleRouting {
     else expr(s"approx_percentile($valueCol, $p, $ApproxAccuracy)")
       .cast("double")
 
+  /** Array form of [[percentileCont]] — one shared buffer for all
+    * requested percentiles (9 separate percentile() calls would each
+    * buffer the full column). */
+  def percentileContArray(
+      exact: Boolean, valueCol: String, ps: Seq[Double]): Column =
+    if (exact) expr(s"percentile($valueCol, array(${ps.mkString(",")}))")
+    else expr(s"approx_percentile($valueCol, array(${ps.mkString(",")}), " +
+      s"$ApproxAccuracy)").cast("array<double>")
+
   /** Discrete percentile or its sketch (both return observed values). */
   def percentileDisc(exact: Boolean, valueCol: String, p: Double): Column =
     if (exact)

@@ -353,8 +353,13 @@ object Agg {
         datediff(col("maxd"), col("last_date")).cast("long")
           .as("recency_days"),
         col("frequency"), col("monetary"))
+    // quartile boundaries size-route exact vs sketch (ScaleRouting
+    // pattern — exact at every test SF, GK sketch at lake scale)
+    val exactPct = graft.operators.ScaleRouting.exactPercentileOk(
+      spark, s"$dir/orders.parquet")
     def q(c: String, pct: Int) =
-      round(expr(s"percentile($c, 0.$pct)"), 4).as(s"${c}_q$pct")
+      round(graft.operators.ScaleRouting.percentileCont(
+        exactPct, c, pct / 100.0), 4).as(s"${c}_q$pct")
     val bounds = cust.agg(
       q("recency_days", 25), q("recency_days", 50), q("recency_days", 75),
       q("frequency", 25), q("frequency", 50), q("frequency", 75),
@@ -421,9 +426,14 @@ object Agg {
   def qHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
     val pcts = (1 to 9).map(_ / 10.0)
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    // boundaries size-route exact vs sketch (ScaleRouting): the exact
+    // percentile buffers every value in one task — fine below 4 GiB,
+    // an OOM at 100 TB, where the same plan takes the GK sketch
+    val exact = graft.operators.ScaleRouting.exactPercentileOk(
+      spark, s"$dir/lineitem.parquet")
     val bounds = li.agg(
-      expr(s"transform(percentile(l_extendedprice, array(${pcts.mkString(",")})), x -> round(x, 4))")
-        .as("b"))
+      transform(graft.operators.ScaleRouting.percentileContArray(
+        exact, "l_extendedprice", pcts), x => round(x, 4)).as("b"))
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         (lit(1) + expr("size(filter(b, x -> l_extendedprice > x))"))
