@@ -161,6 +161,59 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"), col("bucket_us"))
 
+  /** Longest consecutive-day activity streak per user — the
+    * gaps-and-islands shape (DAU streaks). Distinct (user, day) rows,
+    * then the classic island key: day_index − row_number is constant
+    * within a run of consecutive days; one max over the island
+    * lengths. Both windows partition by user (co-partitioned with the
+    * distinct), so the whole query is one shuffle on user_id. */
+  def qEventsStreaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("di", datediff(col("day"), lit("2024-01-01").cast("date"))
+        .cast("long"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("di"))
+    days
+      .withColumn("island", col("di") - row_number().over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        max_by(col("start_day").cast("string"),
+          struct(col("len"), col("start_day"))).as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Weekly cohort retention — the activation/retention matrix:
+    * users grouped by FIRST-activity week (Monday-truncated), counted
+    * by weeks-since (the corpus spans one month, so weekly cells give
+    * a real matrix where monthly would degenerate to one). The
+    * first-week anchor is one min aggregate joined back on user_id
+    * (co-partitioned), the matrix one (cohort, offset) aggregate over
+    * distinct user-weeks; retention is exact-count arithmetic against
+    * the cohort size, so the division is bit-identical cross-engine. */
+  def qEventsCohort(s: SparkSession, d: String): DataFrame = {
+    val um = Tables.events(s, d)
+      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("m"))
+      .distinct()
+    val first = um.groupBy(col("user_id")).agg(min(col("m")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    um.join(first, "user_id")
+      .groupBy(col("cohort"),
+        (datediff(col("m"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort")
+      .select(col("cohort").cast("string").as("cohort"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** Top-5 events per type by value via the bounded-heap aggregate
     * (graft.operators.TopK) — only |types|·5 candidates per partition
     * reach the shuffle, vs the window form shuffling and sorting every
@@ -434,6 +487,8 @@ object Events {
     "q_asof_join_forward" -> (qAsofJoinForward _),
     "q_asof_join_nearest" -> (qAsofJoinNearest _),
     "q_events_ohlc" -> (qEventsOhlc _),
+    "q_events_streaks" -> (qEventsStreaks _),
+    "q_events_cohort" -> (qEventsCohort _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
 
@@ -587,6 +642,56 @@ object Events {
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
     // independent implementation: DuckDB's NATIVE asof join operator
+    "q_events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |di AS (
+        |  SELECT user_id, day,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS di
+        |  FROM days),
+        |isl AS (
+        |  SELECT user_id, day, di,
+        |    di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di)
+        |      AS island
+        |  FROM di),
+        |runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT user_id, len, start_day,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start_day DESC) AS rk
+        |  FROM runs)
+        |SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+        |  len AS longest_streak,
+        |  CAST(start_day AS VARCHAR) AS longest_start
+        |FROM ranked WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_events_cohort" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    DATE_TRUNC('week', CAST(ts AS DATE)) AS m
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(m) AS cohort FROM um GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        |  FROM first GROUP BY 1),
+        |mat AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, u.m) / 7 AS BIGINT)
+        |      AS week_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS active_users
+        |  FROM um u JOIN first f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(m.cohort AS VARCHAR) AS cohort, m.week_offset,
+        |  m.active_users, s.cohort_users,
+        |  ROUND(CAST(m.active_users AS DOUBLE) / s.cohort_users, 6)
+        |    AS retention
+        |FROM mat m JOIN sizes s USING (cohort)
+        |ORDER BY cohort, week_offset""".stripMargin,
     "q_events_ohlc" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -98,6 +98,52 @@ class Round9bOperatorsSpec extends SparkSpec {
       flag.getString(6) == "R", s"returnflag profile drifted: $flag")
   }
 
+  test("streaks: islands match a brute-force recount per user") {
+    val rows = graft.queries.Events.qEventsStreaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daysByUser = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => java.time.LocalDate.parse(r.getString(1)))
+        .sortBy(_.toEpochDay))
+    rows.foreach { r =>
+      val days = daysByUser(r.getLong(0))
+      // brute-force longest run of consecutive days
+      var best = 1L; var cur = 1L
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          cur = if (b.toEpochDay == a.toEpochDay + 1) cur + 1 else 1
+          best = math.max(best, cur)
+        case _ =>
+      }
+      assert(r.getLong(2) == best,
+        s"user ${r.getLong(0)}: streak ${r.getLong(2)} != brute $best")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+  }
+
+  test("cohort: full retention at offset zero, bounded elsewhere") {
+    val rows = graft.queries.Events.qEventsCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (c, rs) =>
+      val zero = rs.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, s"cohort $c missing offset 0")
+      // every user is active in their own first week by definition
+      assert(zero.get.getLong(2) == zero.get.getLong(3))
+      assert(math.abs(zero.get.getDouble(4) - 1.0) < 1e-9)
+      rs.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(3), "active > cohort size")
+        assert(r.getLong(1) >= 0)
+      }
+    }
+    // cohort sizes tile the distinct-user population
+    val totalUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.head.getLong(3)).sum == totalUsers)
+  }
+
   test("corpus report: cards tile the corpus with in-range metrics") {
     val rows = graft.queries.Text.qCorpusReport(spark, sf).collect()
     assert(rows.nonEmpty)
