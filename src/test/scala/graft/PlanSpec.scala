@@ -193,6 +193,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-50:\n$p")
   }
 
+  test("round-9 additions keep their claimed plan shapes") {
+    // q_rfm / q_histogram_equidepth: quartile scoring WITHOUT a global
+    // ntile/row_number — no Window node may appear at all
+    assert(!plan(gq.Agg.qRfm(spark, sf)).contains("Window"),
+      "rfm grew a window — the broadcast-percentile claim broke")
+    assert(!plan(gq.Agg.qHistogramEquidepth(spark, sf)).contains("Window"),
+      "equi-depth bucketing grew a window")
+    // q_events_ohlc: one hash aggregate, no window/sort of raw events
+    val ohlc = plan(gq.Events.qEventsOhlc(spark, sf))
+    assert(!ohlc.contains("Window"), "ohlc should be a pure aggregate")
+    assert(ohlc.contains("HashAggregate") || ohlc.contains("SortAggregate"))
+    // q_asof_join_nearest: both directional fills fuse into ONE Window
+    val near = plan(gq.Events.qAsofJoinNearest(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(near).length == 1,
+      s"nearest as-of no longer fuses its fills into one Window:\n$near")
+    // q_profile: the distinct counts must NOT route through Expand
+    // (the 10x regression this plan was rebuilt to avoid)
+    assert(!plan(gq.Maintain.qProfile(spark, sf)).contains("Expand"),
+      "profile regressed to the Expand multi-countDistinct plan")
+  }
+
   test("pipeline_train: decontam screen is broadcast-sized, no quadratic join") {
     // the composed flagship must keep every stage's scale shape: the
     // eval-shingle screen and the contamination anti-join both key on
