@@ -447,6 +447,45 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity with add-one smoothing — the CCNet-style
+    * upgrade over q_text_perplexity's unigram filter (context-aware:
+    * scrambled text scores high here even when its unigram mix looks
+    * natural). P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). Bigram extraction is
+    * a pure per-row zip of the token array against its own tail — no
+    * window, no shuffle before the count; the bigram-count join keys
+    * on (w₁,w₂) with map-side-combined counts; V and the unigram
+    * table follow the perplexity broadcast shape. Same portable
+    * round-9 DECIMAL log-sum discipline. Docs under 2 tokens have no
+    * bigram model and no row — documented, mirrored in the oracle. */
+  def qTextPerplexityBigram(s: SparkSession, d: String): DataFrame = {
+    val bi = docs(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(zip_with(
+          |  slice(toks, 1, size(toks) - 1),
+          |  slice(toks, 2, size(toks) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))) AS bg""".stripMargin))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val toks = docs(s, d).select(
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val cu = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val vocab = cu.agg(count(lit(1)).as("v"))
+    val cbg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    bi.join(cbg, Seq("w1", "w2"))
+      .join(cu.withColumnRenamed("tok", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("cb") + 1).cast("double") / (col("cu") + col("v"))), 9)
+          .cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source corpus report — the "dataset card" a curation run
     * publishes per slice: volume, exact-duplicate fraction (distinct
     * fingerprints), mean quality score, mean token count, and the
@@ -579,6 +618,7 @@ object Text {
     "q_pipeline_train" -> (qPipelineTrain _),
     "q_sample_temperature" -> (qSampleTemperature _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_text_perplexity_bigram" -> (qTextPerplexityBigram _),
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_sample_mixture" -> (qSampleMixture _),
@@ -643,6 +683,33 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_text_perplexity_bigram" ->
+      """WITH w AS (
+        |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+        |    SELECT doc_id, ws,
+        |      UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i
+        |    FROM w WHERE LEN(ws) >= 2)),
+        |tok AS (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |  FROM documents),
+        |cu AS (SELECT tok AS w1, COUNT(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM cu),
+        |cbg AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(LN((cb + 1) * 1.0 / (cu + v)), 9)
+        |      AS DECIMAL(18,9)) AS lp
+        |  FROM bi JOIN cbg USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logp,
+        |  ROUND(EXP(-avg_logp), 4) AS ppl
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       """WITH perdoc AS (
         |  SELECT doc_id, source, lang,

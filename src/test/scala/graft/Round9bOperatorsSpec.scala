@@ -144,6 +144,26 @@ class Round9bOperatorsSpec extends SparkSpec {
     assert(byCohort.values.map(_.head.getLong(3)).sum == totalUsers)
   }
 
+  test("bigram perplexity: valid LM bounds, bigram counts tile docs") {
+    val rows = graft.queries.Text.qTextPerplexityBigram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == nToks(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: bigram count != n_tokens - 1")
+      // smoothed probabilities are strictly in (0, 1): negative mean
+      // log-prob, perplexity above 1 and below the smoothed ceiling
+      assert(r.getDouble(2) < 0.0, "a log-probability reached 0")
+      assert(r.getDouble(3) > 1.0)
+    }
+    // every doc with >= 2 tokens has a model row; shorter docs none
+    assert(rows.map(_.getLong(0)).toSet ==
+      nToks.filter(_._2 >= 2).keySet)
+  }
+
   test("corpus report: cards tile the corpus with in-range metrics") {
     val rows = graft.queries.Text.qCorpusReport(spark, sf).collect()
     assert(rows.nonEmpty)
