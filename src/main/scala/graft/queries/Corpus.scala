@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Corpus-preparation operators beyond the curation/dedup blocks
-  * (SURVEY.md §2, LLM-pipeline): retrieval chunking, entropy-based
-  * quality signals, sketch-based heavy hitters, and the batching
-  * padding audit. All four are linear, per-row or vocab-sized shapes —
-  * no corpus-sized self-joins, no unpartitioned windows.
+  * (SURVEY.md §2, LLM-pipeline): retrieval chunking and the chunk
+  * index flagship, entropy and TF-IDF quality signals, sketch-based
+  * heavy hitters, Bloom decontamination, and the batching padding
+  * audit. Every query here is a linear, per-row or vocab-sized
+  * shape — no corpus-sized self-joins, no unpartitioned windows.
   */
 object Corpus {
 
@@ -109,7 +110,7 @@ object Corpus {
   /** Heavy hitters by count-min sketch, checked against the exact
     * counts (Cormode & Muthukrishnan 2005). The sketch is the
     * 100-TB story: 4×256 counters are mergeable partial sums — at
-    * real scale each executor folds its partition into 1 KiB of
+    * real scale each executor folds its partition into 8 KiB of
     * state and the driver never sees per-token rows. Here the bucket
     * sums build from the vocab-sized token-count table (the
     * q_text_bpe_pairs two-level trick: corpus-sized work is ONE
