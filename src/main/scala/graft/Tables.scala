@@ -25,15 +25,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; read nanos as long and truncate to microseconds
-    * with integer division (DIV — double division would lose precision
-    * above 2^53 ns), matching DuckDB's ns→µs cast. */
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark 4 refuses to read it
+    * natively — read nanos as long and truncate to microseconds with
+    * integer division, matching DuckDB's ns→µs cast) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (Spark reads it as
+    * TIMESTAMP_NTZ). Normalize both to TimestampType so every
+    * downstream window/range/stream sees one type; all entrypoints run
+    * with spark.sql.session.timeZone=UTC, so the NTZ→TZ cast preserves
+    * the wall-clock values DuckDB reads from the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
