@@ -473,7 +473,102 @@ object Events {
       .orderBy(col("event_type"), col("bucket_start"))
   }
 
+  /** Peak interval concurrency per day — the SWEEP-LINE operator
+    * (how many event intervals are open at once, e.g. concurrent
+    * sessions/requests). Each event opens an interval of
+    * 60 + round(value·10) seconds; the sweep decomposes into the
+    * gapfill carry discipline so no single task sees the whole
+    * relation: ±1 boundary deltas shuffle ONCE on day, the running
+    * count is a per-day window, and the cross-day carry (intervals
+    * still open at midnight) is a prefix sum over the DAYS dimension —
+    * bounded by the data's time span, not its row count — broadcast
+    * back onto the per-day maxima. Boundary tie rule: starts sort
+    * before ends at the same instant, so touching intervals count as
+    * concurrent; the oracle's global running sum applies the same
+    * (t, delta DESC) order, making the per-day max hash-exact. */
+  def qEventsConcurrency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("t0"),
+        (unix_micros(col("ts")) +
+          (round(col("value") * 10).cast("long") + 60L) * 1000000L).as("t1"))
+    val deltas = ev.select(col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("t1").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("t"))))
+    val wIn = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry over the days dimension (PlanLintSpec-reviewed: the only
+    // unpartitioned window runs on day totals, one row per day)
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_total"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .withColumn("carry",
+        coalesce(sum(col("day_total")).over(wDays), lit(0L)))
+    deltas
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .join(broadcast(carry.select(col("day"), col("carry"), col("n_starts"))),
+        Seq("day"))
+      .groupBy(col("day"), col("n_starts"))
+      .agg(max(col("carry") + col("run")).as("max_concurrent"))
+      .select(col("day"), col("n_starts"), col("max_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  private val EwmaAlpha = 0.3
+  private val EwmaLags = 8
+
+  /** Weight ladder α(1−α)^i, computed ONCE in Scala and embedded as
+    * literals in BOTH the Spark plan and the generated oracle — the
+    * engines never run pow(), so correctly-rounded-pow differences
+    * cannot drift the result. */
+  private val EwmaWeights: Seq[Double] =
+    (0 until EwmaLags).map(i => EwmaAlpha * math.pow(1 - EwmaAlpha, i))
+
+  /** Per-user EWMA of event values over the last 8 events — the
+    * signal-smoothing shape (truncated exponential kernel). ONE window
+    * pass partitioned by user_id (high-cardinality → even spread; no
+    * self-join row amplification): the 8 lag() taps share a single
+    * WindowExec. Each tap's product is rounded to a 9 dp grid and
+    * summed as DECIMAL — exact and order-independent — so the DuckDB
+    * twin (same generated weight literals, same lag taps) is
+    * hash-identical. Shorter histories simply sum the available taps
+    * (missing lags coalesce to 0), the standard truncated-kernel
+    * convention. */
+  def qEventsEwma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      val tap = if (i == 0) col("value") else lag(col("value"), i).over(w)
+      coalesce(round(tap * lit(wt), 9).cast("decimal(20,9)"),
+        lit(0).cast("decimal(20,9)"))
+    }
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("ewma", round(terms.reduce(_ + _).cast("double"), 6))
+      .select(col("user_id"), col("event_id"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** DuckDB twin of qEventsEwma, GENERATED from the same EwmaWeights
+    * doubles (shortest round-trip repr → identical bits after parse). */
+  private def ewmaOracle: String = {
+    val terms = EwmaWeights.zipWithIndex.map { case (wt, i) =>
+      val tap = if (i == 0) "value" else s"LAG(value, $i) OVER w"
+      s"COALESCE(CAST(ROUND($tap * CAST($wt AS DOUBLE), 9) AS DECIMAL(20,9)), CAST(0 AS DECIMAL(20,9)))"
+    }.mkString(" +\n    ")
+    s"""SELECT user_id, event_id,
+       |  ROUND(CAST($terms AS DOUBLE), 6) AS ewma
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events) e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_concurrency" -> (qEventsConcurrency _),
+    "q_events_ewma" -> (qEventsEwma _),
     "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_interpolate" -> (qEventsInterpolate _),
     "q_events_anomaly" -> (qEventsAnomaly _),
@@ -493,6 +588,25 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS t0,
+        |    epoch_us(ts) + (CAST(ROUND(value * 10) AS BIGINT) + 60) * 1000000 AS t1
+        |  FROM events),
+        |d AS (
+        |  SELECT t0 AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT t1 AS t, -1 AS delta FROM iv),
+        |r AS (
+        |  SELECT CAST(make_timestamp(t) AS DATE) AS day, delta,
+        |    SUM(delta) OVER (ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  CAST(MAX(run) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q_events_ewma" -> ewmaOracle,
     "q_events_gapfill" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -41,8 +41,68 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Triangle census of the part co-purchase graph (parts sharing an
+    * order), by DEGREE-ORDERED ORIENTATION — the scalable triangle
+    * count (Cohen's MapReduce formulation; also Suri & Vassilvitskii):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher one, enumerate wedges only at each edge's SOURCE,
+    * and close them against the oriented edge list. Orientation bounds
+    * every out-degree by O(√m) regardless of how skewed the raw degree
+    * distribution is — a hub of degree 10⁶ generates no wedges at all
+    * (its edges all point INTO it), so wedge work is Σ outdeg² ≤ O(m^1.5)
+    * instead of the Σ deg² blowup of naive wedge counting.
+    *
+    * Every step is an equi-join or aggregate: pair-generation is
+    * bounded by items-per-order (the q_basket_pairs argument), the
+    * wedge join shuffles on the wedge center, the closing check on the
+    * (x, y) edge key. No windows, no driver loops. Each triangle is
+    * counted exactly once (at its lowest-ranked vertex); the wedge
+    * ordering ties break on (deg, id) so both engines enumerate the
+    * identical wedge set. */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .repartition(s.sparkContext.defaultParallelism)
+    val edges = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+    val deg = edges.select(col("pa").as("node"))
+      .unionAll(edges.select(col("pb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = edges
+      .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
+      .select(
+        when(aLower, col("pa")).otherwise(col("pb")).as("u"),
+        when(aLower, col("pb")).otherwise(col("pa")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("CAST(SUM(deg * (deg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    broadcast(degStats).crossJoin(broadcast(edgeCount))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") /
+          greatest(col("n_wedges"), lit(1L)), 6).as("clustering_coeff"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (qGraphPagerank _))
+    "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_triangles" -> (qGraphTriangles _))
 
   /** DuckDB twin GENERATED from PageRank's constants: the same
     * damping, iteration count, and double-round-12 → DECIMAL(28,12)
@@ -83,6 +143,41 @@ object Graph {
        |SELECT node, deg, rank FROM fin ORDER BY node""".stripMargin
   }
 
+  /** DuckDB twin of qGraphTriangles — same orientation rule, same
+    * (deg, id) wedge ordering, so the census is count-exact. */
+  private val trianglesOracle: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN e.pa ELSE e.pb END AS u,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN e.pb ELSE e.pa END AS v,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN y.deg ELSE x.deg END AS dv
+      |  FROM e JOIN deg x ON e.pa = x.node JOIN deg y ON e.pb = y.node),
+      |w AS (
+      |  SELECT e1.v AS x, e2.v AS y FROM o e1 JOIN o e2
+      |    ON e1.u = e2.u AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+      |t AS (
+      |  SELECT COUNT(*) AS n_triangles FROM w JOIN o ON o.u = w.x AND o.v = w.y)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  t.n_triangles,
+      |  ROUND(3.0 * t.n_triangles /
+      |    GREATEST((SELECT SUM(deg * (deg - 1) // 2) FROM deg), 1), 6)
+      |    AS clustering_coeff
+      |FROM t""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_graph_pagerank" -> pagerankOracle)
+    "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_triangles" -> trianglesOracle)
 }

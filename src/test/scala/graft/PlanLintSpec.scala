@@ -34,9 +34,16 @@ class PlanLintSpec extends SparkSpec {
     "q_cross_join", "q_ann_bruteforce", "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate")
 
-  /** Reviewed whole-relation windows: q_win_unpartitioned is the
-    * documented driver-bounded reference-parity query. */
-  private val unpartitionedAllowed = Set("q_win_unpartitioned")
+  /** Reviewed whole-relation windows:
+    *  - q_win_unpartitioned — the documented driver-bounded
+    *    reference-parity query;
+    *  - q_events_concurrency — its only unpartitioned window is the
+    *    cross-day carry prefix sum over per-DAY totals (one row per
+    *    day, bounded by the data's time span, not its row count — the
+    *    gapfill carry argument); the per-row running count is
+    *    partitioned by day. */
+  private val unpartitionedAllowed = Set(
+    "q_win_unpartitioned", "q_events_concurrency")
 
   private def small(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)
