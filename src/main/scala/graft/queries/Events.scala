@@ -517,13 +517,14 @@ object Events {
   }
 
   private val EwmaAlpha = 0.3
-  private val EwmaLags = 8
+  private[graft] val EwmaLags = 8
 
   /** Weight ladder α(1−α)^i, computed ONCE in Scala and embedded as
     * literals in BOTH the Spark plan and the generated oracle — the
     * engines never run pow(), so correctly-rounded-pow differences
-    * cannot drift the result. */
-  private val EwmaWeights: Seq[Double] =
+    * cannot drift the result. Shared with the streaming twin
+    * (EventsStream.ewmaStream) so all three sides use identical bits. */
+  private[graft] val EwmaWeights: Seq[Double] =
     (0 until EwmaLags).map(i => EwmaAlpha * math.pow(1 - EwmaAlpha, i))
 
   /** Per-user EWMA of event values over the last 8 events — the

@@ -265,7 +265,38 @@ object Maintain {
       .orderBy(col("col_name"))
   }
 
+  /** Order-independent CONTENT FINGERPRINT of two tables — the
+    * anti-entropy primitive (Merkle-less replica comparison, Dynamo
+    * §4.7 shape flattened to one round): does this copy of the table
+    * hold exactly these rows, regardless of file layout, partitioning,
+    * or row order? Each row canonicalizes to a '|'-joined key string
+    * (doubles pre-quantized to integer cents so no engine ever prints
+    * a float), hashes to the portable md5-15 BIGINT, and the SUM of
+    * hashes — exact DECIMAL(38,0), commutative — is the fingerprint:
+    * one aggregate pass per table, no sort, map-side partials, ~16
+    * bytes per table reach the driver. Two stores agree iff (n_rows,
+    * fingerprint) agree (collision odds ~n²/2⁶⁰). */
+  def qTableFingerprint(s: SparkSession, d: String): DataFrame = {
+    def fp(df: DataFrame, name: String, rowKey: Column): DataFrame =
+      df.select(conv(substring(md5(rowKey), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).as("fingerprint"))
+        .select(lit(name).as("tbl"), col("n_rows"),
+          col("fingerprint").cast("string").as("fingerprint"))
+    val orders = fp(Tables.orders(s, d), "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderpriority")))
+    val nation = fp(Tables.nation(s, d), "nation",
+      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    orders.unionAll(nation).orderBy(col("tbl"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_fingerprint" -> (qTableFingerprint _),
     "q_profile" -> (qProfile _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2_history" -> (qScd2History _),
@@ -291,6 +322,27 @@ object Maintain {
       |ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_table_fingerprint" ->
+      """WITH o AS (
+        |  SELECT CAST(CONCAT('0x', SUBSTR(MD5(
+        |    CONCAT_WS('|', o_orderkey, o_custkey, o_orderstatus,
+        |      CAST(ROUND(o_totalprice * 100) AS BIGINT),
+        |      epoch_us(o_orderdate), o_orderpriority)), 1, 15)) AS BIGINT) AS h
+        |  FROM orders),
+        |na AS (
+        |  SELECT CAST(CONCAT('0x', SUBSTR(MD5(
+        |    CONCAT_WS('|', n_nationkey, n_name, n_regionkey)), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM nation)
+        |SELECT tbl, n_rows, fingerprint FROM (
+        |  SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'nation' AS tbl, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
+        |  FROM na)
+        |ORDER BY tbl""".stripMargin,
     "q_profile" -> {
       def renderSql(kind: String, e: String) = kind match {
         case "dbl" =>

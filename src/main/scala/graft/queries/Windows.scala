@@ -250,7 +250,32 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Rolling MEDIAN over each customer's trailing 7 orders — the
+    * windowed ROBUST statistic (outlier-resistant smoothing, the
+    * median-filter of signal processing). Same partition-parallel
+    * WindowExec as every other frame query: one shuffle on o_custkey,
+    * the frame materializes ≤ 7 values per row inside the window
+    * (bounded — never the partition), sorted per row with the middle
+    * element (odd) or middle-pair mean (even) taken. DuckDB's windowed
+    * MEDIAN applies the identical even-count mean, so the oracle is
+    * hash-exact on the shared 6 dp round. */
+  def qWinMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    val sorted = array_sort(collect_list(col("o_totalprice")).over(w))
+    val n = size(sorted)
+    val med = when(n % 2 === 1,
+        element_at(sorted, ((n + 1) / 2).cast("int")))
+      .otherwise((element_at(sorted, (n / 2).cast("int")) +
+        element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0)
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(med, 6).as("rolling_median"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_median" -> (qWinMedian _),
     "q_win_frame_var" -> (qWinFrameVar _),
     "q_win_dist" -> (qWinDist _),
     "q_win_nav_var" -> (qWinNavVar _),
@@ -266,6 +291,13 @@ object Windows {
     "q_win_unpartitioned" -> (qWinUnpartitioned _))
 
   def oracles: Map[String, String] = Map(
+    "q_win_median" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(MEDIAN(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_frame_var" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -31,6 +31,11 @@ case class InterpState(
 case class InterpBucket(
     event_type: String, bucket_start: java.sql.Timestamp,
     n_events: Long, interp_value: Double)
+case class EwmaEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+case class EwmaState(
+    pending: Seq[(Long, Long, Double)], recent: Seq[Double])
+case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -462,6 +467,70 @@ object EventsStream {
                   state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming EWMA — the stateful twin of Events.qEventsEwma, with
+    * full event-time correctness under out-of-order arrival: rows
+    * BUFFER in state until the watermark passes them, then emit in
+    * (ts, event_id) order through the per-user ring of the last 7
+    * finalized values — so a row that arrives late (but inside the
+    * watermark) still lands at its correct position in the kernel,
+    * exactly as the batch window would place it. State per user is the
+    * ≤7-value ring plus only the not-yet-final rows (bounded by the
+    * watermark delay × event rate, like any append-mode aggregate);
+    * an event-time timeout wakes idle keys so buffered rows flush as
+    * the watermark advances even with no new data for that user.
+    *
+    * Arithmetic mirrors the batch plan STEP FOR STEP (same
+    * Events.EwmaWeights bits, same HALF_UP-on-valueOf rounding at the
+    * 9 dp term grid and the 6 dp close), so emitted points are
+    * double-identical to the batch query — spec-asserted. */
+  def ewmaStream(
+      events: Dataset[EwmaEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    val weights = graft.queries.Events.EwmaWeights
+    def r9(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def close6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val pending = prev.pending ++
+            rows.map(r => (r.ts.getTime * 1000L, r.event_id, r.value))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          // a row at-or-before the watermark is FINAL: nothing earlier
+          // can still arrive, so its kernel position cannot change
+          val (ripe, hold) = pending.partition(_._1 <= horizonUs)
+          var recent = prev.recent
+          val out = ripe.sortBy(t => (t._1, t._2)).map {
+            case (_, eid, v) =>
+              val taps = v +: recent
+              // batch verbatim: round(tap·w, 9) on the double, cast
+              // back to the 9 dp decimal grid, exact decimal sum,
+              // close at 6 dp — term order cannot matter
+              val sum = weights.zip(taps)
+                .map { case (w, t) => r9(r9(t * w).doubleValue()) }
+                .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+              recent = (v +: recent).take(graft.queries.Events.EwmaLags - 1)
+              EwmaPoint(uid, eid, close6(sum.doubleValue()))
+          }
+          state.update(EwmaState(hold, recent))
+          // wake when the watermark passes the earliest held row
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          out.iterator
       }
   }
 }

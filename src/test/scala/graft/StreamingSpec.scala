@@ -687,4 +687,51 @@ class StreamingSpec extends SparkSpec {
         s"row mass drifted: ${byRow.toMap}")
     } finally q.stop()
   }
+
+  test("streaming ewma reorders late rows and matches batch doubles exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{EwmaEvent, EwmaPoint}
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      EwmaEvent(uid, id, Timestamp.valueOf(t), v)
+    // user 7's 10:02 row ARRIVES after its 10:05 row but inside the
+    // watermark — the buffer must still place it between 10:00 and
+    // 10:05 in the kernel, exactly as the batch window does
+    val all = Seq(
+      ev(1L, 7L, "2024-03-01 10:00:00", 10.0),
+      ev(2L, 7L, "2024-03-01 10:05:00", 20.0),
+      ev(3L, 8L, "2024-03-01 09:00:00", 5.0),
+      ev(4L, 7L, "2024-03-01 10:02:00", 40.0),
+      ev(5L, 7L, "2024-03-01 10:30:00", 30.0),
+      ev(6L, 9L, "2024-03-01 11:00:00", 1.0)) // advances wm; stays held
+    val stream = MemoryStream[EwmaEvent]
+    val q = EventsStream.ewmaStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(3)); q.processAllAvailable()
+      stream.addData(all(3), all(4)); q.processAllAvailable()
+      stream.addData(all(5)); q.processAllAvailable()
+      // extra empty pass lets armed event-time timeouts flush
+      stream.addData(Seq.empty[EwmaEvent]); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_out").as[EwmaPoint].collect()
+      .map(p => (p.user_id, p.event_id) -> p.ewma).toMap
+    // batch twin over the same rows from a parquet fixture dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_tw").toString
+    all.toDS().select(col("event_id"), col("ts"), col("user_id"),
+        lit("a").as("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Events.qEventsEwma(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // final watermark = 11:00 − 10 min = 10:50: everything except the
+    // 11:00 row itself is final and must have been emitted
+    val expected = batch.filter { case ((_, eid), _) => eid != 6L }
+    assert(streamed == expected,
+      s"streamed=$streamed\nexpected=$expected")
+    // the late-arriving 10:02 row sits at its event-time position:
+    // ewma(event 2) includes 40.0 at lag 1, not arrival order
+    assert(math.abs(streamed((7L, 2L)) - (0.3 * 20 + 0.21 * 40 + 0.147 * 10))
+      < 1e-9)
+  }
 }
