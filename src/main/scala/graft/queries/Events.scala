@@ -545,10 +545,16 @@ object Events {
       coalesce(round(tap * lit(wt), 9).cast("decimal(20,9)"),
         lit(0).cast("decimal(20,9)"))
     }
+    // close on the DECIMAL grid (9 dp → 6 dp rescale, then one exact
+    // decimal→double conversion): rounding the exact 9 dp sum through
+    // a double first would hit systematic half-ties at the 7th digit,
+    // where Spark's shortest-repr HALF_UP and DuckDB's binary-value
+    // round disagree by one ulp of the 6th decimal
     Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
-      .withColumn("ewma", round(terms.reduce(_ + _).cast("double"), 6))
+      .withColumn("ewma",
+        terms.reduce(_ + _).cast("decimal(20,6)").cast("double"))
       .select(col("user_id"), col("event_id"), col("ewma"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -560,8 +566,14 @@ object Events {
       val tap = if (i == 0) "value" else s"LAG(value, $i) OVER w"
       s"COALESCE(CAST(ROUND($tap * CAST($wt AS DOUBLE), 9) AS DECIMAL(20,9)), CAST(0 AS DECIMAL(20,9)))"
     }.mkString(" +\n    ")
+    // DuckDB's decimal downscale TRUNCATES where Spark's cast rounds
+    // HALF_UP; the sum is strictly positive (positive values ×
+    // positive weights), so adding half a 6 dp ulp before the
+    // truncating cast reproduces HALF_UP exactly — pure decimal
+    // arithmetic, no double in the rounding path on either engine
     s"""SELECT user_id, event_id,
-       |  ROUND(CAST($terms AS DOUBLE), 6) AS ewma
+       |  CAST(CAST($terms + CAST('0.000000500' AS DECIMAL(20,9))
+       |    AS DECIMAL(20,6)) AS DOUBLE) AS ewma
        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events) e
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
        |ORDER BY user_id, event_id""".stripMargin

@@ -494,9 +494,10 @@ object EventsStream {
     def r9(v: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(v)
         .setScale(9, java.math.RoundingMode.HALF_UP)
-    def close6(v: Double): Double =
-      java.math.BigDecimal.valueOf(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // batch verbatim: rescale the exact decimal sum to the 6 dp grid,
+    // then ONE decimal→double conversion (never round through a double)
+    def close6(sum: java.math.BigDecimal): Double =
+      sum.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -522,7 +523,7 @@ object EventsStream {
                 .map { case (w, t) => r9(r9(t * w).doubleValue()) }
                 .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
               recent = (v +: recent).take(graft.queries.Events.EwmaLags - 1)
-              EwmaPoint(uid, eid, close6(sum.doubleValue()))
+              EwmaPoint(uid, eid, close6(sum))
           }
           state.update(EwmaState(hold, recent))
           // wake when the watermark passes the earliest held row

@@ -85,7 +85,30 @@ object ExplainDump {
       "encode + ADC are pure per-row expressions over codes (the " +
       "full-vector scan never happens); WindowGroupLimit pre-prunes " +
       "the ADC shortlist before its exchange; refine joins full " +
-      "vectors for the |queries|·20 shortlist only"))
+      "vectors for the |queries|·20 shortlist only"),
+    "q_graph_triangles" -> ("triangle census: degree-ordered " +
+      "orientation — every step an equi-join or aggregate; the wedge " +
+      "self-join shuffles on the wedge center whose out-degree the " +
+      "orientation bounds by O(sqrt(m)); closing check equi-joins on " +
+      "the (x, y) edge key; census assembled from three broadcast " +
+      "1-row aggregates"),
+    "q_events_concurrency" -> ("sweep-line concurrency: boundary " +
+      "deltas shuffle once on day; running count windows are " +
+      "day-partitioned; the only unpartitioned window runs on the " +
+      "per-day totals (rows = days), broadcast back as the cross-day " +
+      "carry"),
+    "q_events_ewma" -> ("EWMA: all 8 lag taps fuse into ONE Window " +
+      "node over one user_id exchange+sort — no self-join, no row " +
+      "amplification; weight products are codegen'd per-row " +
+      "expressions"),
+    "q_win_median" -> ("rolling median: one partition-parallel " +
+      "WindowExec; the frame materializes <= 7 values per row (never " +
+      "the partition), sort + middle-pick are per-row codegen " +
+      "expressions"),
+    "q_table_fingerprint" -> ("table fingerprint: per-table ONE " +
+      "aggregate pass with map-side partials over per-row md5-15 " +
+      "hashes; the commutative DECIMAL sum means no sort, no window — " +
+      "two 1-row aggregates union to the driver"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
