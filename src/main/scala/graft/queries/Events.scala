@@ -579,7 +579,40 @@ object Events {
        |ORDER BY user_id, event_id""".stripMargin
   }
 
+  /** ROBUST per-type outliers by modified z-score (Iglewicz–Hoaglin:
+    * 0.6745·|v−median|/MAD > 3.5) — the anomaly detector that, unlike
+    * q_events_anomaly's mean/σ, doesn't let the outliers it hunts
+    * inflate its own threshold (50% breakdown point vs 0%). Two
+    * size-routed percentile aggregates (ScaleRouting: exact below the
+    * byte threshold, GK sketch above — the same discipline as
+    * q_agg_median_mode), each a low-cardinality type rollup broadcast
+    * back into a stateless filter scan; no window, no sort of the raw
+    * events. The flag compares the 6 dp-rounded score on both engines,
+    * so boundary rows cannot straddle. */
+  def qEventsAnomalyRobust(s: SparkSession, d: String): DataFrame = {
+    val exact = graft.operators.ScaleRouting
+      .exactPercentileOk(s, s"$d/events.parquet")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(graft.operators.ScaleRouting
+        .percentileCont(exact, "value", 0.5).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(graft.operators.ScaleRouting
+        .percentileCont(exact, "absdev", 0.5).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("modified_z",
+        round(lit(0.6745) * col("absdev") / col("mad"), 6))
+      .where(col("modified_z") > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("modified_z"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_events_ewma" -> (qEventsEwma _),
     "q_events_gapfill" -> (qEventsGapfill _),
@@ -601,6 +634,24 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_anomaly_robust" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |    ABS(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  ROUND(0.6745 * d.absdev / m.mad, 6) AS modified_z
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE ROUND(0.6745 * d.absdev / m.mad, 6) > 3.5
+        |ORDER BY d.event_id""".stripMargin,
     "q_events_concurrency" ->
       """WITH iv AS (
         |  SELECT epoch_us(ts) AS t0,

@@ -65,6 +65,19 @@ class Round9cOperatorsSpec extends SparkSpec {
     assert(math.abs(rows((8L, 4L)) - 1.5) < 1e-9)
   }
 
+  test("robust anomaly: planted spike flagged, threshold immune to it") {
+    // 20 inliers around 10 (jitter keeps MAD > 0) + one 1000 spike;
+    // median/MAD ignore the spike entirely, so only it crosses 3.5
+    val inliers = (0 until 20).map(i =>
+      (i.toLong, f"2024-03-01 10:${i}%02d:00", i.toLong, "a", 10.0 + i * 0.1))
+    val d = eventsDir(inliers :+
+      ((99L, "2024-03-01 11:00:00", 99L, "a", 1000.0)))
+    val rows = graft.queries.Events.qEventsAnomalyRobust(spark, d).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(99L),
+      s"expected only the planted spike, got ${rows.toSeq}")
+    assert(rows(0).getDouble(3) > 100.0, "spike score should dwarf 3.5")
+  }
+
   test("triangles: planted census counts each triangle exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9c_li").toString
