@@ -688,6 +688,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewma stream recovers its per-user ring from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{EwmaEvent, EwmaPoint}
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      EwmaEvent(uid, id, Timestamp.valueOf(t), v)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ewma_ck").toString
+    // foreachBatch is the checkpoint-recoverable sink (memory is not);
+    // replayed batches after restart may duplicate, so keep a map
+    val got = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Double]
+    val stream = MemoryStream[EwmaEvent]
+    def start() = EventsStream.ewmaStream(stream.toDS(), "10 minutes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EwmaPoint], _: Long) =>
+        ds.collect().foreach(p => got.put((p.user_id, p.event_id), p.ewma))
+      }.start()
+    // run 1: seed user 7's ring (10 then 20), flush via watermark
+    val q1 = start()
+    try {
+      stream.addData(ev(1L, 7L, "2024-03-01 10:00:00", 10.0),
+        ev(2L, 7L, "2024-03-01 10:05:00", 20.0))
+      q1.processAllAvailable()
+      stream.addData(ev(3L, 9L, "2024-03-01 11:00:00", 1.0))
+      q1.processAllAvailable()
+      stream.addData(Seq.empty[EwmaEvent]); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.containsKey((7L, 2L)), s"run 1 should flush user 7: $got")
+    // run 2: a NEW query from the same checkpoint — user 7's ring
+    // (20, 10) must have survived the restart
+    val q2 = start()
+    try {
+      stream.addData(ev(4L, 7L, "2024-03-01 11:05:00", 30.0),
+        ev(5L, 9L, "2024-03-01 12:00:00", 1.0))
+      q2.processAllAvailable()
+      stream.addData(Seq.empty[EwmaEvent]); q2.processAllAvailable()
+    } finally q2.stop()
+    // ewma(event 4) reaches back through the checkpoint: lags 20, 10
+    val expected = BigDecimal(0.3 * 30) + BigDecimal(0.21 * 20) +
+      BigDecimal(0.147 * 10)
+    assert(math.abs(got.get((7L, 4L)) - expected.toDouble) < 1e-6,
+      s"ring lost across restart: ${got.get((7L, 4L))} vs $expected")
+  }
+
   test("streaming ewma reorders late rows and matches batch doubles exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
