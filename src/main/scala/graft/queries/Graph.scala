@@ -73,6 +73,9 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
+    // localCheckpoint: the oriented edge list feeds THREE consumers
+    // (both wedge sides and the closing check) — materialize the
+    // pair-generation + degree joins once instead of three times
     val oriented = edges
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
@@ -80,6 +83,7 @@ object Graph {
         when(aLower, col("pa")).otherwise(col("pb")).as("u"),
         when(aLower, col("pb")).otherwise(col("pa")).as("v"),
         when(aLower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||
