@@ -59,7 +59,13 @@ object Graph {
     * counted exactly once (at its lowest-ranked vertex); the wedge
     * ordering ties break on (deg, id) so both engines enumerate the
     * identical wedge set. */
-  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+  /** Shared triangle machinery: (edges, deg, oriented, closedWedges)
+    * of the part co-purchase graph. The oriented list is checkpointed
+    * once (it feeds both wedge sides and the closing check); closed
+    * wedges carry all three triangle corners (center u, leaves x, y)
+    * so the census and the per-node coefficient share one plan. */
+  private def triangleParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .repartition(s.sparkContext.defaultParallelism)
@@ -73,9 +79,6 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
-    // localCheckpoint: the oriented edge list feeds THREE consumers
-    // (both wedge sides and the closing check) — materialize the
-    // pair-generation + degree joins once instead of three times
     val oriented = edges
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
@@ -88,10 +91,15 @@ object Graph {
         col("e1.u") === col("e2.u") &&
           (col("e1.dv") < col("e2.dv") ||
             (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
-    val tri = wedges
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val closed = wedges
       .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-      .agg(count(lit(1)).as("n_triangles"))
+    (edges, deg, closed)
+  }
+
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg, closed) = triangleParts(s, d)
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("CAST(SUM(deg * (deg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
@@ -104,9 +112,34 @@ object Graph {
           greatest(col("n_wedges"), lit(1L)), 6).as("clustering_coeff"))
   }
 
+  /** LOCAL clustering coefficient per node — 2·t(v)/(deg(v)·(deg(v)−1)),
+    * the per-node curation signal the global census averages away
+    * (Watts–Strogatz): which parts sit in tight co-purchase cliques vs
+    * hub-and-spoke stars. Each closed triangle credits ALL THREE of
+    * its corners (center + both leaves — one explode of the closed
+    * wedge rows, no second traversal), so every node's t(v) is exact
+    * even though each triangle is enumerated only once. Same oriented
+    * backbone and cost as q_graph_triangles; one extra aggregate on
+    * node. */
+  def qGraphClustering(s: SparkSession, d: String): DataFrame = {
+    val (_, deg, closed) = triangleParts(s, d)
+    val triPerNode = closed
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(lit(0.0)).as("local_cc"))
+      .orderBy(col("node"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
-    "q_graph_triangles" -> (qGraphTriangles _))
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_graph_clustering" -> (qGraphClustering _))
 
   /** DuckDB twin GENERATED from PageRank's constants: the same
     * damping, iteration count, and double-round-12 → DECIMAL(28,12)
@@ -181,7 +214,46 @@ object Graph {
       |    AS clustering_coeff
       |FROM t""".stripMargin
 
+  /** DuckDB twin of qGraphClustering — same orientation, same
+    * three-corner credit per closed wedge. */
+  private val clusteringOracle: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN e.pa ELSE e.pb END AS u,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN e.pb ELSE e.pa END AS v,
+      |    CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.pa < e.pb)
+      |      THEN y.deg ELSE x.deg END AS dv
+      |  FROM e JOIN deg x ON e.pa = x.node JOIN deg y ON e.pb = y.node),
+      |w AS (
+      |  SELECT e1.u AS u, e1.v AS x, e2.v AS y FROM o e1 JOIN o e2
+      |    ON e1.u = e2.u AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+      |closed AS (
+      |  SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+      |tpn AS (
+      |  SELECT node, COUNT(*) AS n_tri FROM (
+      |    SELECT u AS node FROM closed
+      |    UNION ALL SELECT x FROM closed
+      |    UNION ALL SELECT y FROM closed) GROUP BY 1)
+      |SELECT deg.node, deg.deg,
+      |  COALESCE(tpn.n_tri, 0) AS n_tri,
+      |  CASE WHEN deg.deg >= 2 THEN
+      |    ROUND(2.0 * COALESCE(tpn.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6)
+      |  ELSE 0.0 END AS local_cc
+      |FROM deg LEFT JOIN tpn USING (node)
+      |ORDER BY deg.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracle,
-    "q_graph_triangles" -> trianglesOracle)
+    "q_graph_triangles" -> trianglesOracle,
+    "q_graph_clustering" -> clusteringOracle)
 }

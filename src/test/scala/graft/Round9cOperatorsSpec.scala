@@ -93,6 +93,13 @@ class Round9cOperatorsSpec extends SparkSpec {
     assert(r.getLong(2) == 5L, s"n_wedges: $r")
     assert(r.getLong(3) == 1L, s"n_triangles: $r")
     assert(math.abs(r.getDouble(4) - 0.6) < 1e-9, s"clustering_coeff: $r")
+    // local coefficients: every triangle corner is credited exactly
+    // once — 1.0 for the degree-2 corners, 1/3 for the hub, 0 pendant
+    val cc = graft.queries.Graph.qGraphClustering(spark, dir).collect()
+      .map(c => c.getLong(0) -> (c.getLong(2), c.getDouble(3))).toMap
+    assert(cc(1L) == ((1L, 1.0)) && cc(2L) == ((1L, 1.0)), s"cc: $cc")
+    assert(cc(3L)._1 == 1L && math.abs(cc(3L)._2 - 0.333333) < 1e-9)
+    assert(cc(4L) == ((0L, 0.0)), s"pendant node: $cc")
   }
 
   test("triangles: hub orientation sends no wedges out of the hub") {
