@@ -146,6 +146,44 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KMV SET ALGEBRA — approximate DISTINCT-OVERLAP of two audiences
+    * (users who click vs users who purchase) by inclusion–exclusion
+    * over three bounded sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    * where the union sketch is just KMV over the concatenated rows
+    * (KMV is a hash SET — mergeable by construction, the property that
+    * makes sketch algebra work across 100 TB partitions). Exact
+    * intersect rides along for the measured rel_err. Every estimate is
+    * deterministic md5 arithmetic, so even the approximations are
+    * bit-reproducible cross-engine. */
+  def qApproxOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val kmv = graft.operators.KmvSketch.kmv(k)
+    val ev = Tables.events(s, d)
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(col("user_id"),
+        graft.operators.Sampling.hashFraction(col("user_id")).as("f"))
+    val a = side("click")
+    val b = side("purchase")
+    val estA = a.agg(kmv(col("f")).as("est_a"))
+    val estB = b.agg(kmv(col("f")).as("est_b"))
+    val estU = a.unionAll(b).agg(kmv(col("f")).as("est_u"))
+    val exact = a.select(col("user_id"))
+      .intersect(b.select(col("user_id")))
+      .agg(count(lit(1)).as("n_exact"))
+    broadcast(estA).crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
+      .crossJoin(broadcast(exact))
+      .select(
+        round(col("est_a"), 4).as("est_a"),
+        round(col("est_b"), 4).as("est_b"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("est_a") + col("est_b") - col("est_u"), 4)
+          .as("est_overlap"),
+        col("n_exact"),
+        round(abs(col("est_a") + col("est_b") - col("est_u") -
+          col("n_exact")) / greatest(col("n_exact"), lit(1L)), 4)
+          .as("rel_err"))
+  }
+
   /** ROLLUP hierarchy totals — subtotal rows per returnflag and a grand
     * total, in ONE aggregation pass (Spark plans rollup as an Expand +
     * single hash aggregate, not one pass per level). */
@@ -466,7 +504,8 @@ object Agg {
     "q_agg_stats" -> (qAggStats _),
     "q_total" -> (qTotal _),
     "q_count_distinct" -> (qCountDistinct _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_approx_overlap" -> (qApproxOverlap _))
 
   def oracles: Map[String, String] = Map(
     "q_histogram_equidepth" ->
@@ -690,5 +729,41 @@ object Agg {
         |  FROM lineitem GROUP BY 1)
         |SELECT e.g AS l_returnflag, e.est AS est_distinct, x.nd AS n_distinct,
         |  ROUND(ABS(e.est - x.nd) / x.nd, 4) AS rel_err
-        |FROM e JOIN x USING (g) ORDER BY l_returnflag""".stripMargin)
+        |FROM e JOIN x USING (g) ORDER BY l_returnflag""".stripMargin,
+    "q_approx_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 6))
+        |      AS INTEGER) / 16777216.0 AS f
+        |  FROM events WHERE event_type = 'click'),
+        |hb AS (
+        |  SELECT DISTINCT
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 6))
+        |      AS INTEGER) / 16777216.0 AS f
+        |  FROM events WHERE event_type = 'purchase'),
+        |hu AS (SELECT f FROM ha UNION SELECT f FROM hb),
+        |ra AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS rk,
+        |  COUNT(*) OVER () AS nh FROM ha),
+        |rb AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS rk,
+        |  COUNT(*) OVER () AS nh FROM hb),
+        |ru AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS rk,
+        |  COUNT(*) OVER () AS nh FROM hu),
+        |ea AS (SELECT CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |  ELSE 63 / MAX(CASE WHEN rk = 64 THEN f END) END AS est_a FROM ra),
+        |eb AS (SELECT CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |  ELSE 63 / MAX(CASE WHEN rk = 64 THEN f END) END AS est_b FROM rb),
+        |eu AS (SELECT CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |  ELSE 63 / MAX(CASE WHEN rk = 64 THEN f END) END AS est_u FROM ru),
+        |x AS (
+        |  SELECT COUNT(*) AS n_exact FROM (
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+        |SELECT ROUND(est_a, 4) AS est_a, ROUND(est_b, 4) AS est_b,
+        |  ROUND(est_u, 4) AS est_union,
+        |  ROUND(est_a + est_b - est_u, 4) AS est_overlap,
+        |  n_exact,
+        |  ROUND(ABS(est_a + est_b - est_u - n_exact) /
+        |    GREATEST(n_exact, 1), 4) AS rel_err
+        |FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN x""".stripMargin)
 }

@@ -78,6 +78,16 @@ class Round9cOperatorsSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > 100.0, "spike score should dwarf 3.5")
   }
 
+  test("kmv overlap: inclusion-exclusion lands near the exact intersect") {
+    val r = graft.queries.Agg.qApproxOverlap(spark, sf).collect()(0)
+    val (estOv, nExact) = (r.getDouble(3), r.getLong(4))
+    assert(nExact > 0, s"fixture should have overlapping audiences: $r")
+    // k=64 KMV: exact below 64 distinct, ~12% std err above — 0.5 is
+    // a loose sanity band, not the estimator's real accuracy
+    assert(math.abs(estOv - nExact) <= math.max(0.5 * nExact, 1.0),
+      s"overlap estimate implausibly far: $r")
+  }
+
   test("triangles: planted census counts each triangle exactly once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9c_li").toString
