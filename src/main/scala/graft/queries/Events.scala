@@ -611,7 +611,47 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** CHANGE-POINT candidates by the sliding two-sample mean-shift test
+    * (the window analogue of CUSUM that IS expressible as frames —
+    * CUSUM's recursive max cannot be a window function): on the hourly
+    * per-type rollup, compare the mean of the 12 observed buckets
+    * before each point against the 12 after; a shift above τ=50 flags
+    * a candidate. The window runs on the ROLLUP, whose row count is
+    * bounded by the time span (8760 buckets/year/type), not the event
+    * volume — the days-dimension argument — and the raw-event pass is
+    * one hash aggregate. Frame sums are exact DECIMAL (order-free), so
+    * the means and the 6 dp-rounded shift are engine-identical. */
+  def qEventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val prev = w.rowsBetween(-12, -1)
+    val next = w.rowsBetween(1, 12)
+    val rollup = Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L)
+          .cast("long").as("b"),
+        col("value"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(dec("value")).as("sv"))
+    val mp = sum(col("sv")).over(prev).cast("double") /
+      count(lit(1)).over(prev)
+    val mn = sum(col("sv")).over(next).cast("double") /
+      count(lit(1)).over(next)
+    rollup
+      .withColumn("n_prev", count(lit(1)).over(prev))
+      .withColumn("n_next", count(lit(1)).over(next))
+      .withColumn("mean_prev", round(mp, 6))
+      .withColumn("mean_next", round(mn, 6))
+      .withColumn("shift", round(abs(mn - mp), 6))
+      .where(col("n_prev") === 12 && col("n_next") === 12 &&
+        col("shift") > 50.0)
+      .select(col("event_type"),
+        timestamp_micros(col("b")).as("bucket_start"),
+        col("mean_prev"), col("mean_next"), col("shift"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_events_ewma" -> (qEventsEwma _),
@@ -634,6 +674,29 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_changepoint" ->
+      """WITH rollup AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT event_type, b,
+        |    CAST(SUM(sv) OVER wp AS DOUBLE) / COUNT(*) OVER wp AS mp,
+        |    COUNT(*) OVER wp AS n_prev,
+        |    CAST(SUM(sv) OVER wn AS DOUBLE) / COUNT(*) OVER wn AS mn,
+        |    COUNT(*) OVER wn AS n_next
+        |  FROM rollup
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+        |    wn AS (PARTITION BY event_type ORDER BY b
+        |      ROWS BETWEEN 1 FOLLOWING AND 12 FOLLOWING))
+        |SELECT event_type, make_timestamp(b) AS bucket_start,
+        |  ROUND(mp, 6) AS mean_prev, ROUND(mn, 6) AS mean_next,
+        |  ROUND(ABS(mn - mp), 6) AS shift
+        |FROM fr
+        |WHERE n_prev = 12 AND n_next = 12 AND ROUND(ABS(mn - mp), 6) > 50.0
+        |ORDER BY event_type, bucket_start""".stripMargin,
     "q_events_anomaly_robust" ->
       """WITH med AS (
         |  SELECT event_type,

@@ -78,6 +78,29 @@ class Round9cOperatorsSpec extends SparkSpec {
     assert(rows(0).getDouble(3) > 100.0, "spike score should dwarf 3.5")
   }
 
+  test("changepoint: a planted level shift flags at its boundary") {
+    // 30 hourly buckets at value 10, then 30 at 200: the true change
+    // point (first high bucket) must carry the MAXIMUM shift
+    val rows = (0 until 60).map { h =>
+      val day = 1 + h / 24; val hh = h % 24
+      (h.toLong, f"2024-03-$day%02d $hh%02d:30:00", h.toLong, "a",
+        if (h < 30) 10.0 else 200.0)
+    }
+    val d = eventsDir(rows)
+    val out = graft.queries.Events.qEventsChangepoint(spark, d).collect()
+    assert(out.nonEmpty, "level shift not detected")
+    // the max shift (|200−10| exactly) brackets the boundary: both the
+    // last low bucket (29) and the first high one (30) see 12 clean
+    // buckets on each side
+    val tops = out.filter(_.getDouble(4) == 190.0).map { r =>
+      val z = r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC)
+      z.getHour + 24 * (z.getDayOfMonth - 1)
+    }
+    assert(tops.toSet == Set(29, 30),
+      s"max shift should bracket the boundary, got ${tops.toSeq}: " +
+        s"${out.toSeq}")
+  }
+
   test("kmv overlap: inclusion-exclusion lands near the exact intersect") {
     val r = graft.queries.Agg.qApproxOverlap(spark, sf).collect()(0)
     val (estOv, nExact) = (r.getDouble(3), r.getLong(4))
