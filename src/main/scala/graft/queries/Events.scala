@@ -494,24 +494,39 @@ object Events {
     val deltas = ev.select(col("t0").as("t"), lit(1L).as("delta"))
       .unionAll(ev.select(col("t1").as("t"), lit(-1L).as("delta")))
       .withColumn("day", to_date(timestamp_micros(col("t"))))
-    val wIn = Window.partitionBy(col("day"))
+      .withColumn("hr", hour(timestamp_micros(col("t"))))
+    // TWO-LEVEL prefix decomposition so no task ever sorts a whole
+    // day: the per-row running count is banded by (day, hour) — a
+    // billion-delta day spreads over 24+ tasks — the hour carry is a
+    // 24-row window per day, and the day carry (the only
+    // unpartitioned window, PlanLintSpec-reviewed) runs on one row
+    // per day, bounded by the time span
+    val wInHour = Window.partitionBy(col("day"), col("hr"))
       .orderBy(col("t"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry over the days dimension (PlanLintSpec-reviewed: the only
-    // unpartitioned window runs on day totals, one row per day)
+    val wHours = Window.partitionBy(col("day")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wDays = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = deltas.groupBy(col("day"))
-      .agg(sum(col("delta")).as("day_total"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-      .withColumn("carry",
+    val hourAgg = deltas.groupBy(col("day"), col("hr"))
+      .agg(sum(col("delta")).as("hour_total"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("hour_starts"))
+      .withColumn("hcarry",
+        coalesce(sum(col("hour_total")).over(wHours), lit(0L)))
+    val dayCarry = hourAgg.groupBy(col("day"))
+      .agg(sum(col("hour_total")).as("day_total"),
+        sum(col("hour_starts")).as("n_starts"))
+      .withColumn("dcarry",
         coalesce(sum(col("day_total")).over(wDays), lit(0L)))
     deltas
-      .withColumn("run", sum(col("delta")).over(wIn))
-      .join(broadcast(carry.select(col("day"), col("carry"), col("n_starts"))),
-        Seq("day"))
+      .withColumn("run", sum(col("delta")).over(wInHour))
+      .join(broadcast(hourAgg.select(col("day"), col("hr"), col("hcarry"))),
+        Seq("day", "hr"))
+      .join(broadcast(dayCarry.select(col("day"), col("dcarry"),
+        col("n_starts"))), Seq("day"))
       .groupBy(col("day"), col("n_starts"))
-      .agg(max(col("carry") + col("run")).as("max_concurrent"))
+      .agg(max(col("dcarry") + col("hcarry") + col("run"))
+        .as("max_concurrent"))
       .select(col("day"), col("n_starts"), col("max_concurrent"))
       .orderBy(col("day"))
   }
