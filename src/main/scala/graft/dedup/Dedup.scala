@@ -118,7 +118,44 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double,
-      dfCap: Int = JaccardDfCap): DataFrame = {
+      dfCap: Int = JaccardDfCap): DataFrame =
+    cappedPairCounts(docs, idCol, textCol, blockCols, n, dfCap)
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),
+            lit(1.0)), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Near-dup pairs by exact shingle CONTAINMENT — |A∩B| / min(|A|,|B|)
+    * — the asymmetric-size complement of Jaccard: a short document
+    * quoted whole inside a long one has containment ≈ 1 while its
+    * Jaccard stays far below any near-dup threshold (the union is
+    * dominated by the long side). The standard quote/subset-dup screen
+    * (Broder's containment measure).
+    *
+    * Identical distributed shape and df cap as `ngramJaccardPairs`
+    * (shared capped backbone): pairs sharing no kept shingle never
+    * materialize, and no stop-shingle can make a bucket quadratic. */
+  def ngramContainmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double,
+      dfCap: Int = JaccardDfCap): DataFrame =
+    cappedPairCounts(docs, idCol, textCol, blockCols, n, dfCap)
+      .withColumn("containment", round(
+        col("n_inter").cast("double") /
+          greatest(least(col("sz_a"), col("sz_b")).cast("double"),
+            lit(1.0)), 6))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("containment"))
+
+  /** Shared backbone of the exact pair measures: distinct shingles,
+    * block-df cap, per-doc sizes over the CAPPED universe, and the
+    * (block, shingle) self-join whose per-pair match count is the
+    * intersection size. Returns (id_a, id_b, sz_a, sz_b, n_inter). */
+  private def cappedPairCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, dfCap: Int): DataFrame = {
     val shRows = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
     // block document frequency per shingle (rows are distinct per
     // (id, block, shingle), so count(*) IS the doc count) — a map-side
@@ -148,12 +185,6 @@ object Dedup {
     a.join(b, joinCond)
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard", round(
-        col("n_inter").cast("double") /
-          greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),
-            lit(1.0)), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---- MinHash + LSH -----------------------------------------------

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -363,8 +364,51 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------------
+  // q_shard_assign — deterministic epoch shuffle + shard assignment
+  // ---------------------------------------------------------------------
+
+  /** Shard count for the dataloader prep. A fixed test constant; in
+    * production the count derives from corpus size over a target
+    * shard size (the ScaleRouting pattern) so the per-shard window
+    * below stays bounded as the corpus grows. */
+  val NumShards = 8
+
+  /** Epoch tag folded into the shuffle hash: a new epoch re-keys every
+    * document, giving a fresh deterministic permutation per epoch. */
+  val ShardEpoch = "epoch0"
+
+  /** Deterministic EPOCH SHUFFLE + SHARD ASSIGNMENT — the dataloader
+    * prep stage of a training pipeline: every document gets a
+    * pseudo-random but reproducible position (seeded md5 order), a
+    * shard (hash mod NumShards, so shards are balanced in expectation
+    * without any global sort), a within-shard rank, and its CUMULATIVE
+    * token offset — exactly what a sequence-packing writer needs to
+    * lay out shard files without a second pass.
+    *
+    * Scale shape: per-row hashing, ONE shuffle on shard, one window
+    * per shard partition (shard size = n/NumShards — the production
+    * knob is NumShards ∝ corpus size, keeping partitions constant).
+    * No global row_number, no driver state. All arithmetic is md5 +
+    * integer ops — bit-identical cross-engine. */
+  def qShardAssign(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(s"shard:$ShardEpoch:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), h.as("h"),
+        size(split(col("text"), "\\s+")).as("n_tokens"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).as("rk"), col("n_tokens"),
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("tok_offset"))
+      .orderBy(col("shard"), col("rk"))
+  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_assign" -> (qShardAssign _),
     "q_chunk_index" -> (qChunkIndex _),
     "q_text_keywords" -> (qTextKeywords _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
@@ -379,6 +423,22 @@ object Corpus {
     s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q_shard_assign" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('shard:$ShardEpoch:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         |    LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, h % $NumShards AS shard,
+         |  ROW_NUMBER() OVER w AS rk, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % $NumShards
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tok_offset
+         |FROM h
+         |WINDOW w AS (PARTITION BY h % $NumShards ORDER BY h, doc_id)
+         |ORDER BY shard, rk""".stripMargin,
     "q_chunk_index" -> {
       val w = ChunkTokens; val st = ChunkStride
       s"""WITH t AS (

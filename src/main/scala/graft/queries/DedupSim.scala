@@ -53,6 +53,16 @@ object DedupSim {
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact word-3-gram CONTAINMENT pairs — |A∩B|/min(|A|,|B|), the
+    * quote/subset-duplication screen Jaccard misses (a short doc
+    * embedded whole in a long one). Same blocking, df cap, and
+    * distributed shape as q_dedup_ngram_jaccard (shared backbone). */
+  def qDedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(
+      docsParallel(s, d), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Near-dup CLUSTERS: connected components over the exact-Jaccard
     * pair graph (graft.dedup.Cluster min-label propagation), the step
     * that turns pairwise candidates into keep/drop decisions. */
@@ -432,6 +442,7 @@ object DedupSim {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -712,7 +723,7 @@ object DedupSim {
     * universe — numerator and per-doc sizes both from the kept rows,
     * the relational twin of Dedup.ngramJaccardPairs. Ends with a
     * `pairs` CTE: (id_a, id_b, jaccard) at jaccard >= 0.3. */
-  private def cappedPairCtes: String =
+  private def cappedCountCtes: String =
     s"""shx AS (
        |  SELECT doc_id, lang, source, UNNEST(sh) AS h FROM sh),
        |dfk AS (
@@ -727,7 +738,10 @@ object DedupSim {
        |  FROM kept a JOIN kept b
        |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
        |      AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def cappedPairCtes: String =
+    s"""$cappedCountCtes,
        |pairs AS (
        |  SELECT id_a, id_b,
        |    ROUND(n_inter * 1.0 /
@@ -974,6 +988,18 @@ object DedupSim {
       s"""WITH $ShingleCte,
          |$cappedPairCtes
          |SELECT id_a, id_b, jaccard FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $ShingleCte,
+         |$cappedCountCtes
+         |SELECT id_a, id_b, n_inter,
+         |  ROUND(n_inter * 1.0 /
+         |    GREATEST(LEAST(sa.sz, sb.sz), 1), 6) AS containment
+         |FROM pr
+         |JOIN szs sa ON pr.id_a = sa.doc_id
+         |JOIN szs sb ON pr.id_b = sb.doc_id
+         |WHERE ROUND(n_inter * 1.0 /
+         |    GREATEST(LEAST(sa.sz, sb.sz), 1), 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
     // recall of the minhash candidate path against the blocked exact
     // baseline: both subplans are the registered oracles verbatim (the

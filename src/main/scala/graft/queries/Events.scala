@@ -665,7 +665,116 @@ object Events {
       .orderBy(col("event_type"), col("bucket_start"))
   }
 
+  /** Lag-k AUTOCORRELATION of the hourly event-count series per type
+    * (k = 1, 2, 3) — the seasonality/burstiness diagnostic behind
+    * forecasting and anomaly baselines: r₁ ≈ 1 means smooth load,
+    * r₂₄ spikes mean daily rhythm, r ≈ 0 means white noise.
+    *
+    * The series is the DENSE hourly grid over the observed span
+    * (missing hours count 0 — autocorrelation over only-observed rows
+    * would silently skip gaps and misalign every lag). Counts are
+    * integers, so ALL five Pearson moments (Σx, Σy, Σxy, Σx², Σy²)
+    * are exact BIGINT sums — order-free and engine-portable; the
+    * closing r is a fixed sequence of correctly-rounded IEEE double
+    * ops, rounded at 6 dp.
+    *
+    * Scale shape: the hourly rollup is one map-side-partial hash
+    * aggregate of the fact; everything after runs on the
+    * (types × hours) grid — calendar-bounded (8 760 rows/type/year),
+    * built by the gapfill day-banded two-level explode, never a
+    * driver loop. The lag window partitions by type over that grid —
+    * bounded by the calendar, not the data volume. */
+  def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val perHour = Tables.events(s, d)
+      .select((expr("unix_micros(ts)") - pmod(expr("unix_micros(ts)"),
+        lit(hourUs))).as("b"), col("event_type"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val days = perHour.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(explode(sequence(col("lo") - pmod(col("lo"), lit(dayUs)),
+        col("hi"), lit(dayUs))).as("day"), col("lo"), col("hi"))
+    val grid = days.repartition(col("day"))
+      .select(explode(sequence(
+        greatest(col("day"), col("lo")),
+        least(col("day") + lit(dayUs - hourUs), col("hi")),
+        lit(hourUs))).as("b"))
+    val types = perHour.select(col("event_type")).distinct()
+    val dense = grid.crossJoin(broadcast(types))
+      .join(perHour, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val withLags = dense.select(
+      (col("event_type") +: col("x") +:
+        (1 to 3).map(k => lag(col("x"), k).over(w).as(s"y$k"))): _*)
+    val lagged = withLags.select(col("event_type"), col("x"),
+      explode(array((1 to 3).map(k =>
+        struct(lit(k).as("lag"), col(s"y$k").as("y"))): _*)).as("ly"))
+      .select(col("event_type"), col("ly.lag").as("lag"), col("x"),
+        col("ly.y").as("y"))
+      .where(col("y").isNotNull)
+    lagged.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n_pairs") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6))
+          .as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Markov TRANSITION MATRIX of event types — for each user the
+    * consecutive (prev → next) event pairs, aggregated to counts and
+    * transition probabilities: the session-flow model behind "what do
+    * users do after X" product analytics and behavioral anomaly
+    * scoring.
+    *
+    * The probability is rounded HALF-UP at 6 dp entirely in INTEGER
+    * arithmetic — floor((2·10⁶·n + total) / (2·total)) — then
+    * converted with one exact double division, so the value is
+    * bit-identical cross-engine even on the systematic half-ties a
+    * rational n/total produces (the §3.9 double-rounding lesson,
+    * solved without decimals).
+    *
+    * Scale shape: one shuffle on user_id, the lag window per user
+    * partition (bounded by per-user activity — the sessionize
+    * contract), one hash aggregate to the |types|² matrix, and the
+    * per-source totals come from a second aggregate of THAT matrix
+    * (types² rows), broadcast back. No global window, no driver math. */
+  def qEventsTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+    val matrix = pairs.groupBy(col("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total_from"))
+    matrix.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("total_from"),
+        (expr("CAST((2000000 * n + total_from) DIV (2 * total_from) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_transitions" -> (qEventsTransitions _),
+    "q_events_autocorr" -> (qEventsAutocorr _),
     "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
@@ -689,6 +798,62 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_transitions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events),
+        |matrix AS (
+        |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+        |  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+        |  FROM matrix GROUP BY 1)
+        |SELECT m.from_type, m.to_type, m.n, t.total_from,
+        |  CAST((2000000 * m.n + t.total_from) // (2 * t.total_from)
+        |    AS BIGINT) / 1000000.0 AS prob
+        |FROM matrix m JOIN totals t USING (from_type)
+        |ORDER BY m.from_type, m.to_type""".stripMargin,
+    "q_events_autocorr" ->
+      """WITH ph AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ph),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi, 3600000000)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ph),
+        |dense AS (
+        |  SELECT t.event_type, g.b, COALESCE(ph.c, 0) AS x
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.b = g.b),
+        |lagged AS (
+        |  SELECT event_type, b, x,
+        |    LAG(x, 1) OVER w AS y1, LAG(x, 2) OVER w AS y2,
+        |    LAG(x, 3) OVER w AS y3
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+        |pairs AS (
+        |  SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |    THEN ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM sums ORDER BY event_type, lag""".stripMargin,
     "q_events_changepoint" ->
       """WITH rollup AS (
         |  SELECT event_type,

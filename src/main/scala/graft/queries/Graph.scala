@@ -64,8 +64,10 @@ object Graph {
     * once (it feeds both wedge sides and the closing check); closed
     * wedges carry all three triangle corners (center u, leaves x, y)
     * so the census and the per-node coefficient share one plan. */
-  private def triangleParts(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** (edges, deg) of the part co-purchase graph — shared by the
+    * triangle family and link prediction. */
+  private def edgeParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .repartition(s.sparkContext.defaultParallelism)
@@ -77,6 +79,12 @@ object Graph {
     val deg = edges.select(col("pa").as("node"))
       .unionAll(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    (edges, deg)
+  }
+
+  private def triangleParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (edges, deg) = edgeParts(s, d)
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
     val oriented = edges
@@ -136,10 +144,62 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Bounded query-node set for link prediction — the ANN pattern
+    * (q_ann_* bound their query vectors the same way): per-node work
+    * is O(deg²), so the operator is "predict for THESE nodes", not an
+    * all-pairs sweep; an all-corpus run would batch over node ranges. */
+  val LinkQueryCap = 20L
+
+  /** LINK PREDICTION by common neighbors: for each query part, the
+    * top-10 non-adjacent parts ranked by resource-allocation index
+    * (Zhou et al. 2009: Σ_{u ∈ N(a)∩N(b)} 1/deg(u)) with the common-
+    * neighbor count alongside — "customers who bought these together
+    * also bought" at the graph level.
+    *
+    * EXACT cross-engine arithmetic: each witness's weight is the
+    * integer floor 10⁹ div deg (no transcendental, no float sum) —
+    * the per-pair score is an exact BIGINT; the display value floors
+    * to micro-units and makes ONE correctly-rounded double division,
+    * bit-identical in both engines with no round-off tie anywhere.
+    *
+    * Scale shape: the two-hop expansion runs only from the bounded
+    * query set (|Q|·deg² rows); existing edges drop via left_anti on
+    * the adjacency key; the top-10 window partitions per query node
+    * (≤ deg·avg-deg candidate rows each). The degree table joins
+    * broadcast. */
+  def qGraphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg) = edgeParts(s, d)
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint()
+    val qn = adj.where(col("u") <= LinkQueryCap)
+      .select(col("u").as("a"), col("v").as("w"))
+    val wdeg = deg.select(col("node").as("w"),
+      expr("CAST(1000000000 DIV deg AS BIGINT)").as("wq"))
+    val cand = qn
+      .join(adj.select(col("u").as("w"), col("v").as("y")), "w")
+      .where(col("y") =!= col("a"))
+      .join(broadcast(wdeg), "w")
+      .groupBy(col("a"), col("y"))
+      .agg(count(lit(1)).as("cn"), sum(col("wq")).as("raq"))
+    val nonEdge = cand.join(adj,
+      cand("a") === adj("u") && cand("y") === adj("v"), "left_anti")
+    val rk = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"))
+      .orderBy(col("raq").desc, col("cn").desc, col("y")))
+    nonEdge.withColumn("rk", rk).where(col("rk") <= 10)
+      .select(col("a").as("node_a"), col("y").as("node_b"),
+        col("cn"), col("rk"),
+        (expr("CAST(raq DIV 1000 AS BIGINT)").cast("double") /
+          lit(1000000.0)).as("ra"))
+      .orderBy(col("node_a"), col("rk"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
-    "q_graph_clustering" -> (qGraphClustering _))
+    "q_graph_clustering" -> (qGraphClustering _),
+    "q_graph_common_neighbors" -> (qGraphCommonNeighbors _))
 
   /** DuckDB twin GENERATED from PageRank's constants: the same
     * damping, iteration count, and double-round-12 → DECIMAL(28,12)
@@ -252,8 +312,44 @@ object Graph {
       |FROM deg LEFT JOIN tpn USING (node)
       |ORDER BY deg.node""".stripMargin
 
+  /** DuckDB twin of qGraphCommonNeighbors — same bounded query set,
+    * same integer 10⁹ div deg witness weights, same micro-unit floor
+    * before the one double division, same (raq, cn, y) tie-break. */
+  private def commonNeighborsOracle: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+       |adj AS (SELECT pa AS u, pb AS v FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |qn AS (SELECT u AS a, v AS w FROM adj WHERE u <= $LinkQueryCap),
+       |cand AS (
+       |  SELECT q.a, p.v AS y, COUNT(*) AS cn,
+       |    CAST(SUM(1000000000 // d.deg) AS BIGINT) AS raq
+       |  FROM qn q JOIN adj p ON p.u = q.w JOIN deg d ON d.node = q.w
+       |  WHERE p.v <> q.a
+       |  GROUP BY 1, 2),
+       |nonedge AS (
+       |  SELECT c.a, c.y, c.cn, c.raq FROM cand c
+       |  LEFT JOIN adj ON adj.u = c.a AND adj.v = c.y
+       |  WHERE adj.u IS NULL),
+       |ranked AS (
+       |  SELECT a, y, cn, raq,
+       |    ROW_NUMBER() OVER (PARTITION BY a
+       |      ORDER BY raq DESC, cn DESC, y) AS rk
+       |  FROM nonedge)
+       |SELECT a AS node_a, y AS node_b, cn, rk,
+       |  CAST(raq // 1000 AS BIGINT) / 1000000.0 AS ra
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY node_a, rk""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
-    "q_graph_clustering" -> clusteringOracle)
+    "q_graph_clustering" -> clusteringOracle,
+    "q_graph_common_neighbors" -> commonNeighborsOracle)
 }

@@ -295,7 +295,56 @@ object Maintain {
     orders.unionAll(nation).orderBy(col("tbl"))
   }
 
+  /** Generic SNAPSHOT DIFF — the anti-entropy drill-down that pairs
+    * with q_table_fingerprint: the fingerprint says two replicas
+    * drifted, this says HOW. One full-outer shuffle join on the key,
+    * per-row content hash compare, and a 4-row status rollup
+    * (added / removed / changed / unchanged) with an exact
+    * DECIMAL(38,0) hash sum per status so each bucket is itself
+    * fingerprinted. Linear, one shuffle, map-side partial rollup. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, rowHash: Column): DataFrame = {
+    val h = conv(substring(md5(rowHash), 1, 15), 16, 10).cast("long")
+    val o = oldDf.select(col(keyCol).as("k"), h.as("h_old"))
+    val n = newDf.select(col(keyCol).as("k"), h.as("h_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("h_new"), col("h_old")).as("h"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("hash_sum"))
+      .orderBy(col("status"))
+  }
+
+  /** Deterministic "next snapshot" of orders — the CDC mutation a day
+    * of writes would produce, synthesized reproducibly so both engines
+    * build the identical pair: keys ≡ 0 (mod 89) are deleted, keys ≡ 0
+    * (mod 97) get a price bump, and keys ≡ 0 (mod 101) are re-inserted
+    * shifted by 10⁷ (the "added" rows). */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val rowHash =
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"))
+    val orders = Tables.orders(s, d)
+    val old = orders
+    val mutated = orders.where(pmod(col("o_orderkey"), lit(89)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(97)) === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+    val added = orders.where(pmod(col("o_orderkey"), lit(101)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val newDf = mutated.unionByName(added)
+    snapshotDiff(old, newDf, "o_orderkey", rowHash)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_table_fingerprint" -> (qTableFingerprint _),
     "q_profile" -> (qProfile _),
     "q_merge_upsert" -> (qMergeUpsert _),
@@ -322,6 +371,40 @@ object Maintain {
       |ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH oldh AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS('|', o_orderkey,
+        |      o_custkey, o_orderstatus,
+        |      CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 15))
+        |      AS BIGINT) AS h_old
+        |  FROM orders),
+        |newv AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |newh AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CONCAT_WS('|', o_orderkey,
+        |      o_custkey, o_orderstatus,
+        |      CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 15))
+        |      AS BIGINT) AS h_new
+        |  FROM newv),
+        |j AS (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old = h_new THEN 'unchanged'
+        |              ELSE 'changed' END AS status,
+        |    COALESCE(h_new, h_old) AS h
+        |  FROM oldh FULL OUTER JOIN newh USING (k))
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_table_fingerprint" ->
       """WITH o AS (
         |  SELECT CAST(CONCAT('0x', SUBSTR(MD5(

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Round-9 fourth-session additions: hourly autocorrelation, shingle
+  * containment, common-neighbor link prediction, and the deterministic
+  * shard assignment. Planted fixtures run the registered queries
+  * unmodified against hand-computed answers. */
+class Round9dOperatorsSpec extends SparkSpec {
+
+  private def eventsDir(rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9d_ev").toString
+    rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .drop("ts_str")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("autocorr: alternating hourly series gives r = -1, +1, -1") {
+    // one event in hours 0,2,4,6 → dense counts [1,0,1,0,1,0,1]
+    val d = eventsDir(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-03-01 12:00:00", 1L, "a", 0.0),
+      (3L, "2024-03-01 14:00:00", 1L, "a", 0.0),
+      (4L, "2024-03-01 16:00:00", 1L, "a", 0.0)))
+    val rows = graft.queries.Events.qEventsAutocorr(spark, d).collect()
+    assert(rows.length == 3, s"expected 3 lags, got ${rows.toSeq}")
+    val byLag = rows.map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byLag(1) == ((6L, -1.0)), s"lag1: $byLag")
+    assert(byLag(2) == ((5L, 1.0)), s"lag2: $byLag")
+    assert(byLag(3) == ((4L, -1.0)), s"lag3: $byLag")
+  }
+
+  test("autocorr: zero-variance series reports NULL, not a crash") {
+    // one event every hour → constant series, undefined correlation
+    val d = eventsDir((0 until 5).map(h =>
+      (h.toLong, f"2024-03-01 $h%02d:00:00", 1L, "b", 0.0)))
+    val rows = graft.queries.Events.qEventsAutocorr(spark, d).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.isNullAt(3)), s"expected NULL r: ${rows.toSeq}")
+  }
+
+  test("containment catches a subset quote that jaccard misses") {
+    // doc 1 is a contiguous 12-token slice of doc 0: containment 1.0,
+    // while jaccard stays far below the 0.3 near-dup threshold
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 31).map(i => s"w$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (0L, long), (1L, quote),
+      (2L, "entirely different text about other things altogether")))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(
+      docs, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.5)
+      .collect()
+    assert(cont.length == 1, s"expected one pair: ${cont.toSeq}")
+    assert(cont(0).getLong(0) == 0L && cont(0).getLong(1) == 1L)
+    assert(cont(0).getDouble(3) == 1.0, s"containment: ${cont(0)}")
+    val jac = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", blockCols = Nil, n = 3, threshold = 0.3)
+      .collect()
+    assert(jac.isEmpty, s"jaccard should miss the quote: ${jac.toSeq}")
+  }
+
+  test("common neighbors: path graph predicts exactly the 2-hop pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9d_li").toString
+    // orders {1,2}, {2,3}, {3,4} → path 1-2-3-4
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Graph.qGraphCommonNeighbors(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    // every 2-hop pair through a degree-2 center: cn=1, ra=0.5;
+    // adjacent pairs and self-returns are excluded
+    assert(rows.toSet == Set(
+      (1L, 3L, 1L, 1, 0.5), (2L, 4L, 1L, 1, 0.5),
+      (3L, 1L, 1L, 1, 0.5), (4L, 2L, 1L, 1, 0.5)), s"got ${rows.toSeq}")
+  }
+
+  test("shard assign: permutation is complete, dense, and offset-exact") {
+    val out = graft.queries.Corpus.qShardAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs, "every doc appears exactly once")
+    assert(out.map(_._1).distinct.length == out.length, "no doc repeats")
+    assert(out.forall(t => t._2 >= 0 && t._2 < graft.queries.Corpus.NumShards))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length),
+        s"shard $shard ranks not dense")
+      // tok_offset is the exact running token sum in shard order
+      var acc = 0L
+      sorted.foreach { t =>
+        assert(t._5 == acc, s"shard $shard rank ${t._3}: offset ${t._5} != $acc")
+        acc += t._4
+      }
+    }
+  }
+
+  test("transitions: counts, totals, and half-tie-safe probabilities") {
+    // user 1 emits a,b,a,c → pairs (a,b) (b,a) (a,c); user 2 emits
+    // a,c → one more (a,c). From 'a': b 1/3, c 2/3 — thirds exercise
+    // the integer round-half-up (333333.3→333333, 666666.7→666667)
+    val d = eventsDir(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-03-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-03-01 10:02:00", 1L, "a", 0.0),
+      (4L, "2024-03-01 10:03:00", 1L, "c", 0.0),
+      (5L, "2024-03-01 11:00:00", 2L, "a", 0.0),
+      (6L, "2024-03-01 11:01:00", 2L, "c", 0.0)))
+    val rows = graft.queries.Events.qEventsTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(("a", "b")) == ((1L, 3L, 0.333333)), s"got $rows")
+    assert(rows(("a", "c")) == ((2L, 3L, 0.666667)), s"got $rows")
+    assert(rows(("b", "a")) == ((1L, 1L, 1.0)), s"got $rows")
+    assert(rows.size == 3, s"unexpected transitions: $rows")
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val neu = Seq((1L, "x"), (2L, "Y2"), (4L, "w")).toDF("k", "v")
+    val out = graft.queries.Maintain.snapshotDiff(
+        old, neu, "k", concat_ws("|", col("k"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L), s"got $out")
+  }
+
+  test("shard assign is reproducible run to run") {
+    val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
+    val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
+    assert(a.sameElements(b), "same seed+epoch must give identical layout")
+  }
+}
