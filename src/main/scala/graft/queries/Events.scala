@@ -687,11 +687,16 @@ object Events {
   def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600000000L
     val dayUs = 86400000000L
+    // checkpointed: the rollup feeds THREE consumers (bounds, the type
+    // dimension, and the grid probe) — materializing the calendar-
+    // bounded (types × hours) table once keeps the fact scan single
+    // instead of one per consumer (expression trees re-expand)
     val perHour = Tables.events(s, d)
       .select((expr("unix_micros(ts)") - pmod(expr("unix_micros(ts)"),
         lit(hourUs))).as("b"), col("event_type"))
       .groupBy(col("event_type"), col("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val days = perHour.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
       .select(explode(sequence(col("lo") - pmod(col("lo"), lit(dayUs)),
         col("hi"), lit(dayUs))).as("day"), col("lo"), col("hi"))
@@ -762,9 +767,14 @@ object Events {
     val matrix = pairs.groupBy(col("from_type"),
         col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = matrix.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("total_from"))
-    matrix.join(broadcast(totals), "from_type")
+    // per-source totals as a window over the MATRIX (|types|² rows —
+    // bounded by the type vocabulary, not data volume), so the fact
+    // is scanned and windowed exactly once; a groupBy+join here would
+    // re-expand the whole pair subtree a second time (expression
+    // trees, not DAGs)
+    matrix
+      .withColumn("total_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"),
         col("total_from"),
         (expr("CAST((2000000 * n + total_from) DIV (2 * total_from) AS BIGINT)")

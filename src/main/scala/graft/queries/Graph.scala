@@ -76,11 +76,13 @@ object Graph {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .distinct()
-    val deg = edges.select(col("pa").as("node"))
+    (edges, degreesOf(edges))
+  }
+
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("pa").as("node"))
       .unionAll(edges.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    (edges, deg)
-  }
 
   private def triangleParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -168,10 +170,14 @@ object Graph {
     * (≤ deg·avg-deg candidate rows each). The degree table joins
     * broadcast. */
   def qGraphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
-    val (edges, deg) = edgeParts(s, d)
+    // the edge list feeds FIVE consumers (degrees twice via the union,
+    // adjacency twice, anti-join probe) — checkpoint it once so the
+    // lineitem scan and the pair-generation self-join run a single
+    // time; everything downstream reads the materialized edges
+    val edges = edgeParts(s, d)._1.localCheckpoint()
+    val deg = degreesOf(edges)
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
-      .localCheckpoint()
     val qn = adj.where(col("u") <= LinkQueryCap)
       .select(col("u").as("a"), col("v").as("w"))
     val wdeg = deg.select(col("node").as("w"),
