@@ -36,6 +36,13 @@ case class EwmaEvent(
 case class EwmaState(
     pending: Seq[(Long, Long, Double)], recent: Seq[Double])
 case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
+case class TransEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+case class TransState(
+    pending: Seq[(Long, Long, String)], last: Option[String])
+case class TransPair(
+    user_id: Long, event_id: Long, from_type: String, to_type: String)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -527,6 +534,48 @@ object EventsStream {
           }
           state.update(EwmaState(hold, recent))
           // wake when the watermark passes the earliest held row
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of q_events_transitions' PAIR EXTRACTION: emit the
+    * (prev → next) event-type pair stream per user in exact event-time
+    * order; the matrix/probability rollup downstream is a plain
+    * windowed aggregate of these pairs. Same discipline as ewmaStream:
+    * rows buffer in state until the watermark passes them (late
+    * in-watermark rows land at their correct sequence position), then
+    * emit through the one-element last-type carry — O(pending) state
+    * per user, bounded by the watermark delay, plus one string. */
+  def transitionsStream(
+      events: Dataset[TransEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val prev = state.getOption.getOrElse(TransState(Nil, None))
+          val pending = prev.pending ++
+            rows.map(r => (r.ts.getTime * 1000L, r.event_id, r.event_type))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          // finalized rows: nothing earlier can still arrive, so the
+          // predecessor of each ripe row is fixed for good
+          val (ripe, hold) = pending.partition(_._1 <= horizonUs)
+          var last = prev.last
+          val out = ripe.sortBy(t => (t._1, t._2)).flatMap {
+            case (_, eid, typ) =>
+              val pair = last.map(TransPair(uid, eid, _, typ))
+              last = Some(typ)
+              pair
+          }
+          state.update(TransState(hold, last))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(hold.map(_._1).min / 1000L + 1L,

@@ -777,4 +777,38 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(streamed((7L, 2L)) - (0.3 * 20 + 0.21 * 40 + 0.147 * 10))
       < 1e-9)
   }
+
+  test("streaming transitions emit pairs in event-time order, not arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TransEvent, TransPair}
+    def ev(id: Long, uid: Long, t: String, typ: String) =
+      TransEvent(uid, id, Timestamp.valueOf(t), typ)
+    // user 7's 10:02 'b' arrives AFTER its 10:05 'c' but inside the
+    // watermark — pairs must read a→b→c, exactly as the batch lag does
+    val all = Seq(
+      ev(1L, 7L, "2024-03-01 10:00:00", "a"),
+      ev(2L, 7L, "2024-03-01 10:05:00", "c"),
+      ev(3L, 8L, "2024-03-01 09:00:00", "a"),
+      ev(4L, 7L, "2024-03-01 10:02:00", "b"),
+      ev(5L, 8L, "2024-03-01 10:30:00", "b"),
+      ev(6L, 9L, "2024-03-01 11:00:00", "z")) // advances wm; stays held
+    val stream = MemoryStream[TransEvent]
+    val q = EventsStream.transitionsStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(3)); q.processAllAvailable()
+      stream.addData(all(3), all(4)); q.processAllAvailable()
+      stream.addData(all(5)); q.processAllAvailable()
+      stream.addData(Seq.empty[TransEvent]); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans_out").as[TransPair].collect()
+      .map(p => (p.user_id, p.event_id, p.from_type, p.to_type)).toSet
+    // final watermark 10:50 finalizes everything but the 11:00 row;
+    // user 7: a(10:00)→b(10:02)→c(10:05); user 8: a(09:00)→b(10:30)
+    assert(streamed == Set(
+      (7L, 4L, "a", "b"), (7L, 2L, "b", "c"), (8L, 5L, "a", "b")),
+      s"streamed=$streamed")
+  }
 }
