@@ -684,13 +684,15 @@ object Events {
     * built by the gapfill day-banded two-level explode, never a
     * driver loop. The lag window partitions by type over that grid —
     * bounded by the calendar, not the data volume. */
-  def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
+  /** Dense hourly count series per type — shared by autocorr and the
+    * seasonal-naive forecast. The rollup is checkpointed because it
+    * feeds THREE consumers (bounds, the type dimension, the grid
+    * probe): materializing the calendar-bounded (types × hours) table
+    * once keeps the fact scan single instead of one per consumer
+    * (expression trees re-expand). Columns: event_type, b, x. */
+  private def hourlyDense(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600000000L
     val dayUs = 86400000000L
-    // checkpointed: the rollup feeds THREE consumers (bounds, the type
-    // dimension, and the grid probe) — materializing the calendar-
-    // bounded (types × hours) table once keeps the fact scan single
-    // instead of one per consumer (expression trees re-expand)
     val perHour = Tables.events(s, d)
       .select((expr("unix_micros(ts)") - pmod(expr("unix_micros(ts)"),
         lit(hourUs))).as("b"), col("event_type"))
@@ -706,10 +708,14 @@ object Events {
         least(col("day") + lit(dayUs - hourUs), col("hi")),
         lit(hourUs))).as("b"))
     val types = perHour.select(col("event_type")).distinct()
-    val dense = grid.crossJoin(broadcast(types))
+    grid.crossJoin(broadcast(types))
       .join(perHour, Seq("event_type", "b"), "left")
       .select(col("event_type"), col("b"),
         coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val dense = hourlyDense(s, d)
     val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
     val withLags = dense.select(
       (col("event_type") +: col("x") +:
@@ -737,6 +743,47 @@ object Events {
                 .cast("double"))), 6))
           .as("r"))
       .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** SEASONAL-NAIVE FORECAST evaluation — predict each hour's event
+    * count by the same hour one day earlier (the standard forecasting
+    * baseline every model must beat) and score it per type with MAE
+    * and MAPE over the evaluable span: the capacity-planning sanity
+    * metric ("how predictable is this load, before any model").
+    *
+    * Exactness: predictions and errors are integers on the dense
+    * hourly grid; MAE closes on the integer half-up ppm grid; each
+    * MAPE term |err|/actual quantizes half-up to ppm IN INTEGERS
+    * before the exact BIGINT sum (order-free — a float sum of rational
+    * terms would be engine-ordered), and the mean closes on the same
+    * grid. Zero-actual hours are excluded from MAPE (undefined) and
+    * counted separately.
+    *
+    * Scale shape: shares hourlyDense's single-scan checkpointed
+    * rollup; the 24-lag is one window over the calendar-bounded
+    * series; the rollup to |types| rows is one hash aggregate. */
+  def qEventsForecast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val scored = hourlyDense(s, d)
+      .select(col("event_type"), col("x"),
+        lag(col("x"), 24).over(w).as("pred"))
+      .where(col("pred").isNotNull)
+      .select(col("event_type"), col("x"),
+        abs(col("x") - col("pred")).as("ae"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("ae")).as("sae"),
+        sum(when(col("x") > 0, lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("x") > 0,
+          expr("CAST((2000000 * ae + x) DIV (2 * x) AS BIGINT)"))
+          .otherwise(lit(0L))).as("spe_ppm"))
+      .select(col("event_type"), col("n_eval"), col("n_pos"),
+        (expr("CAST((2000000 * sae + n_eval) DIV (2 * n_eval) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("mae"),
+        when(col("n_pos") > 0,
+          expr("CAST((2 * spe_ppm + n_pos) DIV (2 * n_pos) AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("mape"))
+      .orderBy(col("event_type"))
   }
 
   /** Markov TRANSITION MATRIX of event types — for each user the
@@ -783,6 +830,7 @@ object Events {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_autocorr" -> (qEventsAutocorr _),
     "q_events_changepoint" -> (qEventsChangepoint _),
@@ -808,6 +856,40 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_forecast" ->
+      """WITH ph AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ph),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi, 3600000000)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ph),
+        |dense AS (
+        |  SELECT t.event_type, g.b, COALESCE(ph.c, 0) AS x
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.b = g.b),
+        |scored AS (
+        |  SELECT event_type, x, ABS(x - pred) AS ae FROM (
+        |    SELECT event_type, x,
+        |      LAG(x, 24) OVER (PARTITION BY event_type ORDER BY b) AS pred
+        |    FROM dense) WHERE pred IS NOT NULL),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n_eval,
+        |    CAST(SUM(ae) AS BIGINT) AS sae,
+        |    CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN x > 0
+        |      THEN (2000000 * ae + x) // (2 * x) ELSE 0 END) AS BIGINT)
+        |      AS spe_ppm
+        |  FROM scored GROUP BY 1)
+        |SELECT event_type, n_eval, n_pos,
+        |  CAST((2000000 * sae + n_eval) // (2 * n_eval) AS BIGINT)
+        |    / 1000000.0 AS mae,
+        |  CASE WHEN n_pos > 0 THEN
+        |    CAST((2 * spe_ppm + n_pos) // (2 * n_pos) AS BIGINT) / 1000000.0
+        |  END AS mape
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q_events_transitions" ->
       """WITH lagged AS (
         |  SELECT user_id, event_type,

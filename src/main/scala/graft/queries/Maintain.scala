@@ -343,7 +343,39 @@ object Maintain {
     snapshotDiff(old, newDf, "o_orderkey", rowHash)
   }
 
+  /** JOIN-KEY SKEW REPORT — the diagnostic that decides whether a join
+    * needs salting (graft.operators.SkewJoin) or AQE alone will cope:
+    * per candidate join key of the fact, the key-frequency
+    * distribution summarized as max/avg ratio (the straggler factor —
+    * how much longer the hottest reducer runs than the mean) and the
+    * share of rows on the top-1 key. One hash aggregate per key column
+    * to its key-cardinality table, then a 5-number rollup of THAT —
+    * never a sort of the fact.
+    *
+    * Exactness: counts are integers; both ratios are produced by the
+    * integer half-up grid (floor((2·10⁶·a + b)/(2·b))) and one exact
+    * double division — bit-identical cross-engine. */
+  def qSkewReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def keyStats(keyCol: String): DataFrame = {
+      val counts = li.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      counts.agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+        .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
+          col("max_c"),
+          (expr("CAST((2000000 * max_c * n_keys + n_rows) DIV (2 * n_rows) AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("straggler_factor"),
+          (expr("CAST((2000000 * max_c + n_rows) DIV (2 * n_rows) AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("top1_share"))
+    }
+    keyStats("l_orderkey")
+      .unionByName(keyStats("l_partkey"))
+      .unionByName(keyStats("l_suppkey"))
+      .orderBy(col("join_key"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (qSkewReport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_table_fingerprint" -> (qTableFingerprint _),
     "q_profile" -> (qProfile _),
@@ -371,6 +403,20 @@ object Maintain {
       |ORDER BY user_id, valid_from_us, event_type""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_skew_report" -> {
+      def block(k: String): String =
+        s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c,
+           |  CAST((2000000 * max_c * n_keys + n_rows) // (2 * n_rows)
+           |    AS BIGINT) / 1000000.0 AS straggler_factor,
+           |  CAST((2000000 * max_c + n_rows) // (2 * n_rows)
+           |    AS BIGINT) / 1000000.0 AS top1_share
+           |FROM (
+           |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+           |    CAST(MAX(c) AS BIGINT) AS max_c
+           |  FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY 1))""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(block)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+    },
     "q_snapshot_diff" ->
       """WITH oldh AS (
         |  SELECT o_orderkey AS k,

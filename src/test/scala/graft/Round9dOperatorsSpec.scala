@@ -136,6 +136,43 @@ class Round9dOperatorsSpec extends SparkSpec {
       "changed" -> 1L, "unchanged" -> 1L), s"got $out")
   }
 
+  test("forecast: periodic load scores zero error, shifted load exactly") {
+    // type a repeats day 1 exactly on day 2 → MAE = MAPE = 0;
+    // type b grows 4→5 at hour 0 → sae=1 over n_eval=2 → mae 0.5,
+    // one positive-actual hour with |err|/actual = 1/5 → mape 0.2
+    val d = eventsDir(
+      Seq((1L, "2024-03-01 00:10:00", 1L, "a", 0.0),
+        (2L, "2024-03-01 00:20:00", 1L, "a", 0.0),
+        (3L, "2024-03-01 01:00:00", 1L, "a", 0.0),
+        (4L, "2024-03-02 00:10:00", 1L, "a", 0.0),
+        (5L, "2024-03-02 00:20:00", 1L, "a", 0.0),
+        (6L, "2024-03-02 01:00:00", 1L, "a", 0.0)) ++
+      (1 to 4).map(i => (100L + i, "2024-03-01 00:30:00", 2L, "b", 0.0)) ++
+      (1 to 5).map(i => (200L + i, "2024-03-02 00:30:00", 2L, "b", 0.0)))
+    val rows = graft.queries.Events.qEventsForecast(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("a") == ((2L, 2L, 0.0, 0.0)), s"got $rows")
+    assert(rows("b") == ((2L, 1L, 0.5, 0.2)), s"got $rows")
+  }
+
+  test("skew report: planted hot key yields exact straggler factor") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9d_skew").toString
+    // orderkey [1,1,1,2]: n_keys=2, max=3 → straggler 3/(4/2)=1.5,
+    // top1 3/4; partkey and suppkey perfectly uniform → 1.0
+    Seq((1L, 10L, 100L), (1L, 11L, 101L), (1L, 12L, 102L), (2L, 13L, 103L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Maintain.qSkewReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(rows("l_orderkey") == ((2L, 4L, 3L, 1.5, 0.75)), s"got $rows")
+    assert(rows("l_partkey") == ((4L, 4L, 1L, 1.0, 0.25)), s"got $rows")
+    assert(rows("l_suppkey") == ((4L, 4L, 1L, 1.0, 0.25)), s"got $rows")
+  }
+
   test("shard assign is reproducible run to run") {
     val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
     val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
