@@ -108,7 +108,22 @@ object ExplainDump {
     "q_table_fingerprint" -> ("table fingerprint: per-table ONE " +
       "aggregate pass with map-side partials over per-row md5-15 " +
       "hashes; the commutative DECIMAL sum means no sort, no window — " +
-      "two 1-row aggregates union to the driver"))
+      "two 1-row aggregates union to the driver"),
+    "q_events_transitions" -> ("transition matrix: ONE fact scan, one " +
+      "user-partitioned lag window, one hash aggregate to the " +
+      "|types|^2 matrix; per-source totals are a window over THAT " +
+      "matrix (types^2 rows), not a re-expanded second fact pass"),
+    "q_shard_assign" -> ("shard assignment: per-row md5 order key, " +
+      "ONE shuffle on shard, one bounded window per shard partition " +
+      "computing rank + running token offset — no global row_number, " +
+      "no global sort"),
+    "q_snapshot_diff" -> ("snapshot diff: one full-outer sort-merge " +
+      "join on the key (the one join type that cannot broadcast), " +
+      "per-row hash compare, 4-group rollup with map-side partials"),
+    "q_events_forecast" -> ("seasonal-naive forecast: the checkpointed " +
+      "hourly rollup is the ONLY fact pass; 24-lag window over the " +
+      "calendar-bounded dense series; MAPE terms quantize to integer " +
+      "ppm per row before the exact BIGINT sum"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
