@@ -27,14 +27,16 @@ class PlanLintSpec extends SparkSpec {
     *    all-pairs cosine sweep at the dedup threshold; bounded QA
     *    cross by design (run on a sample at real scale), documented on
     *    DedupSim.qIvfDedupRecall;
-    *  - q_events_gapfill / q_events_interpolate / q_events_autocorr —
-    *    the dense grid × event-type dimension cross; the type
-    *    dimension is distinct() of a low-cardinality column, small by
-    *    data contract (autocorr densifies its hourly series the same
-    *    way the gapfill pair densify their 5-minute grid). */
+    *  - q_events_gapfill / q_events_interpolate / q_events_autocorr /
+    *    q_events_forecast — the dense grid × event-type dimension
+    *    cross; the type dimension is distinct() of a low-cardinality
+    *    column, small by data contract (autocorr and forecast share
+    *    hourlyDense, which densifies the hourly series the same way
+    *    the gapfill pair densify their 5-minute grid). */
   private val crossAllowed = Set(
     "q_cross_join", "q_ann_bruteforce", "q_ann_recall", "q_ivf_dedup_recall",
-    "q_events_gapfill", "q_events_interpolate", "q_events_autocorr")
+    "q_events_gapfill", "q_events_interpolate", "q_events_autocorr",
+    "q_events_forecast")
 
   /** Reviewed whole-relation windows:
     *  - q_win_unpartitioned — the documented driver-bounded
