@@ -173,6 +173,27 @@ class Round9dOperatorsSpec extends SparkSpec {
     assert(rows("l_suppkey") == ((4L, 4L, 1L, 1.0, 0.25)), s"got $rows")
   }
 
+  test("transitions: probabilities sum to 1 per source on real data") {
+    val rows = graft.queries.Events.qEventsTransitions(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      val total = rs.map(_.getDouble(4)).sum
+      // each prob is half-up-rounded at 1e-6; ≤ |types| terms of
+      // ≤ 0.5e-6 rounding each
+      assert(math.abs(total - 1.0) <= 1e-5 * rs.length,
+        s"$src probabilities sum to $total")
+    }
+  }
+
+  test("autocorr: r stays within [-1, 1] on real data") {
+    val rows = graft.queries.Events.qEventsAutocorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0, s"out-of-range r: $r")
+    }
+  }
+
   test("shard assign is reproducible run to run") {
     val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
     val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
