@@ -786,6 +786,46 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** INTER-ARRIVAL (dwell-time) distribution per event type — the
+    * cadence profile behind session-gap tuning, watermark sizing, and
+    * capacity planning: for each (user, type) stream, the gaps between
+    * consecutive events, rolled up per type to count, mean, and
+    * size-routed DISCRETE p50/p95 (observed integer µs values — no
+    * interpolation, no float in the quantile path; the exact↔GK-sketch
+    * routing is ScaleRouting's documented 100-TB branch).
+    *
+    * Exactness: gaps are integer microseconds; the mean closes on the
+    * integer half-up grid (one exact double division at the end);
+    * percentile_disc returns observed BIGINTs.
+    *
+    * Scale shape: one shuffle on (user, type) for the lag window
+    * (bounded by per-user activity — the sessionize contract), one
+    * hash aggregate to |types| rows. */
+  def qEventsDwell(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"))
+      .select(col("event_type"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+      .where(col("gap_us").isNotNull)
+    val exact = graft.operators.ScaleRouting
+      .exactPercentileOk(s, s"$d/events.parquet")
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_us"),
+        graft.operators.ScaleRouting.percentileDisc(exact, "gap_us", 0.5)
+          .cast("long").as("p50_us"),
+        graft.operators.ScaleRouting.percentileDisc(exact, "gap_us", 0.95)
+          .cast("long").as("p95_us"))
+      .select(col("event_type"), col("n_gaps"),
+        (expr("CAST((2 * sum_us + n_gaps) DIV (2 * n_gaps) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("mean_gap_s"),
+        col("p50_us"), col("p95_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Markov TRANSITION MATRIX of event types — for each user the
     * consecutive (prev → next) event pairs, aggregated to counts and
     * transition probabilities: the session-flow model behind "what do
@@ -830,6 +870,7 @@ object Events {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_autocorr" -> (qEventsAutocorr _),
@@ -856,6 +897,22 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_dwell" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST((2 * CAST(SUM(gap_us) AS BIGINT) + COUNT(*)) //
+        |    (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS mean_gap_s,
+        |  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap_us)
+        |    AS BIGINT) AS p50_us,
+        |  CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY gap_us)
+        |    AS BIGINT) AS p95_us
+        |FROM gg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_forecast" ->
       """WITH ph AS (
         |  SELECT event_type,

@@ -194,6 +194,24 @@ class Round9dOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dwell: per-(user,type) gaps with exact mean and discrete quantiles") {
+    // user 1 type a at 0/60/180 s → gaps 60 s, 120 s; user 2 type a at
+    // 0/300 s → gap 300 s. mean = 160 s; disc p50 = 120 s, p95 = 300 s.
+    // user 1's type-b event must not bridge into the type-a stream.
+    val d = eventsDir(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-03-01 10:01:00", 1L, "a", 0.0),
+      (3L, "2024-03-01 10:03:00", 1L, "a", 0.0),
+      (4L, "2024-03-01 10:00:30", 1L, "b", 0.0),
+      (5L, "2024-03-01 11:00:00", 2L, "a", 0.0),
+      (6L, "2024-03-01 11:05:00", 2L, "a", 0.0)))
+    val rows = graft.queries.Events.qEventsDwell(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("a") == ((3L, 160.0, 120000000L, 300000000L)), s"got $rows")
+    assert(!rows.contains("b"), s"single event has no gap: $rows")
+  }
+
   test("shard assign is reproducible run to run") {
     val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
     val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
