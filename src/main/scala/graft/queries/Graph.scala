@@ -201,7 +201,40 @@ object Graph {
       .orderBy(col("node_a"), col("rk"))
   }
 
+  /** BFS hop limit for q_graph_khop — a documented constant: frontier
+    * work grows with the k-hop neighborhood, so the operator is
+    * "reach within k", not all-pairs shortest paths. */
+  val KhopLimit = 3
+
+  /** K-HOP REACHABILITY with hop distance — BFS from the bounded
+    * query-node set, unrolled KhopLimit rounds (the PageRank
+    * fixed-iteration discipline): each round expands the previous
+    * frontier through the adjacency list with one equi-join, new
+    * nodes take hop = round, already-reached nodes keep their smaller
+    * hop via the min-aggregate. Pure integer arithmetic — identical
+    * in any engine. The checkpointed edge list is built once; frontier
+    * joins shuffle on the frontier side only (the adjacency is the
+    * big, stationary side — at scale it would be a bucketed table).
+    * "Parts within 3 co-purchase hops of these parts" is the
+    * recommendation-radius / blast-radius query. */
+  def qGraphKhop(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeParts(s, d)._1.localCheckpoint()
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    var reached = adj.select(col("u").as("node")).where(col("node") <= LinkQueryCap)
+      .distinct().select(col("node"), lit(0).as("hop"))
+    for (k <- 1 to KhopLimit) {
+      val next = reached.where(col("hop") === (k - 1))
+        .join(adj, col("node") === col("u"))
+        .select(col("v").as("node"), lit(k).as("hop"))
+      reached = reached.unionAll(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+    }
+    reached.orderBy(col("hop"), col("node"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_khop" -> (qGraphKhop _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_clustering" -> (qGraphClustering _),
@@ -353,7 +386,34 @@ object Graph {
        |FROM ranked WHERE rk <= 10
        |ORDER BY node_a, rk""".stripMargin
 
+  /** DuckDB twin of qGraphKhop — the same BFS unrolled KhopLimit
+    * rounds from the same query-set bound. */
+  private def khopOracle: String = {
+    def round(k: Int): String =
+      s"""n$k AS (
+         |  SELECT a.v AS node, $k AS hop
+         |  FROM r${k - 1} f JOIN adj a ON a.u = f.node
+         |  WHERE f.hop = ${k - 1}),
+         |r$k AS (
+         |  SELECT node, MIN(hop) AS hop FROM (
+         |    SELECT node, hop FROM r${k - 1}
+         |    UNION ALL SELECT node, hop FROM n$k) GROUP BY 1)""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |adj AS (SELECT pa AS u, pb AS v FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |r0 AS (
+       |  SELECT DISTINCT u AS node, 0 AS hop FROM adj
+       |  WHERE u <= $LinkQueryCap),
+       |${(1 to KhopLimit).map(round).mkString(",\n")}
+       |SELECT node, hop FROM r$KhopLimit ORDER BY hop, node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_graph_khop" -> khopOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_clustering" -> clusteringOracle,

@@ -212,6 +212,22 @@ class Round9dOperatorsSpec extends SparkSpec {
     assert(!rows.contains("b"), s"single event has no gap: $rows")
   }
 
+  test("khop: BFS takes the shortest route and stops at the limit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9d_khop").toString
+    // path 1-30-31-32-33 plus shortcut 1-32: node 32 is 2 hops via
+    // the path's tail... no — 1-32 direct = 1 hop; 33 = 2 hops via
+    // the shortcut, NOT 4 via the path; 34 isolated beyond reach
+    Seq((1L, 1L), (1L, 30L), (2L, 30L), (2L, 31L), (3L, 31L), (3L, 32L),
+      (4L, 32L), (4L, 33L), (5L, 1L), (5L, 32L), (6L, 34L), (6L, 35L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Graph.qGraphKhop(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows == Map(1L -> 0, 30L -> 1, 32L -> 1, 31L -> 2, 33L -> 2),
+      s"got $rows")
+  }
+
   test("shard assign is reproducible run to run") {
     val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
     val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
