@@ -233,7 +233,47 @@ object Graph {
     reached.orderBy(col("hop"), col("node"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list: positive means
+    * hubs prefer hubs (social-network shape), negative means
+    * hub-and-spoke (infrastructure shape) — a one-number structural
+    * fingerprint of the co-purchase graph.
+    *
+    * Degrees are integers, so all five Pearson moments are exact
+    * BIGINT sums over the directed edge rows (each undirected edge
+    * contributes both orientations — the standard formulation); the
+    * closing r is one fixed IEEE sequence rounded at 6 dp
+    * (q_events_autocorr's discipline exactly).
+    *
+    * Scale shape: two broadcast-degree joins onto the checkpointed
+    * edge list, one global aggregate. No windows, no pair explosion. */
+  def qGraphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeParts(s, d)._1.localCheckpoint()
+    val deg = degreesOf(edges)
+    val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    sym
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dy"))), "v")
+      .agg(count(lit(1)).as("n_ends"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n_ends"),
+        when(col("n_ends") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n_ends") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n_ends") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (sqrt((col("n_ends") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+             sqrt((col("n_ends") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6))
+          .as("assortativity"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_graph_khop" -> (qGraphKhop _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -412,7 +452,36 @@ object Graph {
        |SELECT node, hop FROM r$KhopLimit ORDER BY hop, node""".stripMargin
   }
 
+  /** DuckDB twin of qGraphAssortativity — same symmetrized edge ends,
+    * same exact integer moments, same closing sequence. */
+  private val assortativityOracle: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+      |sym AS (SELECT pa AS u, pb AS v FROM e
+      |        UNION ALL SELECT pb, pa FROM e),
+      |m AS (
+      |  SELECT COUNT(*) AS n_ends,
+      |    CAST(SUM(x.deg) AS BIGINT) AS sx, CAST(SUM(y.deg) AS BIGINT) AS sy,
+      |    CAST(SUM(x.deg * y.deg) AS BIGINT) AS sxy,
+      |    CAST(SUM(x.deg * x.deg) AS BIGINT) AS sxx,
+      |    CAST(SUM(y.deg * y.deg) AS BIGINT) AS syy
+      |  FROM sym JOIN deg x ON sym.u = x.node JOIN deg y ON sym.v = y.node)
+      |SELECT n_ends,
+      |  CASE WHEN n_ends * sxx - sx * sx > 0 AND n_ends * syy - sy * sy > 0
+      |    THEN ROUND(CAST(n_ends * sxy - sx * sy AS DOUBLE) /
+      |      (SQRT(CAST(n_ends * sxx - sx * sx AS DOUBLE)) *
+      |       SQRT(CAST(n_ends * syy - sy * sy AS DOUBLE))), 6)
+      |  END AS assortativity
+      |FROM m""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_graph_assortativity" -> assortativityOracle,
     "q_graph_khop" -> khopOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,

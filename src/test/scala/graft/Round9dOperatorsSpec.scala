@@ -228,6 +228,25 @@ class Round9dOperatorsSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("assortativity: star is -1, regular graph has no defined r") {
+    import spark.implicits._
+    // star K1,3: hub degree 3 vs leaf degree 1 on every edge end —
+    // perfectly disassortative, r = −1 by hand arithmetic
+    val star = Files.createTempDirectory("graft_r9d_star").toString
+    Seq((1L, 100L), (1L, 1L), (2L, 100L), (2L, 2L), (3L, 100L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$star/lineitem.parquet")
+    val rs = graft.queries.Graph.qGraphAssortativity(spark, star).collect()(0)
+    assert(rs.getLong(0) == 6L && rs.getDouble(1) == -1.0, s"star: $rs")
+    // triangle: every degree 2 → zero variance → NULL, not a crash
+    val tri = Files.createTempDirectory("graft_r9d_tri").toString
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tri/lineitem.parquet")
+    val rt = graft.queries.Graph.qGraphAssortativity(spark, tri).collect()(0)
+    assert(rt.getLong(0) == 6L && rt.isNullAt(1), s"triangle: $rt")
+  }
+
   test("shard assign is reproducible run to run") {
     val a = graft.queries.Corpus.qShardAssign(spark, sf).collect()
     val b = graft.queries.Corpus.qShardAssign(spark, sf).collect()
