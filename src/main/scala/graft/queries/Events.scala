@@ -826,6 +826,66 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** DISTRIBUTION DRIFT between the first and second half of the
+    * stream — the two-sample chi-squared statistic per event type over
+    * 10 equi-width value buckets: the data-drift monitor every ML
+    * ingest pipeline runs before retraining (chi² instead of PSI
+    * because it needs NO logarithm — every arithmetic step is a fixed
+    * IEEE sequence over exact integer counts, so the statistic is
+    * bit-identical cross-engine at the 6 dp round; PSI's ln() is
+    * libm-vs-Math.log territory).
+    *
+    * The time split point is integer floor arithmetic; bucket edges
+    * come from per-type min/max (broadcast back); expected counts and
+    * per-bucket terms are fixed double sequences over integers; the
+    * per-type statistic sums the 6 dp-rounded terms as DECIMAL
+    * (exact, order-free).
+    *
+    * Scale shape: one extent aggregate + one bucketed-count aggregate
+    * (two fact passes — the classic histogram-with-derived-edges
+    * shape), everything after runs on |types|·10 rows. */
+  def qEventsDrift(s: SparkSession, d: String): DataFrame = {
+    // non-null values only: LEAST/FLOOR null semantics differ across
+    // engines, and a null measurement carries no distribution signal
+    val ev = Tables.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts)").as("ts_us"), col("value"))
+      .where(col("value").isNotNull)
+    val ext = ev.groupBy(col("event_type")).agg(
+      min(col("ts_us")).as("t_lo"), max(col("ts_us")).as("t_hi"),
+      min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+    val bucketed = ev.join(broadcast(ext), "event_type")
+      .select(col("event_type"),
+        when(col("ts_us") <= expr("CAST((t_lo + t_hi) DIV 2 AS BIGINT)"), 1)
+          .otherwise(2).as("half"),
+        when(col("v_hi") > col("v_lo"),
+          least(floor((col("value") - col("v_lo")) /
+            (col("v_hi") - col("v_lo")) * 10).cast("int"), lit(9)))
+          .otherwise(0).as("bucket"))
+    val cells = bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("o2"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val e1 = (col("o1") + col("o2")).cast("double") * col("n1") /
+      (col("n1") + col("n2"))
+    val e2 = (col("o1") + col("o2")).cast("double") * col("n2") /
+      (col("n1") + col("n2"))
+    val term =
+      when(col("n1") > 0, (col("o1") - e1) * (col("o1") - e1) / e1)
+        .otherwise(0.0) +
+      when(col("n2") > 0, (col("o2") - e2) * (col("o2") - e2) / e2)
+        .otherwise(0.0)
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(term, 6).cast("decimal(18,6)").as("t6"))
+      .groupBy(col("event_type"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("t6")).cast("double").as("chi2"))
+      .select(col("event_type"), col("n1"), col("n2"), col("n_buckets"),
+        col("chi2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Markov TRANSITION MATRIX of event types — for each user the
     * consecutive (prev → next) event pairs, aggregated to counts and
     * transition probabilities: the session-flow model behind "what do
@@ -870,6 +930,7 @@ object Events {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_drift" -> (qEventsDrift _),
     "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
@@ -897,6 +958,49 @@ object Events {
     "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_events_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+        |  WHERE value IS NOT NULL),
+        |ext AS (
+        |  SELECT event_type, MIN(ts_us) AS t_lo, MAX(ts_us) AS t_hi,
+        |    MIN(value) AS v_lo, MAX(value) AS v_hi
+        |  FROM ev GROUP BY 1),
+        |b AS (
+        |  SELECT ev.event_type,
+        |    CASE WHEN ts_us <= CAST((t_lo + t_hi) // 2 AS BIGINT)
+        |      THEN 1 ELSE 2 END AS half,
+        |    CASE WHEN v_hi > v_lo
+        |      THEN LEAST(CAST(FLOOR((value - v_lo) / (v_hi - v_lo) * 10)
+        |        AS INTEGER), 9)
+        |      ELSE 0 END AS bucket
+        |  FROM ev JOIN ext USING (event_type)),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(o1) AS BIGINT) AS n1,
+        |    CAST(SUM(o2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, t.n1, t.n2,
+        |    CAST(ROUND(
+        |      CASE WHEN t.n1 > 0 THEN
+        |        (c.o1 - (c.o1 + c.o2) * CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2)) *
+        |        (c.o1 - (c.o1 + c.o2) * CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2)) /
+        |        ((c.o1 + c.o2) * CAST(t.n1 AS DOUBLE) / (t.n1 + t.n2))
+        |      ELSE 0.0 END +
+        |      CASE WHEN t.n2 > 0 THEN
+        |        (c.o2 - (c.o1 + c.o2) * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2)) *
+        |        (c.o2 - (c.o1 + c.o2) * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2)) /
+        |        ((c.o1 + c.o2) * CAST(t.n2 AS DOUBLE) / (t.n1 + t.n2))
+        |      ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS t6
+        |  FROM cells c JOIN tot t USING (event_type))
+        |SELECT event_type, n1, n2, COUNT(*) AS n_buckets,
+        |  CAST(SUM(t6) AS DOUBLE) AS chi2
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_events_dwell" ->
       """WITH g AS (
         |  SELECT event_type,

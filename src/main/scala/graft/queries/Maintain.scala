@@ -360,9 +360,12 @@ object Maintain {
     def keyStats(keyCol: String): DataFrame = {
       val counts = li.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       counts.agg(count(lit(1)).as("n_keys"),
-          sum(col("c")).as("n_rows"), max(col("c")).as("max_c"))
+          sum(col("c")).as("n_rows"), max(col("c")).as("max_c"),
+          // Σc² — the exact row count a self-join on this key would
+          // produce (the basket/dedup pair-join planning number)
+          sum(col("c") * col("c")).as("selfjoin_rows"))
         .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
-          col("max_c"),
+          col("max_c"), col("selfjoin_rows"),
           (expr("CAST((2000000 * max_c * n_keys + n_rows) DIV (2 * n_rows) AS BIGINT)")
             .cast("double") / lit(1000000.0)).as("straggler_factor"),
           (expr("CAST((2000000 * max_c + n_rows) DIV (2 * n_rows) AS BIGINT)")
@@ -405,14 +408,15 @@ object Maintain {
   def oracles: Map[String, String] = Map(
     "q_skew_report" -> {
       def block(k: String): String =
-        s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c,
+        s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c, selfjoin_rows,
            |  CAST((2000000 * max_c * n_keys + n_rows) // (2 * n_rows)
            |    AS BIGINT) / 1000000.0 AS straggler_factor,
            |  CAST((2000000 * max_c + n_rows) // (2 * n_rows)
            |    AS BIGINT) / 1000000.0 AS top1_share
            |FROM (
            |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
-           |    CAST(MAX(c) AS BIGINT) AS max_c
+           |    CAST(MAX(c) AS BIGINT) AS max_c,
+           |    CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows
            |  FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY 1))""".stripMargin
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(block)
         .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")

@@ -166,11 +166,12 @@ class Round9dOperatorsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val rows = graft.queries.Maintain.qSkewReport(spark, dir).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
-          r.getDouble(5)))).toMap
-    assert(rows("l_orderkey") == ((2L, 4L, 3L, 1.5, 0.75)), s"got $rows")
-    assert(rows("l_partkey") == ((4L, 4L, 1L, 1.0, 0.25)), s"got $rows")
-    assert(rows("l_suppkey") == ((4L, 4L, 1L, 1.0, 0.25)), s"got $rows")
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // selfjoin_rows = Σc²: hot orderkey 3²+1²=10, uniform keys 4·1²=4
+    assert(rows("l_orderkey") == ((2L, 4L, 3L, 10L, 1.5, 0.75)), s"got $rows")
+    assert(rows("l_partkey") == ((4L, 4L, 1L, 4L, 1.0, 0.25)), s"got $rows")
+    assert(rows("l_suppkey") == ((4L, 4L, 1L, 4L, 1.0, 0.25)), s"got $rows")
   }
 
   test("transitions: probabilities sum to 1 per source on real data") {
@@ -245,6 +246,24 @@ class Round9dOperatorsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tri/lineitem.parquet")
     val rt = graft.queries.Graph.qGraphAssortativity(spark, tri).collect()(0)
     assert(rt.getLong(0) == 6L && rt.isNullAt(1), s"triangle: $rt")
+  }
+
+  test("drift: shifted distribution scores chi2 by hand, stable scores 0") {
+    // type a: first half all 1.0 (bucket 0), second half all 9.0
+    // (bucket 9) → per cell (4 vs 0): (4−2)²/2 + (0−2)²/2 = 4; two
+    // cells → chi² = 8. type b: constant value, balanced halves → 0.
+    val d = eventsDir(
+      (1 to 4).map(i => (i.toLong, s"2024-03-01 10:0$i:00", 1L, "a", 1.0)) ++
+      (1 to 4).map(i => (10L + i, s"2024-03-01 11:5$i:00", 1L, "a", 9.0)) ++
+      Seq((21L, "2024-03-01 10:00:00", 2L, "b", 5.0),
+        (22L, "2024-03-01 10:10:00", 2L, "b", 5.0),
+        (23L, "2024-03-01 11:20:00", 2L, "b", 5.0),
+        (24L, "2024-03-01 11:30:00", 2L, "b", 5.0)))
+    val rows = graft.queries.Events.qEventsDrift(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("a") == ((4L, 4L, 2L, 8.0)), s"got $rows")
+    assert(rows("b") == ((2L, 2L, 1L, 0.0)), s"got $rows")
   }
 
   test("shard assign is reproducible run to run") {
