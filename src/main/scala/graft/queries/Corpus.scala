@@ -367,11 +367,31 @@ object Corpus {
   // q_shard_assign — deterministic epoch shuffle + shard assignment
   // ---------------------------------------------------------------------
 
-  /** Shard count for the dataloader prep. A fixed test constant; in
-    * production the count derives from corpus size over a target
-    * shard size (the ScaleRouting pattern) so the per-shard window
-    * below stays bounded as the corpus grows. */
-  val NumShards = 8
+  /** Target documents per shard — the production knob the shard count
+    * derives from, so per-shard state stays bounded as the corpus
+    * grows (the ScaleRouting/derived-cells pattern: the count is a
+    * pure function of the corpus row count, computed identically in
+    * the generated oracle SQL, so both engines build the same
+    * layout). */
+  val ShardTargetDocs = 1000L
+
+  /** Floor on the shard count — even a tiny corpus spreads across
+    * enough shards to keep every loader worker busy. */
+  val MinShards = 8
+
+  /** ⌈n/target⌉ with the MinShards floor — pure, spec-asserted at
+    * synthetic sizes. */
+  def shardCountFor(nDocs: Long): Int =
+    math.max(MinShards.toLong,
+      (nDocs + ShardTargetDocs - 1) / ShardTargetDocs).toInt
+
+  /** Size-derived shard count per table dir, memoized — the row count
+    * is parquet footer metadata, no data scan. */
+  private val shardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def derivedShards(s: SparkSession, d: String): Int =
+    shardMemo.computeIfAbsent(d,
+      _ => shardCountFor(Tables.documents(s, d).count())).toInt
 
   /** Epoch tag folded into the shuffle hash: a new epoch re-keys every
     * document, giving a fresh deterministic permutation per epoch. */
@@ -386,9 +406,11 @@ object Corpus {
     * lay out shard files without a second pass.
     *
     * Scale shape: per-row hashing, ONE shuffle on shard, one window
-    * per shard partition (shard size = n/NumShards — the production
-    * knob is NumShards ∝ corpus size, keeping partitions constant).
-    * No global row_number, no driver state. All arithmetic is md5 +
+    * per shard partition — and the shard count is SIZE-DERIVED
+    * (⌈n/ShardTargetDocs⌉, shardCountFor), so per-shard window state
+    * stays ≈ ShardTargetDocs rows however big the corpus grows; the
+    * generated oracle derives the identical count from COUNT(*). No
+    * global row_number, no driver state. All arithmetic is md5 +
     * integer ops — bit-identical cross-engine. */
   def qShardAssign(s: SparkSession, d: String): DataFrame = {
     val h = conv(substring(md5(concat(lit(s"shard:$ShardEpoch:"),
@@ -398,7 +420,7 @@ object Corpus {
     docs(s, d)
       .select(col("doc_id"), h.as("h"),
         size(split(col("text"), "\\s+")).as("n_tokens"))
-      .withColumn("shard", pmod(col("h"), lit(NumShards)))
+      .withColumn("shard", pmod(col("h"), lit(derivedShards(s, d))))
       .select(col("doc_id"), col("shard"),
         row_number().over(w).as("rk"), col("n_tokens"),
         coalesce(sum(col("n_tokens")).over(
@@ -424,20 +446,24 @@ object Corpus {
 
   def oracles: Map[String, String] = Map(
     "q_shard_assign" ->
-      s"""WITH h AS (
+      s"""WITH ns AS (
+         |  SELECT GREATEST($MinShards,
+         |    (COUNT(*) + ${ShardTargetDocs - 1}) // $ShardTargetDocs) AS k
+         |  FROM documents),
+         |h AS (
          |  SELECT doc_id,
          |    CAST(CONCAT('0x', SUBSTR(MD5('shard:$ShardEpoch:' ||
          |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
          |    LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens
          |  FROM documents)
-         |SELECT doc_id, h % $NumShards AS shard,
-         |  ROW_NUMBER() OVER w AS rk, n_tokens,
-         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % $NumShards
+         |SELECT doc_id, h % ns.k AS shard,
+         |  ROW_NUMBER() OVER (PARTITION BY h % ns.k ORDER BY h, doc_id)
+         |    AS rk, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % ns.k
          |    ORDER BY h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    AS BIGINT) AS tok_offset
-         |FROM h
-         |WINDOW w AS (PARTITION BY h % $NumShards ORDER BY h, doc_id)
+         |FROM h CROSS JOIN ns
          |ORDER BY shard, rk""".stripMargin,
     "q_chunk_index" -> {
       val w = ChunkTokens; val st = ChunkStride

@@ -167,8 +167,8 @@ object Graph {
     * Scale shape: the two-hop expansion runs only from the bounded
     * query set (|Q|·deg² rows); existing edges drop via left_anti on
     * the adjacency key; the top-10 window partitions per query node
-    * (≤ deg·avg-deg candidate rows each). The degree table joins
-    * broadcast. */
+    * (≤ deg·avg-deg candidate rows each). The |nodes|-sized degree
+    * table joins un-hinted — AQE broadcasts it only when small. */
   def qGraphCommonNeighbors(s: SparkSession, d: String): DataFrame = {
     // the edge list feeds FIVE consumers (degrees twice via the union,
     // adjacency twice, anti-join probe) — checkpoint it once so the
@@ -182,10 +182,12 @@ object Graph {
       .select(col("u").as("a"), col("v").as("w"))
     val wdeg = deg.select(col("node").as("w"),
       expr("CAST(1000000000 DIV deg AS BIGINT)").as("wq"))
+    // no broadcast hint: wdeg is |nodes|-sized (AQE broadcasts it only
+    // when genuinely small; the candidate side is already shuffled on w)
     val cand = qn
       .join(adj.select(col("u").as("w"), col("v").as("y")), "w")
       .where(col("y") =!= col("a"))
-      .join(broadcast(wdeg), "w")
+      .join(wdeg, "w")
       .groupBy(col("a"), col("y"))
       .agg(count(lit(1)).as("cn"), sum(col("wq")).as("raq"))
     val nonEdge = cand.join(adj,
@@ -245,16 +247,21 @@ object Graph {
     * closing r is one fixed IEEE sequence rounded at 6 dp
     * (q_events_autocorr's discipline exactly).
     *
-    * Scale shape: two broadcast-degree joins onto the checkpointed
-    * edge list, one global aggregate. No windows, no pair explosion. */
+    * Scale shape: two degree equi-joins onto the checkpointed edge
+    * list (un-hinted — AQE broadcasts the |nodes|-sized degree table
+    * only when it is genuinely small), one global aggregate. No
+    * windows, no pair explosion. */
   def qGraphAssortativity(s: SparkSession, d: String): DataFrame = {
     val edges = edgeParts(s, d)._1.localCheckpoint()
     val deg = degreesOf(edges)
     val sym = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    // NO broadcast hint on the degree table: it is |nodes|-sized, so
+    // the hint would be wrong at real scale — AQE broadcasts it when
+    // it is actually small, shuffles on the node key otherwise
     sym
-      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("dx"))), "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dy"))), "v")
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
       .agg(count(lit(1)).as("n_ends"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
         sum(col("dx") * col("dy")).as("sxy"),

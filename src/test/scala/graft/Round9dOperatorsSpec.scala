@@ -89,9 +89,10 @@ class Round9dOperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
         r.getLong(4)))
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nShards = graft.queries.Corpus.shardCountFor(nDocs)
     assert(out.length == nDocs, "every doc appears exactly once")
     assert(out.map(_._1).distinct.length == out.length, "no doc repeats")
-    assert(out.forall(t => t._2 >= 0 && t._2 < graft.queries.Corpus.NumShards))
+    assert(out.forall(t => t._2 >= 0 && t._2 < nShards))
     out.groupBy(_._2).foreach { case (shard, rows) =>
       val sorted = rows.sortBy(_._3)
       assert(sorted.map(_._3).toSeq == (1 to rows.length),
@@ -264,6 +265,16 @@ class Round9dOperatorsSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(rows("a") == ((4L, 4L, 2L, 8.0)), s"got $rows")
     assert(rows("b") == ((2L, 2L, 1L, 0.0)), s"got $rows")
+  }
+
+  test("shard count is size-derived with the MinShards floor") {
+    import graft.queries.Corpus.shardCountFor
+    // tiny corpus floors at 8; big corpora scale ⌈n/1000⌉ so the
+    // per-shard window stays ≈ 1000 docs at any size
+    assert(shardCountFor(1L) == 8 && shardCountFor(500L) == 8)
+    assert(shardCountFor(8000L) == 8 && shardCountFor(8001L) == 9)
+    assert(shardCountFor(100000L) == 100)
+    assert(shardCountFor(100000000L) == 100000)
   }
 
   test("shard assign is reproducible run to run") {
