@@ -123,6 +123,53 @@ object EventsStream {
         col("n_violations"),
         round(col("n_violations") / col("n_rows"), 6).as("violation_rate"))
 
+  /** Streaming DRIFT MONITOR — the deployment shape of
+    * q_events_drift: each ingest window's value distribution scored
+    * chi² against a FROZEN reference distribution (the training-set
+    * histogram), so a drifting feed flags itself window by window
+    * instead of poisoning the next retrain.
+    *
+    * `ref` columns: event_type, v_lo, v_hi, p_ref (array of 10 bucket
+    * fractions). The reference rides a broadcast stream-static join;
+    * the 10 observed bucket counts are FIXED conditional-sum columns
+    * of ONE windowed aggregate (the CountMin fixed-rows trick — no
+    * chained streaming aggregates, append mode finalizes on
+    * watermark); chi² closes per row from the 10 columns. Buckets the
+    * reference says are impossible (p = 0) are excluded from chi²
+    * and reported separately as n_unexpected. */
+  def driftStream(
+      events: DataFrame, ref: DataFrame,
+      watermarkDelay: String, window_ : String = "1 hour"): DataFrame = {
+    val bucket = when(col("v_hi") > col("v_lo"),
+      least(floor((col("value") - col("v_lo")) /
+        (col("v_hi") - col("v_lo")) * 10).cast("int"), lit(9)))
+      .otherwise(0)
+    val obs = (0 until 10).map(i =>
+      sum(when(col("bucket") === i, 1L).otherwise(0L)).as(s"o$i"))
+    val agg = events
+      .withWatermark("ts", watermarkDelay)
+      .join(org.apache.spark.sql.functions.broadcast(ref),
+        Seq("event_type"))
+      .withColumn("bucket", bucket)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"),
+        col("p_ref"))
+      .agg(obs.head, obs.tail: _*)
+      .withColumn("n", (0 until 10).map(i => col(s"o$i")).reduce(_ + _))
+    val term = (i: Int) => {
+      val p = element_at(col("p_ref"), i + 1)
+      val e = col("n").cast("double") * p
+      when(p > 0,
+        (col(s"o$i") - e) * (col(s"o$i") - e) / e).otherwise(0.0)
+    }
+    val unexpected = (0 until 10).map(i =>
+      when(element_at(col("p_ref"), i + 1) === 0.0, col(s"o$i"))
+        .otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("w.start").as("window_start"), col("event_type"),
+      col("n"),
+      round((0 until 10).map(term).reduce(_ + _), 6).as("chi2"),
+      unexpected.as("n_unexpected"))
+  }
+
   /** Running per-user event counts — stateful aggregation in streaming
     * (complete/update mode), plain groupBy in batch. */
   def userCounts(events: DataFrame): DataFrame =

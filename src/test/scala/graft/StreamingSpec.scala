@@ -778,6 +778,41 @@ class StreamingSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("streaming drift monitor scores windows against the frozen reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference: half the mass in bucket 0, half in bucket 9
+    val ref = Seq(("a", 0.0, 10.0,
+      Seq(0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5)))
+      .toDF("event_type", "v_lo", "v_hi", "p_ref")
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = EventsStream.driftStream(
+        stream.toDF().toDF("event_id", "ts", "event_type", "value"),
+        ref, "10 minutes")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      // one 10:00 window: 3× bucket 0, 1× bucket 9, 1× bucket 5
+      // (impossible per reference); a 12:30 row closes the window
+      stream.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:01:00"), "a", 0.5),
+        (2L, Timestamp.valueOf("2024-03-01 10:02:00"), "a", 0.5),
+        (3L, Timestamp.valueOf("2024-03-01 10:03:00"), "a", 0.5),
+        (4L, Timestamp.valueOf("2024-03-01 10:04:00"), "a", 9.5),
+        (5L, Timestamp.valueOf("2024-03-01 10:05:00"), "a", 5.0))
+      q.processAllAvailable()
+      stream.addData((6L, Timestamp.valueOf("2024-03-01 12:30:00"), "a", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("drift_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // e0 = 2.5, e9 = 2.5 → (3−2.5)²/2.5 + (1−2.5)²/2.5 = 1.0; the
+    // bucket-5 row counts as unexpected, not as a chi² term
+    assert(got.toSeq == Seq(("2024-03-01 10:00:00.0", "a", 5L, 1.0, 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("streaming transitions emit pairs in event-time order, not arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
