@@ -123,7 +123,18 @@ object ExplainDump {
     "q_events_forecast" -> ("seasonal-naive forecast: the checkpointed " +
       "hourly rollup is the ONLY fact pass; 24-lag window over the " +
       "calendar-bounded dense series; MAPE terms quantize to integer " +
-      "ppm per row before the exact BIGINT sum"))
+      "ppm per row before the exact BIGINT sum"),
+    "q_events_dwell" -> ("inter-arrival profile: one (user, type) lag " +
+      "window, one hash aggregate to |types| rows with size-routed " +
+      "percentile_disc — no float in the quantile path"),
+    "q_events_drift" -> ("chi-squared drift: extent aggregate + " +
+      "bucketed-count aggregate (the histogram-with-derived-edges " +
+      "two-pass), |types|-sized broadcast edges, |types|*10-row tail"),
+    "q_graph_khop" -> ("k-hop BFS: three frontier equi-joins against " +
+      "the checkpointed adjacency + min-hop aggregates, no windows"),
+    "q_graph_assortativity" -> ("degree assortativity: two UN-hinted " +
+      "degree joins (AQE broadcasts only when small) + one global " +
+      "aggregate of exact integer moments"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
