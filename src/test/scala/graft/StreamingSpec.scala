@@ -731,6 +731,46 @@ class StreamingSpec extends SparkSpec {
       s"ring lost across restart: ${got.get((7L, 4L))} vs $expected")
   }
 
+  test("transitions stream recovers its last-type carry from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TransEvent, TransPair}
+    def ev(id: Long, uid: Long, t: String, typ: String) =
+      TransEvent(uid, id, Timestamp.valueOf(t), typ)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tr_ck").toString
+    val got = new java.util.concurrent.ConcurrentHashMap[
+      (Long, Long), (String, String)]
+    val stream = MemoryStream[TransEvent]
+    def start() = EventsStream.transitionsStream(stream.toDS(), "10 minutes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TransPair], _: Long) =>
+        ds.collect().foreach(p =>
+          got.put((p.user_id, p.event_id), (p.from_type, p.to_type)))
+      }.start()
+    // run 1: user 7 ends on type 'b' (finalized by the watermark)
+    val q1 = start()
+    try {
+      stream.addData(ev(1L, 7L, "2024-03-01 10:00:00", "a"),
+        ev(2L, 7L, "2024-03-01 10:05:00", "b"))
+      q1.processAllAvailable()
+      stream.addData(ev(3L, 9L, "2024-03-01 11:00:00", "z"))
+      q1.processAllAvailable()
+      stream.addData(Seq.empty[TransEvent]); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got.get((7L, 2L)) == (("a", "b")), s"run 1 flush: $got")
+    // run 2: restart from the checkpoint — the next event must pair
+    // with the carried 'b', not start a fresh chain
+    val q2 = start()
+    try {
+      stream.addData(ev(4L, 7L, "2024-03-01 11:05:00", "c"),
+        ev(5L, 9L, "2024-03-01 12:00:00", "z"))
+      q2.processAllAvailable()
+      stream.addData(Seq.empty[TransEvent]); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got.get((7L, 4L)) == (("b", "c")),
+      s"carry lost across restart: ${got.get((7L, 4L))}")
+  }
+
   test("streaming ewma reorders late rows and matches batch doubles exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
