@@ -1,0 +1,79 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EMPIRICAL scaling gate: run the same plan at two data sizes and
+  * machine-assert how its shuffle volume grows. Plan-shape lints
+  * (PlanLintSpec) prove the absence of known-bad operators; this spec
+  * proves the claimed complexity on real executions — a linear
+  * operator's shuffle records must grow ≈ with the data, while a
+  * deliberately quadratic control must blow up, proving the detector
+  * actually distinguishes the two. */
+class ScalingSpec extends SparkSpec {
+
+  private val sfSmall = "/root/testdata/sf0.001"
+  private val sfBig = "/root/testdata/sf0.01" // 10× the events rows
+
+  /** Total shuffle records written while executing `df` through the
+    * noop sink, via a task-end listener (polled until the counter
+    * stabilizes — listener events trail the action). */
+  private def shuffleRecordsOf(df: DataFrame): Long = {
+    val acc = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      var stable = 0
+      var prev = -1L
+      while (stable < 2) {
+        Thread.sleep(250)
+        if (acc.get == prev) stable += 1 else { stable = 0; prev = acc.get }
+      }
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sessionize shuffle grows linearly with the event volume") {
+    val small = shuffleRecordsOf(
+      graft.queries.Events.qEventsSessionize(spark, sfSmall))
+    val big = shuffleRecordsOf(
+      graft.queries.Events.qEventsSessionize(spark, sfBig))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    // 10× data → ≈10× shuffle for a linear operator; 25 leaves head-
+    // room for fixed per-plan overhead without admitting quadratics
+    assert(ratio < 25.0,
+      s"sessionize shuffle grew ${ratio}x on 10x data ($small -> $big)")
+  }
+
+  test("the quadratic control blows up, so the detector discriminates") {
+    def allPairs(d: String): DataFrame = {
+      val users = Tables.events(spark, d).select(col("user_id")).distinct()
+        .withColumn("k", lit(1))
+      // constant-key self-join → |users|² pair rows forced through a
+      // repartition on the pair key (AQE broadcasts the tiny side, so
+      // the join itself shuffles nothing — the repartition makes the
+      // quadratic row count hit the wire): the shape the lint + this
+      // gate exist to keep out
+      users.as("a")
+        .join(users.select(col("user_id").as("ub"), col("k")), "k")
+        .repartition(col("user_id"), col("ub"))
+        .groupBy(col("user_id"), col("ub")).count()
+    }
+    val small = shuffleRecordsOf(allPairs(sfSmall))
+    val big = shuffleRecordsOf(allPairs(sfBig))
+    val ratio = big.toDouble / small
+    // 10× the users → ≈100× the pair records
+    assert(ratio > 50.0,
+      s"quadratic control only grew ${ratio}x ($small -> $big) — " +
+        "the scaling detector would miss real quadratics")
+  }
+}
