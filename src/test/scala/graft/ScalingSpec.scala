@@ -54,6 +54,20 @@ class ScalingSpec extends SparkSpec {
       s"sessionize shuffle grew ${ratio}x on 10x data ($small -> $big)")
   }
 
+  test("minhash dedup shuffle grows linearly with the corpus") {
+    // documents: 500 rows at sf0.01 → 5000 at sf0.1 (docs only scale
+    // from sf0.01 up). The LSH claim IS linearity: signature pass,
+    // band buckets, and bounded-bucket verification — never corpus²
+    val small = shuffleRecordsOf(
+      graft.queries.DedupSim.qDedupMinhash(spark, "/root/testdata/sf0.01"))
+    val big = shuffleRecordsOf(
+      graft.queries.DedupSim.qDedupMinhash(spark, "/root/testdata/sf0.1"))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    assert(ratio < 30.0,
+      s"minhash shuffle grew ${ratio}x on 10x docs ($small -> $big)")
+  }
+
   test("the quadratic control blows up, so the detector discriminates") {
     def allPairs(d: String): DataFrame = {
       val users = Tables.events(spark, d).select(col("user_id")).distinct()
