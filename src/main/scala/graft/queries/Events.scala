@@ -676,7 +676,10 @@ object Events {
     * integers, so ALL five Pearson moments (Σx, Σy, Σxy, Σx², Σy²)
     * are exact BIGINT sums — order-free and engine-portable; the
     * closing r is a fixed sequence of correctly-rounded IEEE double
-    * ops, rounded at 6 dp.
+    * ops, rounded at 6 dp. Numeric envelope: hourly counts below
+    * ~2³¹ keep every moment product inside BIGINT through ~10⁵ grid
+    * hours — beyond that, lift the moment sums to DECIMAL(38,0) (the
+    * q_skew_report selfjoin_rows pattern).
     *
     * Scale shape: the hourly rollup is one map-side-partial hash
     * aggregate of the fact; everything after runs on the
@@ -814,13 +817,16 @@ object Events {
       .exactPercentileOk(s, s"$d/events.parquet")
     gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
-        sum(col("gap_us")).as("sum_us"),
+        // DECIMAL sum: microsecond gap totals overflow BIGINT around
+        // 10¹² gap-seconds — reachable for a 100 TB event log
+        sum(col("gap_us").cast("decimal(38,0)")).as("sum_us"),
         graft.operators.ScaleRouting.percentileDisc(exact, "gap_us", 0.5)
           .cast("long").as("p50_us"),
         graft.operators.ScaleRouting.percentileDisc(exact, "gap_us", 0.95)
           .cast("long").as("p95_us"))
       .select(col("event_type"), col("n_gaps"),
-        (expr("CAST((2 * sum_us + n_gaps) DIV (2 * n_gaps) AS BIGINT)")
+        (expr("CAST((CAST(2 AS DECIMAL(38,0)) * sum_us + n_gaps) DIV " +
+          "(CAST(2 AS DECIMAL(38,0)) * n_gaps) AS BIGINT)")
           .cast("double") / lit(1000000.0)).as("mean_gap_s"),
         col("p50_us"), col("p95_us"))
       .orderBy(col("event_type"))
@@ -1010,7 +1016,7 @@ object Events {
         |  FROM events),
         |gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL)
         |SELECT event_type, COUNT(*) AS n_gaps,
-        |  CAST((2 * CAST(SUM(gap_us) AS BIGINT) + COUNT(*)) //
+        |  CAST((2 * SUM(gap_us) + COUNT(*)) //
         |    (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS mean_gap_s,
         |  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap_us)
         |    AS BIGINT) AS p50_us,

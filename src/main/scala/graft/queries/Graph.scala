@@ -245,7 +245,9 @@ object Graph {
     * BIGINT sums over the directed edge rows (each undirected edge
     * contributes both orientations — the standard formulation); the
     * closing r is one fixed IEEE sequence rounded at 6 dp
-    * (q_events_autocorr's discipline exactly).
+    * (q_events_autocorr's discipline exactly — including its numeric
+    * envelope: degrees below ~2³¹ keep every product in BIGINT; a
+    * hotter graph lifts the moment sums to DECIMAL(38,0)).
     *
     * Scale shape: two degree equi-joins onto the checkpointed edge
     * list (un-hinted — AQE broadcasts the |nodes|-sized degree table

@@ -362,11 +362,19 @@ object Maintain {
       counts.agg(count(lit(1)).as("n_keys"),
           sum(col("c")).as("n_rows"), max(col("c")).as("max_c"),
           // Σc² — the exact row count a self-join on this key would
-          // produce (the basket/dedup pair-join planning number)
-          sum(col("c") * col("c")).as("selfjoin_rows"))
+          // produce (the basket/dedup pair-join planning number);
+          // DECIMAL end-to-end: one mega-hot key's c² already strains
+          // 2⁶³ and the sum certainly passes it at 100 TB
+          sum((col("c").cast("decimal(19,0)") * col("c"))
+            .cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("selfjoin_rows"))
         .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
           col("max_c"), col("selfjoin_rows"),
-          (expr("CAST((2000000 * max_c * n_keys + n_rows) DIV (2 * n_rows) AS BIGINT)")
+          // DECIMAL intermediate: 2·10⁶·max_c·n_keys passes 2⁶³ around
+          // 10¹⁰ keys — reachable for a 100 TB fact; the ppm quotient
+          // itself always fits BIGINT
+          (expr("CAST((CAST(2000000 AS DECIMAL(38,0)) * max_c * n_keys " +
+            "+ n_rows) DIV (CAST(2 AS DECIMAL(38,0)) * n_rows) AS BIGINT)")
             .cast("double") / lit(1000000.0)).as("straggler_factor"),
           (expr("CAST((2000000 * max_c + n_rows) DIV (2 * n_rows) AS BIGINT)")
             .cast("double") / lit(1000000.0)).as("top1_share"))
@@ -409,14 +417,15 @@ object Maintain {
     "q_skew_report" -> {
       def block(k: String): String =
         s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c, selfjoin_rows,
-           |  CAST((2000000 * max_c * n_keys + n_rows) // (2 * n_rows)
-           |    AS BIGINT) / 1000000.0 AS straggler_factor,
+           |  CAST((CAST(2000000 AS HUGEINT) * max_c * n_keys + n_rows)
+           |    // (2 * n_rows) AS BIGINT) / 1000000.0 AS straggler_factor,
            |  CAST((2000000 * max_c + n_rows) // (2 * n_rows)
            |    AS BIGINT) / 1000000.0 AS top1_share
            |FROM (
            |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
            |    CAST(MAX(c) AS BIGINT) AS max_c,
-           |    CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows
+           |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0))
+           |      AS selfjoin_rows
            |  FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY 1))""".stripMargin
       Seq("l_orderkey", "l_partkey", "l_suppkey").map(block)
         .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
