@@ -314,6 +314,69 @@ object DedupSim {
       .orderBy(col("method"))
   }
 
+  /** Margin below the label mean cosine under which a vector is
+    * flagged as a prune candidate — deterministic, shared with the
+    * oracle. */
+  private val ProtoMargin = 0.05
+
+  /** Per-vector PROTOTYPICALITY: cosine to the exact centroid of the
+    * vector's own label, with a prune flag for vectors far below their
+    * label's mean — the SemDeDup/data-pruning curation signal ("drop
+    * the least prototypical p%" / "drop outliers that don't belong to
+    * their cluster"). 100-TB shape: the per-label centroids are ONE
+    * tiny (label, dim) aggregate broadcast back, the score is a pure
+    * per-row dot product, and the label stats are a second tiny
+    * aggregate — no window, no pair work, nothing quadratic anywhere.
+    * Fully oracle-checked: the ×2²⁴-quantized centroid means
+    * (Similarity.groupCentroids) and the 6 dp cosine are
+    * engine-portable, and the mean similarity accumulates as exact
+    * DECIMAL before the one closing round. */
+  def qEmbedPrototype(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val cent = Similarity.groupCentroids(emb, "label")
+    val scored = emb.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(Similarity.cosineIn(s)(col("embedding"), col("centroid")), 6)
+          .as("proto_sim"))
+    val ls = scored.groupBy(col("label"))
+      .agg(round(sum(col("proto_sim").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("label_mean_sim"))
+    scored.join(broadcast(ls), "label")
+      .select(col("vec_id"), col("label"), col("proto_sim"),
+        col("label_mean_sim"),
+        (col("proto_sim") < col("label_mean_sim") - ProtoMargin)
+          .as("is_prune"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** 1-bit sign-quantized top-5 — the EXTREME compression end of the
+    * ANN ladder (float32 → int8 → PQ nibbles → 1 bit/dim): each vector
+    * collapses to two 32-bit sign words (8 bytes total at d=64, a 32×
+    * scan-size reduction), and similarity is pure Hamming distance —
+    * two XOR+popcount ops per candidate, no float math in the scan at
+    * all. Ranks ascending (hamming, vec_id); fully oracle-checked —
+    * the strict x > 0 sign test and the distinct powers of two are
+    * exact in both engines. */
+  def qEmbedBitsim(s: SparkSession, d: String): DataFrame = {
+    val packed = embParallel(s, d).select(col("vec_id"),
+      Similarity.signWord(col("embedding"), 0).as("w0"),
+      Similarity.signWord(col("embedding"), 32).as("w1"))
+    val q = packed.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        col("w0").as("q0"), col("w1").as("q1"))
+    val ham = (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+      bit_count(col("w1").bitwiseXOR(col("q1")))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    packed.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), ham.as("hamming"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Incremental ingest dedup on the src0 slice (the "daily batch")
     * against everything else (the "existing corpus") — one verdict row
     * per incoming doc; see Dedup.incrementalDedupScreen for the shape.
@@ -398,7 +461,8 @@ object DedupSim {
           .as("recall_vs_blocked"))
   }
 
-  /** Recall@5 of each approximate ANN path (IVF, LSH) against the
+  /** Recall@5 of each approximate ANN path (IVF, IVF-PQ, LSH, and the
+    * 1-bit sign signature) against the
     * brute-force truth on the shared query set — the operator that
     * turns the ANN quality claim into a MEASURED, oracle-checked
     * number instead of a spec-only assertion. Micro-averaged:
@@ -417,6 +481,8 @@ object DedupSim {
         .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
       .unionByName(qAnnIvfpq(s, d)
         .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
+      .unionByName(qEmbedBitsim(s, d)
+        .select(lit("bitsim").as("method"), col("query_id"), col("vec_id")))
     val hits = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("nhit"))
     // denominator = the brute-force row count itself (k rows per query
@@ -426,7 +492,7 @@ object DedupSim {
     // recall_at_5 = 0.0 instead of vanishing from the output
     val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_bf"))
-    Seq("ivf", "lsh", "ivfpq").toDF("method")
+    Seq("ivf", "lsh", "ivfpq", "bitsim").toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(tot))
       .select(col("method"), col("n_queries"),
@@ -462,6 +528,8 @@ object DedupSim {
     "q_dedup_embedding_ivf2" -> (qDedupEmbeddingIvf2 _),
     "q_ivf_dedup_recall" -> (qIvfDedupRecall _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_embed_prototype" -> (qEmbedPrototype _),
+    "q_embed_bitsim" -> (qEmbedBitsim _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
 
@@ -1143,6 +1211,35 @@ object DedupSim {
         |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+    // per-label quantized-integer centroid, per-row cosine, exact
+    // decimal mean — mirrors Similarity.groupCentroids + the Spark
+    // closing arithmetic step for step
+    "q_embed_prototype" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+         |ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS x
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label, pos,
+         |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT))
+         |      AS DOUBLE) / (16777216.0 * COUNT(*)) AS m
+         |  FROM ex GROUP BY 1, 2),
+         |cl AS (SELECT label, LIST(m ORDER BY pos) AS cv FROM cm GROUP BY label),
+         |scored AS (
+         |  SELECT v.vec_id, v.label, ${duckCos("v.ve", "cl.cv")} AS proto_sim
+         |  FROM v JOIN cl USING (label)),
+         |ls AS (
+         |  SELECT label,
+         |    ROUND(CAST(SUM(CAST(proto_sim AS DECIMAL(18,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS label_mean_sim
+         |  FROM scored GROUP BY label)
+         |SELECT s.vec_id, s.label, s.proto_sim, ls.label_mean_sim,
+         |  s.proto_sim < ls.label_mean_sim - CAST($ProtoMargin AS DOUBLE)
+         |    AS is_prune
+         |FROM scored s JOIN ls USING (label) ORDER BY s.vec_id""".stripMargin,
+    "q_embed_bitsim" -> bitsimOracle,
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivfpq" -> pqOracle,
@@ -1158,12 +1255,15 @@ object DedupSim {
          |lshq AS ($lshOracle),
          |ivfq AS ($ivfOracle),
          |pqq AS ($pqOracle),
+         |bsq AS ($bitsimOracle),
          |approx AS (
          |  SELECT 'ivf' AS method, query_id, vec_id FROM ivfq
          |  UNION ALL
          |  SELECT 'lsh' AS method, query_id, vec_id FROM lshq
          |  UNION ALL
-         |  SELECT 'ivfpq' AS method, query_id, vec_id FROM pqq),
+         |  SELECT 'ivfpq' AS method, query_id, vec_id FROM pqq
+         |  UNION ALL
+         |  SELECT 'bitsim' AS method, query_id, vec_id FROM bsq),
          |hits AS (
          |  SELECT method, COUNT(*) AS nhit FROM approx a
          |  WHERE EXISTS (SELECT 1 FROM bf b
@@ -1172,7 +1272,8 @@ object DedupSim {
          |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
          |  COUNT(*) AS n_bf FROM bf),
          |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method
-         |  UNION ALL SELECT 'ivfpq' AS method)
+         |  UNION ALL SELECT 'ivfpq' AS method
+         |  UNION ALL SELECT 'bitsim' AS method)
          |SELECT m.method, tot.n_queries,
          |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
          |FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot
@@ -1341,6 +1442,32 @@ object DedupSim {
        |  FROM refined) t WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  /** DuckDB twin of qEmbedBitsim: identical strict-positive sign test,
+    * the same carry-free powers-of-two packing into two 32-bit words,
+    * and XOR+popcount Hamming — every step exact integer arithmetic. */
+  private val bitsimOracle =
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        |pk AS (
+        |  SELECT vec_id,
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32), i ->
+        |      CASE WHEN ve[i] > 0 THEN (1::BIGINT << (i - 1))
+        |        ELSE 0 END))::BIGINT AS w0,
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 32), i ->
+        |      CASE WHEN ve[i + 32] > 0 THEN (1::BIGINT << (i - 1))
+        |        ELSE 0 END))::BIGINT AS w1
+        |  FROM v),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+        |      AS BIGINT) AS hamming
+        |  FROM pk q JOIN pk c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, vec_id, hamming, rk FROM (
+        |  SELECT query_id, vec_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, vec_id) AS rk
+        |  FROM ham) t WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin
 
   private val bruteforceOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

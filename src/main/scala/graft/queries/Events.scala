@@ -167,6 +167,38 @@ object Events {
     * within a run of consecutive days; one max over the island
     * lengths. Both windows partition by user (co-partitioned with the
     * distinct), so the whole query is one shuffle on user_id. */
+  /** Per-user behavioral entropy (bits) over the event-type
+    * distribution + the dominant type's share — the predictability /
+    * bot-detection signal (a scripted client hammers one type →
+    * entropy ≈ 0; organic users spread). Portable-log discipline of
+    * q_text_entropy: each (user, type) count contributes
+    * round(c·ln c, 9) as DECIMAL — summed exactly — so the only
+    * doubles crossing engines are post-round. 100-TB shape: both
+    * aggregates co-partition on user_id — ONE shuffle of (user, type)
+    * counts, map-side combined; nothing else moves. */
+  def qEventsEntropy(s: SparkSession, d: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        max(col("c")).as("top_c"),
+        sum(round(col("c") * log(col("c").cast("double")), 9)
+          .cast("decimal(18,9)")).as("sclnc"))
+      .select(
+        col("user_id"), col("n_events"), col("n_types"),
+        round(col("top_c").cast("double") / col("n_events"), 6)
+          .as("top_share"),
+        round(
+          (log(col("n_events").cast("double")) -
+            col("sclnc").cast("double") / col("n_events")) / ln2, 6)
+          .as("entropy_bits"))
+      .orderBy(col("user_id"))
+  }
+
   def qEventsStreaks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val days = Tables.events(s, d)
@@ -959,6 +991,7 @@ object Events {
     "q_asof_join_nearest" -> (qAsofJoinNearest _),
     "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_streaks" -> (qEventsStreaks _),
+    "q_events_entropy" -> (qEventsEntropy _),
     "q_events_cohort" -> (qEventsCohort _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
@@ -1321,6 +1354,26 @@ object Events {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    // the q_text_entropy portable-log discipline over (user, type)
+    // counts: round(c·ln c, 9) summed as exact DECIMAL
+    "q_events_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    COUNT(*) AS n_types,
+        |    CAST(MAX(c) AS BIGINT) AS top_c,
+        |    SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9))) AS sclnc
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types,
+        |  ROUND(CAST(top_c AS DOUBLE) / n_events, 6) AS top_share,
+        |  ROUND((LN(CAST(n_events AS DOUBLE))
+        |    - CAST(sclnc AS DOUBLE) / n_events) / LN(2.0), 6)
+        |    AS entropy_bits
+        |FROM u ORDER BY user_id""".stripMargin,
     // independent implementation: DuckDB's NATIVE asof join operator
     "q_events_streaks" ->
       """WITH days AS (

@@ -235,6 +235,55 @@ object Graph {
     reached.orderBy(col("hop"), col("node"))
   }
 
+  /** Peeling rounds for the k-core pass — fixed and unrolled in the
+    * oracle, so the result is a deterministic "R-round peel" whether
+    * or not the peel has reached its fixpoint (the khop/pagerank
+    * fixed-iteration discipline). */
+  val KcoreRounds = 3
+
+  /** K-CORE membership after KcoreRounds of peeling — the standard
+    * "dense backbone" extraction (drop every node with degree < k,
+    * recompute degrees, repeat): spam/bot subgraph mining, influence
+    * cores, graph sparsification. The threshold k is SIZE-DERIVED
+    * in-plan as ¾ of the mean degree, ⌊1.5|E|/|V|⌋, one broadcast
+    * scalar row — a constant k would prune nothing on a dense graph
+    * and everything on a sparse one, and the full mean cascades this
+    * graph to an empty core (measured: removing the below-mean half
+    * drops the survivors' degrees below the mean again). The derived
+    * k is itself an output column, so the oracle checks the
+    * derivation too.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins,
+    * all on the node key; the shrinking edge list materializes once
+    * per round (localCheckpoint) so round r+1 reads |E_r| rows instead
+    * of re-deriving the whole peel lineage three times over. Nothing
+    * quadratic, no windows. */
+  def qGraphKcore(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeParts(s, d)._1.localCheckpoint()
+    val deg0 = degreesOf(edges)
+    val kdf = edges.agg(count(lit(1)).as("ecnt"))
+      .crossJoin(deg0.agg(count(lit(1)).as("ncnt")))
+      .select(floor(lit(1.5) * col("ecnt") / col("ncnt")).as("k"))
+    var ecur = edges
+    var keep: DataFrame = null
+    for (_ <- 1 to KcoreRounds) {
+      keep = degreesOf(ecur).crossJoin(broadcast(kdf))
+        .where(col("deg") >= col("k"))
+        .select(col("node"))
+      ecur = ecur
+        .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .localCheckpoint()
+    }
+    deg0
+      .join(keep.select(col("node"), lit(true).as("in_core")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(kdf))
+      .select(col("node"), col("deg").as("degree"), col("k"),
+        coalesce(col("in_core"), lit(false)).as("in_core"))
+      .orderBy(col("node"))
+  }
+
   /** DEGREE ASSORTATIVITY (Newman 2002) — the Pearson correlation of
     * endpoint degrees over the symmetrized edge list: positive means
     * hubs prefer hubs (social-network shape), negative means
@@ -284,6 +333,7 @@ object Graph {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_graph_khop" -> (qGraphKhop _),
+    "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_clustering" -> (qGraphClustering _),
@@ -461,6 +511,40 @@ object Graph {
        |SELECT node, hop FROM r$KhopLimit ORDER BY hop, node""".stripMargin
   }
 
+  /** DuckDB twin of qGraphKcore — the same size-derived k and the
+    * same KcoreRounds of [degree → filter → edge-restrict], unrolled.
+    * Both engines compute k with one IEEE double divide + floor
+    * (exact-integer-boundary safe: a non-equal 2|E|/|V| cannot land
+    * within half an ulp of an integer at these magnitudes). */
+  private def kcoreOracle: String = {
+    def round(r: Int): String =
+      s"""d$r AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT pa AS node FROM e${r - 1}
+         |    UNION ALL SELECT pb FROM e${r - 1}) GROUP BY 1),
+         |keep$r AS (
+         |  SELECT node FROM d$r CROSS JOIN kv WHERE deg >= kv.k),
+         |e$r AS (
+         |  SELECT pa, pb FROM e${r - 1}
+         |  WHERE pa IN (SELECT node FROM keep$r)
+         |    AND pb IN (SELECT node FROM keep$r))""".stripMargin
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |d0 AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT pa AS node FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+       |kv AS (
+       |  SELECT CAST(FLOOR(1.5 * (SELECT COUNT(*) FROM e0)
+       |    / (SELECT COUNT(*) FROM d0)) AS BIGINT) AS k),
+       |${(1 to KcoreRounds).map(round).mkString(",\n")}
+       |SELECT d0.node, CAST(d0.deg AS BIGINT) AS degree, kv.k,
+       |  d0.node IN (SELECT node FROM keep$KcoreRounds) AS in_core
+       |FROM d0 CROSS JOIN kv ORDER BY d0.node""".stripMargin
+  }
+
   /** DuckDB twin of qGraphAssortativity — same symmetrized edge ends,
     * same exact integer moments, same closing sequence. */
   private val assortativityOracle: String =
@@ -492,6 +576,7 @@ object Graph {
   def oracles: Map[String, String] = Map(
     "q_graph_assortativity" -> assortativityOracle,
     "q_graph_khop" -> khopOracle,
+    "q_graph_kcore" -> kcoreOracle,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_clustering" -> clusteringOracle,

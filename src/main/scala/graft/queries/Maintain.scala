@@ -137,6 +137,44 @@ object Maintain {
     * the result is cutoff-invariant (spec-asserted). */
   private val Scd2Cutoff = "2024-01-24 00:00:00"
 
+  /** Incremental AGGREGATE maintenance — the other half of the
+    * incremental-view story next to q_scd2_incremental: a daily
+    * (event_type, day) rollup kept current by MERGING the existing
+    * state table with the new batch's partial aggregate, instead of
+    * rescanning the corpus. Counts and exact DECIMAL sums form a
+    * commutative monoid, so state ⊕ delta ≡ full rebuild for ANY
+    * cutoff (the spec sweeps several) — and the oracle IS the full
+    * rebuild, the same no-second-implementation gate q_scd2_incremental
+    * uses. 100-TB shape: the corpus is touched never; work is
+    * |state| + |batch|, and the merge is one hash aggregate on the
+    * group key with map-side combine. */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = expr(s"timestamp'$Scd2Cutoff'")
+    val ev = Tables.events(s, d)
+    rollupMerge(
+      dailyRollup(ev.where(col("ts") < cutoff)),
+      dailyRollup(ev.where(col("ts") >= cutoff)))
+  }
+
+  /** The maintained view: per-(type, day) event count + exact value
+    * sum. Sums stay DECIMAL internally (mergeable without loss); the
+    * double cast happens only at the output edge. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sv"))
+
+  /** The merge algebra: counts add, decimal sums add. */
+  def rollupMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sv")).as("sv"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+
   /** The apply core: merge `batch` (events schema) into `hist` (a
     * qScd2History output). */
   def scd2Apply(hist: DataFrame, batch: DataFrame): DataFrame = {
@@ -394,6 +432,7 @@ object Maintain {
     "q_scd2_history" -> (qScd2History _),
     "q_zorder" -> (qZorder _),
     "q_scd2_incremental" -> (qScd2Incremental _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_quality_audit" -> (qQualityAudit _))
 
   /** Full-rebuild SQL — q_scd2_history's oracle, and by the
@@ -527,6 +566,14 @@ object Maintain {
     // the incremental apply must reproduce the full rebuild exactly —
     // the oracle IS the rebuild, checking the maintenance algebra
     "q_scd2_incremental" -> Scd2RebuildSql,
+    // the oracle IS the full rebuild — the incremental merge must be
+    // indistinguishable from rescanning everything
+    "q_incremental_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     "q_zorder" -> {
       val pn = ZOrder.normalizeSql("l_partkey", "minp", "maxp", ZBits)
       val sn = ZOrder.normalizeSql("l_suppkey", "mins", "maxs", ZBits)

@@ -481,6 +481,36 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rk"))
   }
 
+  /** Exact per-group centroid: element-wise member mean with the
+    * ×2²⁴-quantized BIGINT accumulation of `kmeansRefine` — the sum is
+    * exact and order-independent, so the centroid is bit-identical
+    * across cluster sizes and engines. One (group, dim) aggregate whose
+    * shuffle carries only partial sums (map-side combined), then a
+    * per-group collect of the D means — |groups| tiny output rows,
+    * ready to broadcast. */
+  def groupCentroids(
+      vecs: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    vecs
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(round(col("x").cast("double") * 16777216.0).cast("long"))
+        .cast("double") / (lit(16777216.0) * count(lit(1)))).as("m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(groupCol),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+  /** One 32-dim slice of a sign signature: bit i set iff component
+    * off+i is strictly positive. 2^i via pow (exact IEEE for i < 53);
+    * distinct powers mean the sum IS the bitwise OR — no carries. */
+  def signWord(vec: Column, off: Int): Column =
+    aggregate(
+      zip_with(slice(vec, off + 1, 32), sequence(lit(0), lit(31)),
+        (x, i) => when(x.cast("double") > 0.0,
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
   def quantizeInt8Stats(
       vecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
