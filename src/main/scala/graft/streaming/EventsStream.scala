@@ -43,6 +43,12 @@ case class TransState(
     pending: Seq[(Long, Long, String)], last: Option[String])
 case class TransPair(
     user_id: Long, event_id: Long, from_type: String, to_type: String)
+case class FunnelState(
+    pending: Seq[(Long, Long, String)],
+    tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+case class FunnelRow(
+    user_id: Long, t_view: Option[Long], t_click: Option[Long],
+    t_purchase: Option[Long], stage: Int)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -628,6 +634,60 @@ object EventsStream {
               math.max(hold.map(_._1).min / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
           out.iterator
+      }
+  }
+
+  /** Streaming FUNNEL twin of queries.Events.qEventsFunnel: each
+    * user's earliest view → earliest later click → earliest later
+    * purchase, maintained online. The batch min-chain is exactly an
+    * in-event-time-order fold (the first view IS the min view; the
+    * first click strictly after the fixed t_view IS the min such
+    * click; same for purchase), so the transitionsStream
+    * watermark-buffer discipline — hold rows until the watermark
+    * finalizes them, fold in (ts, event_id) order — reproduces the
+    * batch triple bit-for-bit on finalized users (spec-asserted).
+    *
+    * Emits one row whenever a user ADVANCES a stage, carrying the
+    * full triple — changelog semantics: downstream keeps the
+    * latest row per user (append mode cannot retract). State per
+    * user after the buffer drains is three epoch-µs options; the
+    * keyspace is the active-user population — the same per-key
+    * retention contract as interpolateStream, documented there. */
+  def funnelStream(
+      events: Dataset[TransEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+          val pending = prev.pending ++
+            rows.map(r => (r.ts.getTime * 1000L, r.event_id, r.event_type))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = pending.partition(_._1 <= horizonUs)
+          var (tv, tc, tp) = (prev.tView, prev.tClick, prev.tPurchase)
+          val stage0 = Seq(tv, tc, tp).count(_.isDefined)
+          ripe.sortBy(t => (t._1, t._2)).foreach { case (ts, _, typ) =>
+            typ match {
+              case "view" if tv.isEmpty => tv = Some(ts)
+              case "click" if tc.isEmpty && tv.exists(ts > _) => tc = Some(ts)
+              case "purchase" if tp.isEmpty && tc.exists(ts > _) =>
+                tp = Some(ts)
+              case _ => ()
+            }
+          }
+          val stage1 = Seq(tv, tc, tp).count(_.isDefined)
+          state.update(FunnelState(hold, tv, tc, tp))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          if (stage1 > stage0) Iterator(FunnelRow(uid, tv, tc, tp, stage1))
+          else Iterator.empty
       }
   }
 }

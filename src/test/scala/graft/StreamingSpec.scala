@@ -886,4 +886,45 @@ class StreamingSpec extends SparkSpec {
       (7L, 4L, "a", "b"), (7L, 2L, "b", "c"), (8L, 5L, "a", "b")),
       s"streamed=$streamed")
   }
+
+  test("streaming funnel folds out-of-order stages to the batch triple") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{FunnelRow, TransEvent}
+    def ev(id: Long, uid: Long, t: String, typ: String) =
+      TransEvent(uid, id, Timestamp.valueOf(t), typ)
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    // user 7's purchase ARRIVES before its click; the buffer must
+    // still fold view(10:00) → click(10:05) → purchase(10:12) in
+    // event-time order. user 8's click PRECEDES its first view in
+    // event time — the batch min-chain skips it (no click strictly
+    // after t_view), so the stream must too.
+    val stream = MemoryStream[TransEvent]
+    val q = EventsStream.funnelStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1L, 7L, "2024-03-01 10:00:00", "view"),
+        ev(2L, 8L, "2024-03-01 09:55:00", "click"))
+      q.processAllAvailable()
+      stream.addData(ev(3L, 7L, "2024-03-01 10:12:00", "purchase"),
+        ev(4L, 8L, "2024-03-01 09:58:00", "view"))
+      q.processAllAvailable()
+      stream.addData(ev(5L, 7L, "2024-03-01 10:05:00", "click"),
+        ev(6L, 9L, "2024-03-01 11:00:00", "other"))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[TransEvent]); q.processAllAvailable()
+    } finally q.stop()
+    // changelog semantics: the latest (highest-stage) row per user
+    val last = spark.table("funnel_out").as[FunnelRow].collect()
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.stage) }
+    assert(last(7L).t_view.contains(us("2024-03-01 10:00:00")) &&
+      last(7L).t_click.contains(us("2024-03-01 10:05:00")) &&
+      last(7L).t_purchase.contains(us("2024-03-01 10:12:00")) &&
+      last(7L).stage == 3, s"user 7: ${last(7L)}")
+    assert(last(8L).t_view.contains(us("2024-03-01 09:58:00")) &&
+      last(8L).t_click.isEmpty && last(8L).stage == 1,
+      s"pre-view click must not count: ${last(8L)}")
+    assert(!last.contains(9L), s"non-funnel type emitted: $last")
+  }
 }
