@@ -75,6 +75,39 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** CANONICAL SELECTION BY QUALITY — the keep/drop decision done
+    * right: within each near-dup cluster (q_dedup_cluster's connected
+    * components, singletons their own cluster), keep the member with
+    * the HIGHEST quality score (q_text_quality), ties to the smaller
+    * doc_id — real pipelines keep the best copy, not the
+    * lowest-numbered one. The per-cluster argmax is ONE max_by
+    * aggregate (map-side partials — ≤ 1 row per cluster per input
+    * partition reaches the shuffle, never a window over members), and
+    * the join back rides the same cluster_id partitioning. Fully
+    * oracle-checked end-to-end: both subplans are the registered
+    * oracles verbatim. */
+  def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val pairs = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+    val cl = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scored = docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(Text.qTextQuality(s, d).select(col("doc_id"), col("quality")),
+        "doc_id")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), -col("doc_id"))).as("best_id"))
+    scored.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("best_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash-LSH near-dup pairs. Fully oracle-checked: 60-bit md5
     * shingle ids + a universal (a·h+b mod p) hash family are pure
     * portable arithmetic, so DuckDB rebuilds identical signatures,
@@ -83,6 +116,47 @@ object DedupSim {
     Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
       n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash ESTIMATOR QUALITY — per banding-candidate pair, the
+    * signature-based Jaccard estimate (matching signature positions /
+    * 64) NEXT TO the exact verified Jaccard — the measurement that
+    * justifies (or refutes) skipping the expensive verify step at
+    * scale: E[est] = J, so the per-pair error is directly inspectable
+    * and oracle-checked. est is n_match/64 — a power-of-two divisor,
+    * so the estimate itself is EXACT in binary on both engines; the
+    * exact side left-joins so a zero-overlap band collision reports
+    * jaccard 0.0 instead of vanishing. One checkpointed shingle
+    * backbone feeds signatures, candidates, and the verify join. */
+  def qMinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.minhashShingleRows(
+      docsParallel(s, d), "doc_id", "text", 3).localCheckpoint()
+    val sigArr = Dedup.minhashSigTable(sh)
+      .select(col("id"),
+        array((0 until Dedup.NumHashes).map(i => col(s"m$i")): _*).as("ms"))
+    val cand = Dedup.minhashCandidatesFromShingles(sh)
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("s_id").as("ha")), "id_a")
+      .join(sh.select(col("id").as("idb2"), col("s_id").as("hb")),
+        col("id_b") === col("idb2") && col("ha") === col("hb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val nMatch = aggregate(
+      zip_with(col("ma"), col("mb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(sigArr.select(col("id").as("id_a"), col("ms").as("ma")), "id_a")
+      .join(sigArr.select(col("id").as("id_b"), col("ms").as("mb")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        nMatch.as("n_match"),
+        (nMatch / lit(64.0)).as("est_jaccard"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          greatest((col("sz_a") + col("sz_b") -
+            coalesce(col("n_inter"), lit(0L))).cast("double"), lit(1.0)), 6)
+          .as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Per-document nearest neighbor by MinHash banding: each doc's
     * best candidate partner by verified exact Jaccard (ties to the
@@ -507,9 +581,11 @@ object DedupSim {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -867,6 +943,36 @@ object DedupSim {
        |    (SELECT UNNEST(GENERATE_SERIES(0, ${Dedup.NumBands - 1})) AS band) b)""".stripMargin
   }
 
+  /** DuckDB twin of qMinhashEstimate: same signatures, same
+    * candidates, a generated 64-term positional match count, and the
+    * exact LIST_INTERSECT Jaccard next to it. */
+  private def minhashEstimateOracle: String = {
+    val matchSum = (0 until Dedup.NumHashes)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
+       |    y.doc_id AS id_b, y.sz AS sz_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+       |    LEN(LIST_INTERSECT(sa.ids, sb.ids)) AS n_inter
+       |  FROM cand c
+       |  JOIN sids sa ON c.id_a = sa.doc_id
+       |  JOIN sids sb ON c.id_b = sb.doc_id)
+       |SELECT i.id_a, i.id_b,
+       |  $matchSum AS n_match,
+       |  ($matchSum) / 64.0 AS est_jaccard,
+       |  ROUND(i.n_inter * 1.0 /
+       |    GREATEST(i.sz_a + i.sz_b - i.n_inter, 1), 6) AS jaccard
+       |FROM inter i
+       |JOIN sigs a ON i.id_a = a.doc_id
+       |JOIN sigs b ON i.id_b = b.doc_id
+       |ORDER BY i.id_a, i.id_b""".stripMargin
+  }
+
   private def minhashOracle: String =
     s"""WITH $minhashBandsCtes,
        |cand AS (
@@ -995,6 +1101,7 @@ object DedupSim {
         |  ROUND(CAST(SUM(CAST(maxerr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_maxerr
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_minhash_estimate" -> minhashEstimateOracle,
     "q_dedup_nearest" ->
       s"""WITH $minhashBandsCtes,
          |cand AS (
@@ -1119,6 +1226,46 @@ object DedupSim {
          |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT id AS doc_id, MIN(reach) AS cluster_id
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the cluster oracle's components + the quality oracle's score,
+    // composed: one keeper per cluster by (quality DESC, doc_id)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |$cappedPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, b AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+         |cl AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY id),
+         |allc AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |qsc AS (
+         |  SELECT doc_id,
+         |    ROUND((
+         |      LEAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) / 64.0, 1.0) +
+         |      (1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
+         |        / GREATEST(LENGTH(text), 1)) * 10.0, 1.0)) +
+         |      LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+         |        / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1)) * 5.0, 1.0)
+         |      ) / 3.0, 6) AS quality
+         |  FROM documents),
+         |scored AS (
+         |  SELECT a.doc_id, a.cluster_id, q.quality
+         |  FROM allc a JOIN qsc q USING (doc_id)),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS best_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY quality DESC, doc_id) AS rn
+         |    FROM scored) t WHERE rn = 1)
+         |SELECT s.doc_id, s.cluster_id, s.quality,
+         |  s.doc_id = b.best_id AS is_kept
+         |FROM scored s JOIN best b USING (cluster_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // label-blocked pairs with the hot-block guard: labels above the
     // cap sub-partition by IVF cell, mirroring cosineNearDupPairsGuarded
     "q_dedup_embedding" ->

@@ -235,6 +235,23 @@ object Graph {
     reached.orderBy(col("hop"), col("node"))
   }
 
+  /** DEGREE DISTRIBUTION histogram in log₂ buckets — the one-page
+    * structural profile (is this graph heavy-tailed? how hot is the
+    * hottest hub?) that decides skew strategy before any pair-join
+    * runs. The bucket is ⌊log₂ deg⌋ computed EXACTLY as the bit length
+    * of the integer degree (LENGTH(BIN(deg)) − 1) — no floating log,
+    * whose value at exact powers of two is one ulp from flipping the
+    * bucket. Two aggregates (degree, then bucket), nothing else. */
+  def qGraphDegreeHist(s: SparkSession, d: String): DataFrame = {
+    val deg = degreesOf(edgeParts(s, d)._1)
+    deg.select(col("deg"),
+        (length(bin(col("deg"))) - 1).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+  }
+
   /** Peeling rounds for the k-core pass — fixed and unrolled in the
     * oracle, so the result is a deterministic "R-round peel" whether
     * or not the peel has reached its fixpoint (the khop/pagerank
@@ -334,6 +351,7 @@ object Graph {
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_graph_khop" -> (qGraphKhop _),
     "q_graph_kcore" -> (qGraphKcore _),
+    "q_graph_degree_hist" -> (qGraphDegreeHist _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_clustering" -> (qGraphClustering _),
@@ -577,6 +595,19 @@ object Graph {
     "q_graph_assortativity" -> assortativityOracle,
     "q_graph_khop" -> khopOracle,
     "q_graph_kcore" -> kcoreOracle,
+    "q_graph_degree_hist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1)
+        |SELECT CAST(LENGTH(BIN(deg)) - 1 AS INT) AS bucket,
+        |  COUNT(*) AS n_nodes,
+        |  MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_clustering" -> clusteringOracle,

@@ -274,7 +274,50 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Epoch anchor for the regression x-axis (2024-01-01 00:00 UTC in
+    * micros) — centering keeps x² ≤ ~7·10¹² over the data's one-month
+    * span, so every rolling moment stays an exact BIGINT. */
+  private val RegrBaseUs = 1704067200000000L
+
+  /** ROLLING OLS SLOPE of value vs time per user over the trailing 5
+    * events — the windowed trend detector (is this metric climbing?).
+    * The reference's window engine is aggregation-only; this shows an
+    * arbitrary closed-form fit riding the same frame machinery.
+    *
+    * All five moments (n, Σx, Σy, Σxy, Σx²) are window sums of exact
+    * BIGINTs (x = whole seconds since the epoch anchor; y = value
+    * ×10⁴ through the exact DECIMAL(18,4) grid — no ROUND anywhere in
+    * the quantization; envelopes documented on RegrBaseUs), so the
+    * normal-equation numerator and denominator are EXACT integers on
+    * both engines; the closing slope is one fixed IEEE sequence
+    * (num/den, ÷10⁴ descale) rounded at 9 dp. Zero-time-spread frames
+    * (den = 0)
+    * yield NULL, not a crash. ONE window over one shuffle on user_id —
+    * the q_win_stats plan shape exactly. */
+  def qWinRegression(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("ts"),
+      expr(s"(unix_micros(ts) - ${RegrBaseUs}L) div 1000000").as("x"),
+      (col("value").cast("decimal(18,4)") * 10000).cast("long").as("y"))
+    val (n, sx, sy) = (count(lit(1)).over(w),
+      sum(col("x")).over(w), sum(col("y")).over(w))
+    val sxy = sum(col("x") * col("y")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    ev.select(col("user_id"), col("event_id"),
+        (n * sxy - sx * sy).as("num"),
+        (n * sxx - sx * sx).as("den"))
+      .select(col("user_id"), col("event_id"), col("num"), col("den"),
+        when(col("den") =!= 0L,
+          round(col("num").cast("double") / col("den").cast("double") /
+            lit(10000.0), 9)).as("slope"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_regression" -> (qWinRegression _),
     "q_win_median" -> (qWinMedian _),
     "q_win_frame_var" -> (qWinFrameVar _),
     "q_win_dist" -> (qWinDist _),
@@ -291,6 +334,32 @@ object Windows {
     "q_win_unpartitioned" -> (qWinUnpartitioned _))
 
   def oracles: Map[String, String] = Map(
+    // exact-integer rolling moments → exact num/den; slope is the one
+    // closing IEEE sequence, shared with the Spark side
+    "q_win_regression" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ts,
+         |    (epoch_us(ts) - $RegrBaseUs) // 1000000 AS x,
+         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id,
+         |    COUNT(*) OVER w AS n,
+         |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         |    CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id,
+         |  n * sxy - sx * sy AS num,
+         |  n * sxx - sx * sx AS den,
+         |  CASE WHEN n * sxx - sx * sx <> 0
+         |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0, 9)
+         |  END AS slope
+         |FROM m ORDER BY user_id, event_id""".stripMargin,
     "q_win_median" ->
       """SELECT o_custkey, o_orderkey,
         |  ROUND(MEDIAN(o_totalprice) OVER (PARTITION BY o_custkey

@@ -121,6 +121,46 @@ class Round9eOperatorsSpec extends SparkSpec {
     assert(Maintain.rollupMerge(s12, s3).collect().toSeq == full)
   }
 
+  test("minhash estimate: identical docs score 64/64 and jaccard 1.0") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9e_mhe").toString
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 30).map(i => if (i <= 15) s"tok$i" else s"alt$i")
+      .mkString(" ")
+    Seq((0L, a, "en", "src1"), (1L, a, "en", "src1"),
+      (2L, b, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.DedupSim.qMinhashEstimate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ident = rows((0L, 1L))
+    assert(ident == ((64, 1.0, 1.0)), s"identical pair: $rows")
+    // every estimate is a multiple of 1/64 inside [0, 1], and the
+    // half-overlapping doc (if banding surfaced it) reports the true
+    // partial jaccard next to its estimate
+    rows.values.foreach { case (n, est, jac) =>
+      assert(n >= 0 && n <= 64 && est == n / 64.0 &&
+        jac >= 0.0 && jac <= 1.0, s"row out of range: $rows")
+    }
+  }
+
+  test("degree histogram buckets by exact bit length") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9e_dh").toString
+    // clique {1,2,3} + pendant 3–4 → degrees 2,2,3,1:
+    // bucket 0 = {deg 1}, bucket 1 = {deg 2,2,3}
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Graph.qGraphDegreeHist(spark, dir).collect()
+      .map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(0 -> ((1L, 1L, 1L)), 1 -> ((3L, 2L, 3L))),
+      s"histogram: $r")
+  }
+
   test("kcore: pendant peels, clique survives, k is the derived 2") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9e_li").toString
@@ -137,6 +177,54 @@ class Round9eOperatorsSpec extends SparkSpec {
     assert(r(1L) == ((4L, 2L, true)), s"hub: $r")
     assert(Seq(2L, 3L, 4L).forall(n => r(n) == ((3L, 2L, true))),
       s"clique: $r")
+  }
+
+  test("keep-best: quality outranks the smaller doc_id in a cluster") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9e_docs").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "through the quiet park in the morning light today"
+    val longer = base + " and then the fox rests under a tall tree " +
+      "while the sun climbs higher"
+    val other = "completely unrelated content about databases treating " +
+      "queries quite fast"
+    Seq((0L, base, "en", "src1"), (1L, longer, "en", "src1"),
+      (2L, other, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.DedupSim.qDedupKeepBest(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    // docs 0 and 1 are one cluster (labelled by the min id);
+    // the LONGER doc 1 outscores doc 0 on length and is the keeper
+    assert(r(0L)._1 == 0L && r(1L)._1 == 0L, s"cluster ids: $r")
+    assert(r(1L)._2 > r(0L)._2, s"doc 1 must outscore doc 0: $r")
+    assert(!r(0L)._3 && r(1L)._3, s"keeper must be doc 1: $r")
+    // the singleton is its own cluster and keeps itself
+    assert(r(2L) == ((2L, r(2L)._2, true)), s"singleton: $r")
+  }
+
+  test("regression: constant-rate series recovers the exact slope") {
+    // user 1: value climbs 6.0 every 60 s → slope exactly 0.1/s once
+    // the frame fills; the first row's single-point frame has den = 0
+    // → NULL. user 2: two rows at the SAME timestamp → den = 0, NULL.
+    val d = eventsDir(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 00:01:00", 1L, "a", 6.0),
+      (3L, "2024-01-01 00:02:00", 1L, "a", 12.0),
+      (4L, "2024-01-01 00:03:00", 1L, "a", 18.0),
+      (5L, "2024-01-01 00:04:00", 1L, "a", 24.0),
+      (6L, "2024-01-05 00:00:00", 2L, "b", 1.0),
+      (7L, "2024-01-05 00:00:00", 2L, "b", 9.0)))
+    val r = graft.queries.Windows.qWinRegression(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(r((1L, 1L)).isEmpty, s"single-point frame: $r")
+    (2L to 5L).foreach(e =>
+      assert(r((1L, e)).contains(0.1), s"event $e slope: $r"))
+    assert(r((2L, 6L)).isEmpty && r((2L, 7L)).isEmpty,
+      s"zero time spread must be NULL: $r")
   }
 
   test("kcore: cascade — a chain below k empties completely") {

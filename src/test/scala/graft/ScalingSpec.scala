@@ -68,6 +68,22 @@ class ScalingSpec extends SparkSpec {
       s"minhash shuffle grew ${ratio}x on 10x docs ($small -> $big)")
   }
 
+  test("kcore peel shuffle grows linearly with the edge volume") {
+    // each peel round is a degree aggregate + two semi-joins on the
+    // (materialized) edge list — work ∝ |E| per round, never pairs
+    val small = shuffleRecordsOf(
+      graft.queries.Graph.qGraphKcore(spark, sfSmall))
+    val big = shuffleRecordsOf(
+      graft.queries.Graph.qGraphKcore(spark, sfBig))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    // co-purchase edges grow ~13× between these SFs (8.9k → 115.7k,
+    // measured); 40 leaves the same headroom factor as the other
+    // gates without admitting an |E|² shape (~169×)
+    assert(ratio < 40.0,
+      s"kcore shuffle grew ${ratio}x on ~13x edges ($small -> $big)")
+  }
+
   test("the quadratic control blows up, so the detector discriminates") {
     def allPairs(d: String): DataFrame = {
       val users = Tables.events(spark, d).select(col("user_id")).distinct()
