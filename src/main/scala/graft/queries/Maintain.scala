@@ -137,6 +137,42 @@ object Maintain {
     * the result is cutoff-invariant (spec-asserted). */
   private val Scd2Cutoff = "2024-01-24 00:00:00"
 
+  /** AS-OF DIMENSION ENRICHMENT — the consumer side of SCD2: each
+    * late-January event tagged with the user's state VERSION valid at
+    * the event's timestamp, from the history built over everything
+    * earlier (the ingest-time dimension lookup every warehouse join
+    * does). Intervals partition each user's timeline, so the interval
+    * predicate matches at most one version — exactly one output row
+    * per event, NULL state before the user's first version. */
+  def qEventsEnrich(s: SparkSession, d: String): DataFrame = {
+    val cutoff = expr(s"timestamp'$Scd2Cutoff'")
+    val ev = Tables.events(s, d)
+    enrichWithHistory(
+      ev.where(col("ts") >= cutoff),
+      scd2History(ev.where(col("ts") < cutoff)))
+      .orderBy(col("event_id"))
+  }
+
+  /** The enrichment core: an equi-join on user_id with the validity
+    * interval as a residual predicate — shuffles on the key, ≤ 1 match
+    * per event. UNIFIED batch/stream: the same function enriches a
+    * STREAMING events frame against a static history (a stateless
+    * stream-static left join — the ingest-time shape), equivalence
+    * spec-asserted in StreamingSpec. */
+  def enrichWithHistory(batch: DataFrame, hist: DataFrame): DataFrame = {
+    val b = batch.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+    val h = hist.select(col("user_id").as("h_uid"),
+      col("event_type").as("state_type"),
+      col("valid_from_us"), col("valid_to_us"))
+    b.join(h, col("user_id") === col("h_uid") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+      "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("state_type"), col("valid_from_us"))
+  }
+
   /** Incremental AGGREGATE maintenance — the other half of the
     * incremental-view story next to q_scd2_incremental: a daily
     * (event_type, day) rollup kept current by MERGING the existing
@@ -433,6 +469,7 @@ object Maintain {
     "q_zorder" -> (qZorder _),
     "q_scd2_incremental" -> (qScd2Incremental _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_events_enrich" -> (qEventsEnrich _),
     "q_quality_audit" -> (qQualityAudit _))
 
   /** Full-rebuild SQL — q_scd2_history's oracle, and by the
@@ -568,6 +605,31 @@ object Maintain {
     "q_scd2_incremental" -> Scd2RebuildSql,
     // the oracle IS the full rebuild — the incremental merge must be
     // indistinguishable from rescanning everything
+    // the SCD2 rebuild restricted to pre-cutoff events, interval-
+    // joined to the post-cutoff batch (≤ 1 version matches per event)
+    "q_events_enrich" ->
+      s"""WITH lagged AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events WHERE ts < TIMESTAMP '$Scd2Cutoff'),
+        |chg AS (
+        |  SELECT user_id, event_type, ts_us, event_id FROM lagged
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |hist AS (
+        |  SELECT user_id, event_type AS state_type, ts_us AS valid_from_us,
+        |    LEAD(ts_us, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS valid_to_us
+        |  FROM chg),
+        |batch AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE ts >= TIMESTAMP '$Scd2Cutoff')
+        |SELECT b.event_id, b.user_id, b.event_type,
+        |  h.state_type, h.valid_from_us
+        |FROM batch b LEFT JOIN hist h
+        |  ON b.user_id = h.user_id AND h.valid_from_us <= b.ts_us
+        |    AND (h.valid_to_us IS NULL OR b.ts_us < h.valid_to_us)
+        |ORDER BY b.event_id""".stripMargin,
     "q_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  COUNT(*) AS n_events,

@@ -50,11 +50,49 @@ object Media {
       .orderBy(col("modality"))
   }
 
+  /** Exact MEDIA dedup — q_dedup_exact's keep-first semantics lifted
+    * to the binary payload column, per modality (two images with
+    * byte-identical payloads dedup; an identical byte string appearing
+    * as both an image and an audio clip does NOT — modality is part of
+    * the identity). The hash groups are content-duplicate sets
+    * (bounded), so the per-group window is safe at any corpus size;
+    * at 100 TB the md5 runs next to the scan and only (id, modality,
+    * 16-byte hash) ever shuffles — never the payload bytes. */
+  def qMultimodalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val w = Window.partitionBy(col("modality"), col("payload_hash"))
+    media
+      .select(col("media_id"), col("modality"),
+        md5(col("payload")).as("payload_hash"))
+      .select(col("media_id"), col("modality"), col("payload_hash"),
+        min(col("media_id")).over(w).as("canonical_id"),
+        (col("media_id") === min(col("media_id")).over(w))
+          .as("is_canonical"))
+      .orderBy(col("media_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_multimodal_pipeline" -> (qMultimodalPipeline _))
+    "q_multimodal_pipeline" -> (qMultimodalPipeline _),
+    "q_multimodal_dedup" -> (qMultimodalDedup _))
 
   def oracles: Map[String, String] = Map(
+    // payload = the utf-8 text bytes, so MD5(text) IS the payload hash
+    "q_multimodal_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS modality,
+        |    MD5(text) AS payload_hash
+        |  FROM documents)
+        |SELECT media_id, modality, payload_hash,
+        |  MIN(media_id) OVER (PARTITION BY modality, payload_hash)
+        |    AS canonical_id,
+        |  media_id = MIN(media_id) OVER (PARTITION BY modality, payload_hash)
+        |    AS is_canonical
+        |FROM m ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id % 3 AS m3, LENGTH(text) AS n_bytes,

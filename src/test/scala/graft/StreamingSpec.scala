@@ -887,6 +887,46 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed")
   }
 
+  test("enrichment join is unified: streaming events × static history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcEvent
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    // static SCD2 history: user 7 'a' open from 10:00; user 8 'b'
+    // [09:00, 09:30) then 'c' open
+    val hist = Seq(
+      (7L, "a", us("2024-03-01 10:00:00"), Option.empty[Long]),
+      (8L, "b", us("2024-03-01 09:00:00"),
+        Some(us("2024-03-01 09:30:00"))),
+      (8L, "c", us("2024-03-01 09:30:00"), Option.empty[Long]))
+      .toDF("user_id", "event_type", "valid_from_us", "valid_to_us")
+    def ev(id: Long, uid: Long, t: String) =
+      CdcEvent(id, Timestamp.valueOf(t), uid, "view", 0.0)
+    val rows = Seq(
+      ev(1L, 7L, "2024-03-01 10:05:00"), // open 'a'
+      ev(2L, 8L, "2024-03-01 09:15:00"), // closed 'b'
+      ev(3L, 8L, "2024-03-01 09:45:00"), // open 'c'
+      ev(4L, 9L, "2024-03-01 10:00:00")) // no history → NULL
+    val stream = MemoryStream[CdcEvent]
+    // the SAME function that serves q_events_enrich, on a stream —
+    // a stateless stream-static left join
+    val q = graft.queries.Maintain.enrichWithHistory(stream.toDS().toDF(), hist)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    val batch = graft.queries.Maintain.enrichWithHistory(rows.toDS().toDF(), hist)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> null),
+      s"states: $streamed")
+  }
+
   test("streaming funnel folds out-of-order stages to the batch triple") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
