@@ -282,6 +282,48 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF INDEX HEALTH — per-cell population profile of the ANN index
+    * (n_cells that are non-empty, min/max population, and the
+    * imbalance factor max/mean on the exact integer half-up ppm grid —
+    * the q_skew_report discipline): the "is my index skewed" audit run
+    * before trusting per-probe latency; a hot cell serves most queries
+    * at n/√n-cell cost. One groupBy over the linear assign, then a
+    * 5-number rollup of the tiny per-cell table. */
+  def qAnnIvfStats(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val cells = Similarity.ivfAssign(
+      emb, Similarity.ivfCentroids(emb, derivedCells(s, d)),
+      "vec_id", "embedding", nProbe = 1,
+      cosineFn = Similarity.cosineIn(s))
+    cells.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        min(col("n")).as("min_pop"),
+        max(col("n")).as("max_pop"),
+        sum(col("n")).as("n_vectors"),
+        expr("CAST((2000000 * MAX(n) * COUNT(*) + SUM(n)) DIV (2 * SUM(n)) AS BIGINT)")
+          .as("imbalance_ppm"))
+  }
+
+  /** DEDUP TUNING CURVE — near-dup pair counts at a ladder of Jaccard
+    * thresholds from ONE pair table (conditional sums, no re-scan):
+    * the chart that picks the production threshold (how many more
+    * pairs does loosening to 0.3 actually admit?). Thresholds at or
+    * above the pair table's own 0.3 floor, so the counts are exact. */
+  def qDedupThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+      docsParallel(s, d), "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+    pairs.agg(
+        sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n5"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n9"))
+      .selectExpr(
+        "stack(4, 0.3D, n3, 0.5D, n5, 0.7D, n7, 0.9D, n9) AS (threshold, n_pairs)")
+      .orderBy(col("threshold"))
+  }
+
   /** Distributed k-means IVF training: 2 Lloyd rounds over the 16 md5
     * seed centroids, then a per-cell membership summary (count + exact
     * decimal sum of each member's rounded cosine to its final
@@ -596,6 +638,8 @@ object DedupSim {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
+    "q_ann_ivf_stats" -> (qAnnIvfStats _),
+    "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_embed_project" -> (qEmbedProject _),
@@ -1387,6 +1431,32 @@ object DedupSim {
          |    AS is_prune
          |FROM scored s JOIN ls USING (label) ORDER BY s.vec_id""".stripMargin,
     "q_embed_bitsim" -> bitsimOracle,
+    "q_ann_ivf_stats" ->
+      s"""WITH $ivfAsgCtes,
+         |per AS (SELECT cell_id, COUNT(*) AS n FROM asg GROUP BY 1)
+         |SELECT COUNT(*) AS n_cells,
+         |  MIN(n) AS min_pop, MAX(n) AS max_pop,
+         |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+         |  CAST((2000000 * MAX(n) * COUNT(*) + SUM(n)) // (2 * SUM(n))
+         |    AS BIGINT) AS imbalance_ppm
+         |FROM per""".stripMargin,
+    "q_dedup_threshold_sweep" ->
+      s"""WITH $ShingleCte,
+         |$cappedPairCtes,
+         |a AS (SELECT
+         |  SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS n3,
+         |  SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n5,
+         |  SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS n7,
+         |  SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS n9
+         |  FROM pairs)
+         |SELECT CAST(0.3 AS DOUBLE) AS threshold, CAST(n3 AS BIGINT) AS n_pairs FROM a
+         |UNION ALL
+         |SELECT CAST(0.5 AS DOUBLE), CAST(n5 AS BIGINT) FROM a
+         |UNION ALL
+         |SELECT CAST(0.7 AS DOUBLE), CAST(n7 AS BIGINT) FROM a
+         |UNION ALL
+         |SELECT CAST(0.9 AS DOUBLE), CAST(n9 AS BIGINT) FROM a
+         |ORDER BY threshold""".stripMargin,
     "q_ann_lsh" -> lshOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivfpq" -> pqOracle,

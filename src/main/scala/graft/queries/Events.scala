@@ -167,6 +167,26 @@ object Events {
     * within a run of consecutive days; one max over the island
     * lengths. Both windows partition by user (co-partitioned with the
     * distinct), so the whole query is one shuffle on user_id. */
+  /** ACTIVITY HEATMAP — the (day-of-week × hour) traffic matrix with
+    * each cell's share of total events on the exact integer half-up
+    * ppm grid (no float division crosses engines): the calendar
+    * profile behind capacity planning and anomaly baselines. One hash
+    * aggregate to the 168-cell matrix, one 1-row broadcast total.
+    * dow is 0-based Sunday (Spark's dayofweek − 1 = DuckDB's dow). */
+  def qEventsHeatmap(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.events(s, d)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val tot = cnt.agg(sum(col("n_events")).as("total"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+        expr("CAST((2000000 * n_events + total) DIV (2 * total) AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   /** Per-user behavioral entropy (bits) over the event-type
     * distribution + the dominant type's share — the predictability /
     * bot-detection signal (a scripted client hammers one type →
@@ -992,6 +1012,7 @@ object Events {
     "q_events_ohlc" -> (qEventsOhlc _),
     "q_events_streaks" -> (qEventsStreaks _),
     "q_events_entropy" -> (qEventsEntropy _),
+    "q_events_heatmap" -> (qEventsHeatmap _),
     "q_events_cohort" -> (qEventsCohort _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
@@ -1354,6 +1375,22 @@ object Events {
         |      ORDER BY value DESC, event_id) AS rk
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    // cell shares on the integer half-up ppm grid; DuckDB dow is
+    // 0-based Sunday = Spark dayofweek − 1
+    "q_events_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+        |    CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        |    COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+        |SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST((2000000 * n_events + total) // (2 * total) AS BIGINT)
+        |    AS share_ppm
+        |FROM c CROSS JOIN t
+        |ORDER BY dow, hour""".stripMargin,
     // the q_text_entropy portable-log discipline over (user, type)
     // counts: round(c·ln c, 9) summed as exact DECIMAL
     "q_events_entropy" ->

@@ -121,6 +121,37 @@ class Round9eOperatorsSpec extends SparkSpec {
     assert(Maintain.rollupMerge(s12, s3).collect().toSeq == full)
   }
 
+  test("ivf stats: populations cover the table, imbalance ≥ 1") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val r = graft.queries.DedupSim
+      .qAnnIvfStats(spark, "/root/testdata/sf0.01").collect()(0)
+    assert(r.getLong(3) == emb.count(), s"every vector in a cell: $r")
+    assert(r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(2),
+      s"min/max pop: $r")
+    // imbalance = max/mean ≥ 1 by definition (ppm grid)
+    assert(r.getLong(4) >= 1000000L, s"imbalance below 1: $r")
+  }
+
+  test("threshold sweep is monotone non-increasing") {
+    val rows = graft.queries.DedupSim
+      .qDedupThresholdSweep(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7, 0.9), s"$rows")
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2),
+      s"counts must not increase with threshold: ${rows.toSeq}")
+    assert(rows.head._2 > 0, "0.3 tier should admit the sf0.01 pairs")
+  }
+
+  test("heatmap shares sum to ~one million ppm") {
+    val rows = graft.queries.Events.qEventsHeatmap(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val share = rows.map(_.getLong(4)).sum
+    assert(total == Tables.events(spark, sf).count(), s"cells tile: $total")
+    // half-up rounding wobbles each of the ≤168 cells by ≤ half a ppm
+    assert(math.abs(share - 1000000L) <= rows.length,
+      s"shares sum $share ppm across ${rows.length} cells")
+  }
+
   test("minhash estimate: identical docs score 64/64 and jaccard 1.0") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9e_mhe").toString
