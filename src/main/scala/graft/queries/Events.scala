@@ -49,6 +49,60 @@ object Events {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** SESSION DISTRIBUTION — the rollup a product team reads off the
+    * sessionizer: sessions bucketed by length (exact bit-length log₂
+    * buckets, the q_graph_degree_hist discipline — no floating log),
+    * with session counts, total events, and total dwell seconds per
+    * bucket, all exact integers. Composes the registered sessionizer
+    * verbatim: per-session aggregate on the SAME (user) partitioning
+    * its window already established, then a tiny bucket rollup. */
+  def qEventsSessionStats(s: SparkSession, d: String): DataFrame =
+    qEventsSessionize(s, d)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L))
+          .cast("long").as("duration_s"))
+      .select(col("n_events"), col("duration_s"),
+        (length(bin(col("n_events"))) - 1).as("len_bucket"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("sum_events"),
+        sum(col("duration_s")).as("sum_duration_s"))
+      .orderBy(col("len_bucket"))
+
+  /** ROLLING ACTIVE USERS — per day, the distinct-user count over the
+    * trailing 1/7/30-day windows (DAU/WAU/MAU, the engagement
+    * triple). Exact, not sketched: the distinct (user, day) grid
+    * explodes to each of the ≤30 future days it supports, collapses
+    * to one (day, user, min offset) row, and three conditional SUMS
+    * close per day — deliberately NO multi-countDistinct (that
+    * compiles to Expand, the |rows|×4 shuffle q_profile measured at
+    * 10×) and the second aggregate rides the first's (day, user)
+    * partitioning. Work is |user-days|·30, linear in activity (at
+    * larger spans the HLL sketch in graft.operators.Sketches is the
+    * documented swap-in). Days beyond the data's edge are clipped by
+    * the day-dimension semi-join, so every output day reflects a full
+    * actual grid. */
+  def qEventsWau(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = grid.select(col("day")).distinct()
+    val contrib = grid
+      .select(col("user_id"), col("day").as("active_day"),
+        explode(sequence(lit(0), lit(29))).as("off"))
+      .select(col("user_id"), col("active_day"),
+        date_add(col("active_day"), col("off")).as("day"), col("off"))
+      .join(days, Seq("day"), "left_semi")
+    contrib.groupBy(col("day"), col("user_id"))
+      .agg(min(col("off")).as("min_off"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("min_off") === 0, 1L).otherwise(0L)).as("dau"),
+        sum(when(col("min_off") < 7, 1L).otherwise(0L)).as("wau"),
+        count(lit(1)).as("mau"))
+      .orderBy(col("day"))
+  }
+
   /** JSON property extraction from the string `props` column. */
   def qEventsJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -1013,6 +1067,8 @@ object Events {
     "q_events_streaks" -> (qEventsStreaks _),
     "q_events_entropy" -> (qEventsEntropy _),
     "q_events_heatmap" -> (qEventsHeatmap _),
+    "q_events_session_stats" -> (qEventsSessionStats _),
+    "q_events_wau" -> (qEventsWau _),
     "q_events_cohort" -> (qEventsCohort _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
@@ -1361,6 +1417,53 @@ object Events {
         |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM marked ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // the sessionize oracle's sessions, rolled up to exact-bit-length
+    // buckets — all integers end to end
+    "q_events_session_stats" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      > 600000000 THEN 1
+        |      WHEN LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT CAST(LENGTH(BIN(n_events)) - 1 AS INT) AS len_bucket,
+        |  COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_events,
+        |  CAST(SUM(duration_s) AS BIGINT) AS sum_duration_s
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    // grid-explode rolling actives; min-offset collapse kills the
+    // multi-countDistinct Expand on both sides
+    "q_events_wau" ->
+      """WITH grid AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM grid),
+        |contrib AS (
+        |  SELECT g.user_id, g.day + CAST(o.off AS INTEGER) AS day, o.off
+        |  FROM grid g CROSS JOIN
+        |    (SELECT UNNEST(GENERATE_SERIES(0, 29)) AS off) o
+        |  WHERE (g.day + CAST(o.off AS INTEGER)) IN (SELECT day FROM days)),
+        |um AS (
+        |  SELECT day, user_id, MIN(off) AS min_off
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN min_off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |  CAST(SUM(CASE WHEN min_off < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+        |  COUNT(*) AS mau
+        |FROM um GROUP BY day ORDER BY day""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,

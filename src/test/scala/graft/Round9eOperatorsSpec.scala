@@ -152,6 +152,37 @@ class Round9eOperatorsSpec extends SparkSpec {
       s"shares sum $share ppm across ${rows.length} cells")
   }
 
+  test("session stats bucket the planted sessions exactly") {
+    // user 1: three events inside 10-min gaps (one session, 120 s),
+    // then a lone event hours later (singleton session, 0 s)
+    val d = eventsDir(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-03-01 10:01:00", 1L, "a", 0.0),
+      (3L, "2024-03-01 10:02:00", 1L, "a", 0.0),
+      (4L, "2024-03-01 18:00:00", 1L, "a", 0.0)))
+    val r = graft.queries.Events.qEventsSessionStats(spark, d).collect()
+      .map(x => x.getInt(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(0 -> ((1L, 1L, 0L)), 1 -> ((1L, 3L, 120L))),
+      s"buckets: $r")
+  }
+
+  test("wau: rolling windows count planted users exactly") {
+    // u1 active Mar 1 only; u2 active Mar 1 and Mar 5. Output days are
+    // clipped to actual activity days {1, 5}: on Mar 5, u1 is a
+    // 4-day-old active (wau yes, dau no), u2 is fresh.
+    val d = eventsDir(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-03-01 11:00:00", 2L, "a", 0.0),
+      (3L, "2024-03-05 10:00:00", 2L, "a", 0.0)))
+    val r = graft.queries.Events.qEventsWau(spark, d).collect()
+      .map(x => x.getDate(0).toString ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      "2024-03-01" -> ((2L, 2L, 2L)),
+      "2024-03-05" -> ((1L, 2L, 2L))), s"wau: $r")
+  }
+
   test("minhash estimate: identical docs score 64/64 and jaccard 1.0") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9e_mhe").toString
