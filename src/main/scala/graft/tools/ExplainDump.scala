@@ -134,7 +134,28 @@ object ExplainDump {
       "the checkpointed adjacency + min-hop aggregates, no windows"),
     "q_graph_assortativity" -> ("degree assortativity: two UN-hinted " +
       "degree joins (AQE broadcasts only when small) + one global " +
-      "aggregate of exact integer moments"))
+      "aggregate of exact integer moments"),
+    "q_graph_kcore" -> ("k-core peel: per round one degree aggregate " +
+      "+ two semi-joins on the materialized (shrinking) edge list; " +
+      "the 1-row derived-k broadcast rides each filter"),
+    "q_embed_prototype" -> ("prototypicality: tiny (label, dim) " +
+      "centroid aggregate broadcast back, per-row dot product, " +
+      "second tiny label-stats broadcast — no window, no pair work"),
+    "q_embed_bitsim" -> ("1-bit ANN: per-row sign packing, bounded " +
+      "query set broadcast against the 8-byte/vector scan, " +
+      "XOR+popcount Hamming, per-query top-5 window on ranked rows"),
+    "q_dedup_keep_best" -> ("canonical selection: cluster labels left-" +
+      "joined to quality, per-cluster argmax as ONE max_by aggregate " +
+      "(map-side partials), join-back on the cluster_id partitioning"),
+    "q_win_regression" -> ("rolling OLS: five exact-integer moment " +
+      "sums in ONE window over one user_id shuffle"),
+    "q_events_wau" -> ("rolling actives: grid-explode + (day, user) " +
+      "min-offset collapse + conditional sums — NO multi-" +
+      "countDistinct Expand; second aggregate rides the first's " +
+      "partitioning"),
+    "q_events_enrich" -> ("as-of dimension enrichment: equi-join on " +
+      "user_id with the validity interval as residual predicate — " +
+      "one shuffle each side, ≤ 1 match per event"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -21,8 +21,12 @@ class PlanLintSpec extends SparkSpec {
     *  - q_ann_bruteforce — the exactness BASELINE the approximate ANN
     *    paths are measured against; its query side is a bounded
     *    broadcast by contract;
-    *  - q_ann_recall — embeds q_ann_bruteforce verbatim as its truth
-    *    subplan, so it inherits that bounded broadcast cross;
+    *  - q_embed_bitsim — the 1-bit Hamming scan: same bounded
+    *    broadcast-query-set cross as q_ann_bruteforce, over 8-byte
+    *    packed rows;
+    *  - q_ann_recall — embeds q_ann_bruteforce AND q_embed_bitsim
+    *    verbatim as subplans, so it inherits those bounded broadcast
+    *    crosses;
     *  - q_ivf_dedup_recall — measurement query whose truth side is the
     *    all-pairs cosine sweep at the dedup threshold; bounded QA
     *    cross by design (run on a sample at real scale), documented on
@@ -34,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
     *    hourlyDense, which densifies the hourly series the same way
     *    the gapfill pair densify their 5-minute grid). */
   private val crossAllowed = Set(
-    "q_cross_join", "q_ann_bruteforce", "q_ann_recall", "q_ivf_dedup_recall",
+    "q_cross_join", "q_ann_bruteforce", "q_embed_bitsim",
+    "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate", "q_events_autocorr",
     "q_events_forecast")
 
