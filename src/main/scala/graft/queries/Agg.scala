@@ -284,6 +284,63 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** WEIGHTED median — the reference's median machinery generalized to
+    * weighted quantiles (price-weighted "typical quantity": where does
+    * the revenue-midpoint sit?). No sort of the raw fact: values
+    * collapse to one row per (flag, quantity) in a map-side-partial
+    * hash aggregate first, then a cumulative-weight window runs on
+    * that value-domain table (bounded by |distinct quantities|, not
+    * row count). The median is the smallest value whose cumulative
+    * weight reaches half the total — the comparison is 2·cumw ≥ total
+    * in exact DECIMAL, never a float division — and the final per-flag
+    * aggregate reuses the window's partitioning (zero extra exchange,
+    * the q_events_cusum shape). */
+  def qAggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wt = Window.partitionBy(col("l_returnflag"))
+    val wc = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(dec("l_extendedprice")).as("w"))
+      .withColumn("cumw", sum(col("w")).over(wc))
+      .withColumn("total", sum(col("w")).over(wt))
+      .where(col("cumw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("weighted_median_qty"),
+        max(col("total")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** GINI COEFFICIENT of revenue concentration per flag — the
+    * inequality audit (how much of the money sits in how few line
+    * items; operationally the same skew measure that decides salting
+    * strategy, here as a first-class statistic): the order-statistic
+    * form G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over ascending prices.
+    * Σᵢ i·xᵢ is TIE-ORDER-INVARIANT (a tie group contributes the same
+    * set of ranks times the same value however row_number breaks the
+    * tie), so the per-flag rank window needs no tiebreak column;
+    * rank·price products are exact DECIMAL and the close is one fixed
+    * IEEE sequence at 6 dp. The sort-by-value window is inherent to
+    * order statistics — the documented 100 TB swap-in is binned Gini
+    * on an equi-depth histogram (q_histogram_equidepth machinery). */
+  def qAggGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("x"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), dec("l_extendedprice").as("x"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("six") * 2).cast("double") /
+            (col("n") * col("sx")).cast("double") -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlation + least-squares regression from ONE pass of exact
     * DECIMAL moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the sums are
     * order-independent, and the closing formulas are correctly-rounded
@@ -490,6 +547,8 @@ object Agg {
     "q_basket_pairs" -> (qBasketPairs _),
     "q_rfm" -> (qRfm _),
     "q_agg_median_mode" -> (qAggMedianMode _),
+    "q_agg_weighted_median" -> (qAggWeightedMedian _),
+    "q_agg_gini" -> (qAggGini _),
     "q_agg_corr_regr" -> (qAggCorrRegr _),
     "q_agg_list" -> (qAggList _),
     "q_histogram" -> (qHistogram _),
@@ -605,6 +664,36 @@ object Agg {
         |  m.mode_qty, m.mode_n
         |FROM stats s JOIN m ON s.l_returnflag = m.l_returnflag AND m.rk = 1
         |ORDER BY s.l_returnflag""".stripMargin,
+    "q_agg_gini" ->
+      """WITH rk AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,4))) AS i
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx,
+        |    SUM(i * x) AS six
+        |  FROM rk GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND(CAST(six * 2 AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_agg_weighted_median" ->
+      """WITH byval AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT l_returnflag, l_quantity, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM byval)
+        |SELECT l_returnflag, MIN(l_quantity) AS weighted_median_qty,
+        |  MAX(total) AS total_weight
+        |FROM cw WHERE cumw * 2 >= total
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_corr_regr" ->
       """WITH mom AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -75,6 +75,33 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** CLUSTER-SIZE DISTRIBUTION — the dedup health report read after
+    * every clustering run (is duplication a long tail of pairs, or a
+    * few megaclusters that would nuke the corpus if dropped
+    * wholesale?): connected components over the exact-Jaccard pair
+    * graph, singletons included via the keep-best coalesce, rolled up
+    * to (cluster size → how many clusters, how many docs). Two
+    * integer-only hash aggregates past the oracle-checked component
+    * labels; output is bounded by |distinct sizes| — data-volume-free.
+    * The megacluster row (max size) is exactly what the r8-pattern
+    * skew audits look for before a quadratic within-cluster step. */
+  def qDedupClusterStats(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val pairs = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text",
+      blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+    val cl = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("size"))
+  }
+
   /** CANONICAL SELECTION BY QUALITY — the keep/drop decision done
     * right: within each near-dup cluster (q_dedup_cluster's connected
     * components, singletons their own cluster), keep the member with
@@ -116,6 +143,38 @@ object DedupSim {
     Dedup.minhashDedup(docsParallel(s, d), "doc_id", "text",
       n = 3, threshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** CROSS-SOURCE DUPLICATION MATRIX — the provenance/leakage report
+    * curation teams read before mixing corpora: for each unordered
+    * source pair, how many verified MinHash near-dup pairs straddle
+    * it (diagonal = within-source duplication, off-diagonal = one
+    * source republishing another — the contamination channel between
+    * training mixtures). Rides the full oracle-checked MinHash path;
+    * the two source lookups join on the pair ids (broadcast-able dims
+    * at any scale — |sources| documents metadata, not text), the pair
+    * is canonicalized by least/greatest so the matrix is triangular,
+    * and the mean jaccard sums exact DECIMAL(18,6) before ONE rounded
+    * double division (the corpus_report mean discipline). Output is
+    * |sources|²-bounded — data-volume-free past the pair scan. */
+  def qDedupSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 
   /** MinHash ESTIMATOR QUALITY — per banding-candidate pair, the
     * signature-based Jaccard estimate (matching signature positions /
@@ -623,10 +682,12 @@ object DedupSim {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_cluster_stats" -> (qDedupClusterStats _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_source_matrix" -> (qDedupSourceMatrix _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1036,6 +1097,40 @@ object DedupSim {
        |WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-source matrix twin: the full minhashOracle pair pipeline,
+    * then the two documents joins and the triangular rollup. */
+  private def sourceMatrixOracle: String =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
+       |    y.doc_id AS id_b, y.sz AS sz_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+       |    LEN(LIST_INTERSECT(sa.ids, sb.ids)) AS n_inter
+       |  FROM cand c
+       |  JOIN sids sa ON c.id_a = sa.doc_id
+       |  JOIN sids sb ON c.id_b = sb.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6)
+       |      AS jaccard
+       |  FROM inter
+       |  WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6)
+       |    >= 0.3),
+       |lab AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |    GREATEST(da.source, db.source) AS source_b, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON p.id_a = da.doc_id
+       |  JOIN documents db ON p.id_b = db.doc_id)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_jaccard,
+       |  MAX(jaccard) AS max_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DuckDB twin of Dedup.incrementalDedup on the src0 slice: one
     * bands CTE over ALL documents (identical per-doc signatures),
     * split batch/corpus by source in the verdict query. */
@@ -1145,6 +1240,7 @@ object DedupSim {
         |  ROUND(CAST(SUM(CAST(maxerr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_maxerr
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_source_matrix" -> sourceMatrixOracle,
     "q_minhash_estimate" -> minhashEstimateOracle,
     "q_dedup_nearest" ->
       s"""WITH $minhashBandsCtes,
@@ -1270,6 +1366,24 @@ object DedupSim {
          |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
          |SELECT id AS doc_id, MIN(reach) AS cluster_id
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |$cappedPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, b AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a),
+         |cl AS (SELECT id AS doc_id, MIN(reach) AS cluster_id
+         |       FROM r GROUP BY id),
+         |allc AS (
+         |  SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |sz AS (SELECT cluster_id, COUNT(*) AS size FROM allc GROUP BY 1)
+         |SELECT size, COUNT(*) AS n_clusters,
+         |  CAST(size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY size ORDER BY size""".stripMargin,
     // the cluster oracle's components + the quality oracle's score,
     // composed: one keeper per cluster by (quality DESC, doc_id)
     "q_dedup_keep_best" ->

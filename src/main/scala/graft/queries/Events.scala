@@ -733,8 +733,8 @@ object Events {
   }
 
   /** CHANGE-POINT candidates by the sliding two-sample mean-shift test
-    * (the window analogue of CUSUM that IS expressible as frames —
-    * CUSUM's recursive max cannot be a window function): on the hourly
+    * (the window analogue of CUSUM; the recursion itself is handled by
+    * q_events_cusum below via the drawup identity): on the hourly
     * per-type rollup, compare the mean of the 12 observed buckets
     * before each point against the 12 after; a shift above τ=50 flags
     * a candidate. The window runs on the ROLLUP, whose row count is
@@ -769,6 +769,95 @@ object Events {
         timestamp_micros(col("b")).as("bucket_start"),
         col("mean_prev"), col("mean_next"), col("shift"))
       .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  /** Alarm threshold for q_events_cusum, in mean-hourly-deviation
+    * units (the normalized statistic). Integer so the exact-decimal
+    * comparison `d_scaled > n·τ` never touches a float (τ sits between
+    * the p75 and max of the normalized drawup on this series, so the
+    * alarm set discriminates types instead of firing everywhere). */
+  val CusumTau = 2000L
+
+  /** One-sided CUSUM drift detector per event type — the classic
+    * sequential test the two-window mean-shift screen above
+    * approximates. The textbook form is recursive
+    * (Cₙ = max(0, Cₙ₋₁ + xₙ − k), not a frame aggregate), but the
+    * DRAWUP IDENTITY unrolls it exactly: Cₙ = Sₙ − min_{i≤n} Sᵢ where
+    * S is the running sum of deviations — a cumulative sum and a
+    * running min, two ordinary frames over ONE partitioning (a single
+    * exchange; Catalyst stacks the Window nodes shuffle-free). So the
+    * "inherently sequential" detector runs partition-parallel per type.
+    *
+    * Numeric discipline: deviations are scaled by the bucket count
+    * (dᵢ = n·svᵢ − T with T = Σsv) so the per-type mean never becomes
+    * a float — every cumulative quantity is an exact DECIMAL and the
+    * running min/argmax comparisons are exact; the only float op is
+    * the final normalize-and-round (the changepoint mean discipline).
+    * The peak bucket is argmax-by-exact-equality against the
+    * whole-partition max (ties → earliest bucket), and alarms count
+    * buckets whose scaled drawup exceeds n·τ — an integer-grid
+    * comparison.
+    *
+    * Scale: the raw-event pass is one map-side-partial hash aggregate;
+    * everything after runs on the calendar-bounded hourly rollup
+    * (8760 buckets/type/year — the days-dimension argument), and the
+    * final per-type aggregate reuses the window's hash partitioning
+    * (zero extra exchange). */
+  def qEventsCusum(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rollup = Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L)
+          .cast("long").as("b"),
+        col("value"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(dec("value")).as("sv"))
+    rollup
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("t", sum(col("sv")).over(wt))
+      .withColumn("sdev", sum(col("n") * col("sv") - col("t")).over(wc))
+      .withColumn("drawup", col("sdev") - min(col("sdev")).over(wc))
+      .withColumn("dmax", max(col("drawup")).over(wt))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_buckets"),
+        round(max(col("drawup")).cast("double") / max(col("n")), 6)
+          .as("peak_cusum"),
+        min(when(col("drawup") === col("dmax"), col("b"))).as("peak_b"),
+        count(when(col("drawup") > col("n") * lit(CusumTau), lit(1)))
+          .as("n_alarms"))
+      .select(col("event_type"), col("n_buckets"), col("peak_cusum"),
+        timestamp_micros(col("peak_b")).as("peak_bucket"),
+        col("n_alarms"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fixed-target CUSUM series (the DEPLOYED detector shape: the
+    * in-control mean k comes from history, not the batch being
+    * scored) — per observed hourly bucket, Cₙ = max(0, Cₙ₋₁ + sv − k)
+    * via the same drawup identity as qEventsCusum, with S₀ = 0
+    * entering through least(min S, 0). Exact DECIMAL throughout; the
+    * streaming twin (EventsStream.cusumStream) folds the same
+    * recursion online and is spec-asserted double-identical. */
+  private[graft] def cusumFixedTarget(
+      events: DataFrame, k: java.math.BigDecimal): DataFrame = {
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"),
+        (floor(unix_micros(col("ts")) / 3600000000L) * 3600000000L)
+          .cast("long").as("b"),
+        col("value"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(dec("value")).as("sv"))
+      .withColumn("sdev", sum(col("sv") - lit(k)).over(wc))
+      .withColumn("cusum",
+        (col("sdev") - least(min(col("sdev")).over(wc), lit(0)))
+          .cast("double"))
+      .select(col("event_type"),
+        timestamp_micros(col("b")).as("bucket_start"), col("cusum"))
   }
 
   /** Lag-k AUTOCORRELATION of the hourly event-count series per type
@@ -821,6 +910,48 @@ object Events {
       .join(perHour, Seq("event_type", "b"), "left")
       .select(col("event_type"), col("b"),
         coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  /** CROSS-CORRELATION between event-type pairs at lags −3..+3 hours —
+    * the lead–lag diagnostic behind causality hunches ("do clicks lead
+    * purchases by an hour?"): Pearson of type A's hourly count against
+    * type B's k hours later, over the shared dense grid (missing
+    * hours are 0 — observed-only rows would misalign every lag, the
+    * autocorr lesson). The shifted side is one 7-way explode of the
+    * checkpointed grid (calendar-bounded rows, never data-volume);
+    * the alignment is an equi-join on the bucket; all five moments
+    * are exact BIGINT sums and the closing r is the autocorr fixed
+    * IEEE sequence at 6 dp. Output is |types|²·7 rows. */
+  def qEventsXcorr(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val dense = hourlyDense(s, d).localCheckpoint()
+    val bexp = dense.select(col("event_type").as("tb"), col("x").as("y"),
+      explode(array((-3 to 3).map(k =>
+        struct(lit(k).as("lag"),
+          (col("b") - lit(k.toLong * hourUs)).as("ab"))): _*)).as("lk"))
+      .select(col("tb"), col("y"), col("lk.lag").as("lag"),
+        col("lk.ab").as("b"))
+    dense.select(col("event_type").as("ta"), col("b"), col("x"))
+      .join(bexp, "b")
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"), col("lag"),
+        col("n_pairs"),
+        when(col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n_pairs") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+             sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6))
+          .as("r"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
   def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
@@ -1041,13 +1172,40 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** TOP BEHAVIORAL PATHS — the 3-step sequence mining behind funnel
+    * discovery ("what do users actually do?", the exploratory
+    * counterpart to the fixed-stage q_events_funnel): per-user event
+    * trigrams by two stacked leads in ONE window pass (same
+    * (ts, event_id) total order as q_events_transitions — lag ties
+    * are deterministic), then a |types|³-bounded count table and a
+    * deterministic sort+limit top-20 (TakeOrderedAndProject, no
+    * global window — the q_text_pmi cut discipline). n_users rides
+    * the same aggregate as a distinct count. */
+  def qEventsPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .where(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_paths" -> (qEventsPaths _),
     "q_events_drift" -> (qEventsDrift _),
     "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_autocorr" -> (qEventsAutocorr _),
+    "q_events_xcorr" -> (qEventsXcorr _),
     "q_events_changepoint" -> (qEventsChangepoint _),
+    "q_events_cusum" -> (qEventsCusum _),
     "q_events_anomaly_robust" -> (qEventsAnomalyRobust _),
     "q_events_concurrency" -> (qEventsConcurrency _),
     "q_events_ewma" -> (qEventsEwma _),
@@ -1184,6 +1342,45 @@ object Events {
         |    AS BIGINT) / 1000000.0 AS prob
         |FROM matrix m JOIN totals t USING (from_type)
         |ORDER BY m.from_type, m.to_type""".stripMargin,
+    "q_events_xcorr" ->
+      """WITH ph AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ph),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi, 3600000000)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ph),
+        |dense AS (
+        |  SELECT t.event_type, g.b, COALESCE(ph.c, 0) AS x
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.b = g.b),
+        |sh AS (
+        |  SELECT event_type AS tb, x AS y, lag,
+        |    b - lag * 3600000000 AS b2
+        |  FROM (
+        |    SELECT event_type, x, b,
+        |      UNNEST(GENERATE_SERIES(-3, 3)) AS lag
+        |    FROM dense)),
+        |j AS (
+        |  SELECT a.event_type AS ta, s.tb, s.lag, a.x, s.y
+        |  FROM dense a JOIN sh s ON a.b = s.b2
+        |  WHERE a.event_type < s.tb),
+        |sums AS (
+        |  SELECT ta, tb, lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT ta AS type_a, tb AS type_b, lag, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        |    THEN ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |      (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |       SQRT(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM sums ORDER BY type_a, type_b, lag""".stripMargin,
     "q_events_autocorr" ->
       """WITH ph AS (
         |  SELECT event_type,
@@ -1246,6 +1443,46 @@ object Events {
         |FROM fr
         |WHERE n_prev = 12 AND n_next = 12 AND ROUND(ABS(mn - mp), 6) > 50.0
         |ORDER BY event_type, bucket_start""".stripMargin,
+    "q_events_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT t1, t2, t3, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "q_events_cusum" ->
+      """WITH rollup AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, b, sv,
+        |    COUNT(*) OVER wt AS n, SUM(sv) OVER wt AS t
+        |  FROM rollup WINDOW wt AS (PARTITION BY event_type)),
+        |cs AS (
+        |  SELECT event_type, b, n, SUM(n * sv - t) OVER wc AS sdev
+        |  FROM sc WINDOW wc AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dr AS (
+        |  SELECT event_type, b, n, sdev - MIN(sdev) OVER wc AS drawup
+        |  FROM cs WINDOW wc AS (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dm AS (
+        |  SELECT *, MAX(drawup) OVER (PARTITION BY event_type) AS dmax
+        |  FROM dr)
+        |SELECT event_type, MAX(n) AS n_buckets,
+        |  ROUND(CAST(MAX(drawup) AS DOUBLE) / MAX(n), 6) AS peak_cusum,
+        |  make_timestamp(MIN(CASE WHEN drawup = dmax THEN b END))
+        |    AS peak_bucket,
+        |  COUNT(CASE WHEN drawup > n * 2000 THEN 1 END) AS n_alarms
+        |FROM dm GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_events_anomaly_robust" ->
       """WITH med AS (
         |  SELECT event_type,

@@ -235,6 +235,43 @@ object Graph {
     reached.orderBy(col("hop"), col("node"))
   }
 
+  /** 2-HOP NEIGHBORHOOD SIZE (the radius-2 neighborhood function —
+    * ANF's ground truth, exact): for each query node, how many
+    * distinct nodes sit within one hop (n1) and within two (n2,
+    * excluding self), plus the expansion ratio n2/n1 — the
+    * "friend-of-friend audience" / influence-radius measure, and the
+    * empirical check on how fast this graph's balls grow before any
+    * sketch-based ANF would be trusted at full scale.
+    *
+    * Shape discipline: the expansion runs only from the bounded query
+    * set (the q_graph_common_neighbors contract — an all-corpus run
+    * batches over node ranges, or switches to the Flajolet-Martin
+    * bitmask rounds whose per-node state is constant); the distinct
+    * collapses by (seed, node) BEFORE counting, so the count is one
+    * hash aggregate over ≤ |Q|·deg² rows; the checkpointed edge list
+    * is built once for the seed and expansion sides. Integer counts,
+    * one final rounded double division — engine-exact. */
+  def qGraphNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val edges = edgeParts(s, d)._1.localCheckpoint()
+    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    val seeds = adj.where(col("u") <= LinkQueryCap)
+      .select(col("u").as("a"), col("v").as("w"))
+    val n1 = seeds.groupBy(col("a"))
+      .agg(countDistinct(col("w")).as("n1"))
+    val reach = seeds.select(col("a"), col("w").as("node"))
+      .unionAll(seeds.join(adj.select(col("u").as("u2"), col("v")),
+          col("w") === col("u2"))
+        .select(col("a"), col("v").as("node")))
+      .where(col("node") =!= col("a"))
+      .distinct()
+    val n2 = reach.groupBy(col("a")).agg(count(lit(1)).as("n2"))
+    n1.join(n2, "a")
+      .select(col("a").as("node"), col("n1"), col("n2"),
+        round(col("n2").cast("double") / col("n1"), 6).as("expansion"))
+      .orderBy(col("node"))
+  }
+
   /** DEGREE DISTRIBUTION histogram in log₂ buckets — the one-page
     * structural profile (is this graph heavy-tailed? how hot is the
     * hottest hub?) that decides skew strategy before any pair-join
@@ -350,6 +387,7 @@ object Graph {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_graph_khop" -> (qGraphKhop _),
+    "q_graph_neighborhood" -> (qGraphNeighborhood _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_degree_hist" -> (qGraphDegreeHist _),
     "q_graph_pagerank" -> (qGraphPagerank _),
@@ -594,6 +632,26 @@ object Graph {
   def oracles: Map[String, String] = Map(
     "q_graph_assortativity" -> assortativityOracle,
     "q_graph_khop" -> khopOracle,
+    "q_graph_neighborhood" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |adj AS (SELECT pa AS u, pb AS v FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |seeds AS (SELECT u AS a, v AS w FROM adj WHERE u <= $LinkQueryCap),
+         |n1 AS (SELECT a, COUNT(DISTINCT w) AS n1 FROM seeds GROUP BY 1),
+         |reach AS (
+         |  SELECT DISTINCT a, node FROM (
+         |    SELECT a, w AS node FROM seeds
+         |    UNION ALL
+         |    SELECT s.a, p.v AS node FROM seeds s JOIN adj p ON p.u = s.w)
+         |  WHERE node <> a),
+         |n2 AS (SELECT a, COUNT(*) AS n2 FROM reach GROUP BY 1)
+         |SELECT a AS node, n1, n2,
+         |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) AS expansion
+         |FROM n1 JOIN n2 USING (a) ORDER BY node""".stripMargin,
     "q_graph_kcore" -> kcoreOracle,
     "q_graph_degree_hist" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

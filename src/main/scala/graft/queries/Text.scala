@@ -42,6 +42,7 @@ object Text {
       max(col("n_nopunct")).as("n_nopunct"),
       max(col("n_nows")).as("n_nows"),
       count(lit(1)).as("n_toks"),
+      max(length(col("tok"))).as("max_tok"),
       count(when(col("tok").isInCollection(stopwords), lit(1))).as("n_sw")) ++
       langs.map(l =>
         count(when(col("tok").isInCollection(markers(l)), lit(1))).as(s"hits_$l"))
@@ -65,6 +66,36 @@ object Text {
       round(col("n_nows").cast("double") /
         greatest(col("n_toks").cast("double"), lit(1.0)), 6).as("mean_tok_len"))
       .orderBy(col("doc_id"))
+
+  /** GOPHER-STYLE QUALITY RULE GATE (Rae et al. 2021 §A1.1, the
+    * standard pre-training heuristic filter): per-doc boolean verdicts
+    * for word count in [50, 100k], mean word length in [3, 10],
+    * longest word ≤ 20 chars, ≥ 2 stopword hits, and stopword
+    * fraction ≤ ½ (the word-soup screen). Every rule is an INTEGER
+    * comparison on the token-backbone counts — mean word length is
+    * 3·n_toks ≤ n_nows ≤ 10·n_toks, the fraction is 2·n_sw ≤ n_toks —
+    * so no ratio ever becomes a float and the verdicts are exact on
+    * any engine. One pass over the shared tokenAgg backbone; at scale
+    * this is the first, cheapest filter in the curation funnel (pure
+    * map-side work, no extra shuffle beyond the backbone's). */
+  def qTextGopher(s: SparkSession, d: String): DataFrame = {
+    val rWc = col("n_toks") >= 50 && col("n_toks") <= 100000
+    val rWl = col("n_nows") >= col("n_toks") * 3 &&
+      col("n_nows") <= col("n_toks") * 10
+    val rMw = col("max_tok") <= 20
+    val rSw = col("n_sw") >= 2
+    val rSr = col("n_sw") * 2 <= col("n_toks")
+    tokenAgg(s, d).select(
+      col("doc_id"),
+      col("n_toks").as("n_tokens"),
+      rWc.as("r_wordcount"),
+      rWl.as("r_wordlen"),
+      rMw.as("r_maxword"),
+      rSw.as("r_stopwords"),
+      rSr.as("r_swratio"),
+      (rWc && rWl && rMw && rSw && rSr).as("pass"))
+      .orderBy(col("doc_id"))
+  }
 
   /** GPT-2-style pre-tokenizer pattern, restricted to constructs both
     * Java regex (Spark) and RE2 (DuckDB) support — no lookahead, so
@@ -228,6 +259,88 @@ object Text {
       .withColumn("rk", row_number().over(rw))
       .where(col("rk") <= 10)
       .orderBy(col("lang"), col("rk"))
+  }
+
+  /** COLLOCATION MINING by pointwise mutual information — the corpus
+    * statistic behind phrase detection (word2vec's phrase pass, NLTK
+    * collocations): PMI(x,y) = ln P(x,y)/(P(x)P(y)), top-20 bigram
+    * types with support ≥ 5. Count tables are map-side-partial hash
+    * aggregates of the token backbone; the PMI argument is computed as
+    * ONE fixed left-to-right IEEE expression (c_xy·M·M)/(N·c_x·c_y)
+    * with integer counts promoted once — identical operation sequence
+    * on any engine, then ln + 6 dp round (the entropy log discipline).
+    * The top-20 is sort+limit (TakeOrderedAndProject — no global
+    * window), totally ordered by (pmi, w1, w2) so the cut is
+    * deterministic. Everything after the token pass runs on
+    * vocabulary-sized tables (|V| and |V|² rows, data-volume-free);
+    * the two unigram joins broadcast. */
+  def qTextPmi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(col("doc_id"),
+      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok.withColumn("w2", lead(col("word"), 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("word").as("w1"), col("w2"))
+    val cbg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("cu"))
+    // N = Σ(len−1) = M − n_docs (split("") = [""] keeps every doc at
+    // ≥ 1 token), so BOTH totals come from one token aggregate — a
+    // count over `bi` would re-run the whole bigram window subtree
+    // (expression trees, not DAGs)
+    val totals = tok.agg(count(lit(1)).as("m"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("nb"))
+    cbg
+      .join(broadcast(cu.select(col("word").as("w1"), col("cu").as("c_x"))),
+        "w1")
+      .join(broadcast(cu.select(col("word").as("w2"), col("cu").as("c_y"))),
+        "w2")
+      .crossJoin(broadcast(totals))
+      .where(col("c_xy") >= 5)
+      .withColumn("pmi",
+        round(log(col("c_xy").cast("double") * col("m") * col("m") /
+          (col("nb").cast("double") * col("c_x") * col("c_y"))), 6))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** ZIPF FIT — the log-log rank-frequency OLS slope of the
+    * vocabulary, the one-number lexical-health check (natural text
+    * sits near −1; templated/boilerplate corpora flatten, spam
+    * steepens): unigram counts → global rank (the ONE deliberately
+    * unpartitioned window in this file — its input is the vocabulary
+    * count table, |V| rows by construction, the q_win_unpartitioned
+    * contract) → ln(rank)/ln(count) quantized to the 9 dp decimal
+    * grid (the entropy log discipline) → exact decimal moment sums →
+    * slope and intercept as one fixed IEEE sequence at 6 dp. */
+  def qTextZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(
+      explode(split(lower(col("text")), "\\s+")).as("word"))
+    val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val q = cu
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      .select(
+        round(log(col("rk").cast("double")), 9).cast("decimal(18,9)")
+          .as("x"),
+        round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+          .as("y"))
+    val nd = col("n_types").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    q.agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_types"), round(slope, 6).as("slope"),
+        round((sy - slope * sx) / nd, 6).as("intercept"))
   }
 
   /** End-to-end curation pipeline — the LLM-corpus flow users actually
@@ -632,7 +745,10 @@ object Text {
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_pergroup" -> (qSamplePergroup _),
     "q_text_topk_ngrams" -> (qTextTopkNgrams _),
+    "q_text_pmi" -> (qTextPmi _),
+    "q_text_zipf" -> (qTextZipf _),
     "q_text_stats" -> (qTextStats _),
+    "q_text_gopher" -> (qTextGopher _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
@@ -966,6 +1082,62 @@ object Text {
         |  FROM c)
         |SELECT lang, bigram, n, rk FROM r WHERE rk <= 10
         |ORDER BY lang, rk""".stripMargin,
+    "q_text_zipf" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS word
+        |  FROM documents),
+        |cu AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1),
+        |rk AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk
+        |  FROM cu),
+        |q AS (
+        |  SELECT
+        |    CAST(ROUND(LN(CAST(rk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM rk),
+        |s AS (
+        |  SELECT COUNT(*) AS n_types, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM q)
+        |SELECT n_types,
+        |  ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 6)
+        |    AS intercept
+        |FROM s""".stripMargin,
+    "q_text_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS word
+        |  FROM documents),
+        |ws AS (
+        |  SELECT STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (
+        |    SELECT ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i
+        |    FROM ws WHERE LEN(ws) >= 2)),
+        |cbg AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT word, COUNT(*) AS cu FROM tok GROUP BY 1),
+        |totals AS (
+        |  SELECT COUNT(*) AS m, COUNT(*) - COUNT(DISTINCT doc_id) AS nb
+        |  FROM tok)
+        |SELECT w1, w2, c_xy, cx.cu AS c_x, cy.cu AS c_y,
+        |  ROUND(LN(CAST(c_xy AS DOUBLE) * m * m
+        |    / (CAST(nb AS DOUBLE) * cx.cu * cy.cu)), 6) AS pmi
+        |FROM cbg
+        |JOIN cu cx ON cbg.w1 = cx.word
+        |JOIN cu cy ON cbg.w2 = cy.word
+        |CROSS JOIN totals
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_text_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  ROUND(QUANTILE_CONT(n_chars, 0.25), 4) AS p25,
@@ -995,6 +1167,28 @@ object Text {
          |  ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) * 1.0
          |    / GREATEST(LEN(STRING_SPLIT_REGEX(text, '\\s+')), 1), 6) AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_gopher" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS n_toks,
+         |    LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nows,
+         |    LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |      w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+         |      AS n_sw,
+         |    LIST_MAX(LIST_TRANSFORM(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |      w -> LENGTH(w))) AS max_tok
+         |  FROM documents)
+         |SELECT doc_id, n_toks AS n_tokens,
+         |  n_toks BETWEEN 50 AND 100000 AS r_wordcount,
+         |  (n_nows >= n_toks * 3 AND n_nows <= n_toks * 10) AS r_wordlen,
+         |  max_tok <= 20 AS r_maxword,
+         |  n_sw >= 2 AS r_stopwords,
+         |  n_sw * 2 <= n_toks AS r_swratio,
+         |  (n_toks BETWEEN 50 AND 100000
+         |    AND n_nows >= n_toks * 3 AND n_nows <= n_toks * 10
+         |    AND max_tok <= 20 AND n_sw >= 2 AND n_sw * 2 <= n_toks)
+         |    AS pass
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH scored AS (
          |  SELECT doc_id,

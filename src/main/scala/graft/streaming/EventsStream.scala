@@ -49,6 +49,10 @@ case class FunnelState(
 case class FunnelRow(
     user_id: Long, t_view: Option[Long], t_click: Option[Long],
     t_purchase: Option[Long], stage: Int)
+case class CusumCarry(
+    pending: Seq[(Long, Long)], open: Map[Long, Long], c: Long)
+case class CusumPoint(
+    event_type: String, bucket_start: java.sql.Timestamp, cusum: Double)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -591,6 +595,73 @@ object EventsStream {
             state.setTimeoutTimestamp(
               math.max(hold.map(_._1).min / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming one-sided CUSUM — the PRODUCTION deployment of the
+    * drift alarm (queries.Events.cusumFixedTarget is the batch twin):
+    * per event type, hourly bucket sums finalize when the watermark
+    * passes the bucket END (no row for that hour can still arrive),
+    * then fold through the textbook recursion Cₙ = max(0, Cₙ₋₁+sv−k)
+    * IN BUCKET ORDER and emit one point per observed bucket. The
+    * target k is configured (the in-control mean from history) — a
+    * self-normalizing target would need the full series and cannot
+    * stream.
+    *
+    * Exactness: every value quantizes to the scale-4 integer grid on
+    * entry (the same HALF_UP cast the batch DECIMAL(18,4) sum
+    * performs), so bucket sums and the carry are exact longs and the
+    * emitted double is the one correctly-rounded conversion — the
+    * spec asserts double-identical output vs the batch query under
+    * out-of-order arrival. State per type: the not-yet-final rows
+    * (watermark-delay-bounded) + open bucket sums + ONE long carry. */
+  def cusumStream(
+      events: Dataset[TypedEvent],
+      kTarget: java.math.BigDecimal,
+      watermarkDelay: String = "10 minutes"): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    val kq = kTarget.setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    val hourUs = 3600000000L
+    def q4(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumCarry, CusumPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, rows: Iterator[TypedEvent],
+            state: GroupState[CusumCarry]) =>
+          val prev = state.getOption.getOrElse(CusumCarry(Nil, Map.empty, 0L))
+          val pending = prev.pending ++
+            rows.map(r => (r.ts.getTime * 1000L, q4(r.value)))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = pending.partition(_._1 <= horizonUs)
+          var open = prev.open
+          ripe.foreach { case (ts, q) =>
+            val b = ts / hourUs * hourUs
+            open = open.updated(b, open.getOrElse(b, 0L) + q)
+          }
+          // a bucket whose END the watermark passed is final: hold
+          // rows all have ts > horizon, hence sit in later buckets
+          val (closed, still) =
+            open.partition { case (b, _) => b + hourUs <= horizonUs }
+          var c = prev.c
+          val out = closed.keys.toSeq.sorted.map { b =>
+            c = math.max(0L, c + closed(b) - kq)
+            CusumPoint(typ, new java.sql.Timestamp(b / 1000L),
+              c.toDouble / 10000.0)
+          }
+          state.update(CusumCarry(hold, still, c))
+          val wakes = still.keys.map(b => (b + hourUs) / 1000L) ++
+            hold.map(_._1 / 1000L + 1L)
+          if (wakes.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(wakes.min, state.getCurrentWatermarkMs() + 1L))
           out.iterator
       }
   }

@@ -155,7 +155,20 @@ object ExplainDump {
       "partitioning"),
     "q_events_enrich" -> ("as-of dimension enrichment: equi-join on " +
       "user_id with the validity interval as residual predicate — " +
-      "one shuffle each side, ≤ 1 match per event"))
+      "one shuffle each side, ≤ 1 match per event"),
+    "q_events_cusum" -> ("CUSUM via the drawup identity: hourly " +
+      "rollup, then cumsum + running-min + whole-partition max as " +
+      "stacked Window nodes over ONE event_type exchange; the final " +
+      "per-type aggregate reuses the same partitioning"),
+    "q_agg_weighted_median" -> ("weighted median: value-domain " +
+      "collapse first (map-side partials), cumulative-weight window " +
+      "on |distinct values| rows, final aggregate on the window's " +
+      "partitioning — the raw fact is never sorted"),
+    "q_text_pmi" -> ("PMI collocations: one token Generate feeds " +
+      "bigram window + unigram counts; vocabulary-sized joins " +
+      "broadcast; top-20 is TakeOrderedAndProject, no global window"),
+    "q_events_paths" -> ("path trigrams: two leads in ONE Window " +
+      "pass, |types|3-bounded count table, TakeOrderedAndProject"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -36,12 +36,15 @@ class PlanLintSpec extends SparkSpec {
     *    cross; the type dimension is distinct() of a low-cardinality
     *    column, small by data contract (autocorr and forecast share
     *    hourlyDense, which densifies the hourly series the same way
-    *    the gapfill pair densify their 5-minute grid). */
+    *    the gapfill pair densify their 5-minute grid);
+    *  - q_events_xcorr — shares hourlyDense verbatim with autocorr/
+    *    forecast, so it inherits the same grid × type-dimension cross;
+    *    its own 1-row totals are broadcast and invisible to the lint. */
   private val crossAllowed = Set(
     "q_cross_join", "q_ann_bruteforce", "q_embed_bitsim",
     "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate", "q_events_autocorr",
-    "q_events_forecast")
+    "q_events_forecast", "q_events_xcorr")
 
   /** Reviewed whole-relation windows:
     *  - q_win_unpartitioned — the documented driver-bounded
@@ -50,9 +53,12 @@ class PlanLintSpec extends SparkSpec {
     *    cross-day carry prefix sum over per-DAY totals (one row per
     *    day, bounded by the data's time span, not its row count — the
     *    gapfill carry argument); the per-row running count is
-    *    partitioned by day. */
+    *    partitioned by day;
+    *  - q_text_zipf — the global rank window runs on the vocabulary
+    *    COUNT table (|V| rows by construction, never the corpus), the
+    *    same bounded-input contract as q_win_unpartitioned. */
   private val unpartitionedAllowed = Set(
-    "q_win_unpartitioned", "q_events_concurrency")
+    "q_win_unpartitioned", "q_events_concurrency", "q_text_zipf")
 
   private def small(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)

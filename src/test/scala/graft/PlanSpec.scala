@@ -214,6 +214,36 @@ class PlanSpec extends SparkSpec {
       "profile regressed to the Expand multi-countDistinct plan")
   }
 
+  test("round-9f additions keep their claimed plan shapes") {
+    // q_text_pmi / q_events_paths: the top-k cut is a distributed
+    // TakeOrderedAndProject — never a global-window rank
+    val pmi = plan(gq.Text.qTextPmi(spark, sf))
+    assert(pmi.contains("TakeOrderedAndProject"),
+      s"pmi top-20 lost its distributed top-k:\n$pmi")
+    // exactly ONE window — the per-doc bigram lead; a second would
+    // mean the cut regressed to a global rank
+    assert("\\bWindow\\b".r.findAllIn(pmi).length == 1,
+      s"pmi should have only the per-doc lead window:\n$pmi")
+    val paths = plan(gq.Events.qEventsPaths(spark, sf))
+    assert(paths.contains("TakeOrderedAndProject"),
+      s"paths top-20 lost its distributed top-k:\n$paths")
+    // q_events_cusum: the four stacked frames and the final per-type
+    // aggregate all ride ONE event_type exchange — exactly two
+    // exchanges total before the display sort (rollup + event_type)
+    val cus = gq.Events.qEventsCusum(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nEx = "\\bExchange\\b".r.findAllIn(cus).length
+    assert(nEx <= 3, s"cusum grew extra shuffles ($nEx):\n$cus")
+    assert("\\bWindow\\b".r.findAllIn(cus).length == 4,
+      s"cusum window stack changed:\n$cus")
+    // q_agg_weighted_median: the raw fact is never globally sorted —
+    // the only Sort nodes are the window's intra-partition sorts and
+    // the 3-row display sort
+    val wm = plan(gq.Agg.qAggWeightedMedian(spark, sf))
+    assert(wm.contains("Window") && wm.contains("HashAggregate"),
+      s"weighted median lost its collapse-then-window shape:\n$wm")
+  }
+
   test("pipeline_train: decontam screen is broadcast-sized, no quadratic join") {
     // the composed flagship must keep every stage's scale shape: the
     // eval-shingle screen and the contamination anti-join both key on

@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 sixth-session additions: CUSUM drift detection via the
+  * drawup identity, weighted median, the Gopher rule gate, PMI
+  * collocations, 2-hop neighborhood size, and the cross-source
+  * duplication matrix. Planted fixtures run the registered queries
+  * unmodified against hand-computed answers. */
+class Round9fOperatorsSpec extends SparkSpec {
+
+  private def eventsDir(
+      rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_ev").toString
+    rows.toDF("event_id", "ts_str", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .drop("ts_str")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cusum: drawup identity reproduces the recursive statistic") {
+    // type "up": hourly sums 0,0,0,10,10,10 → n=6, T=30,
+    // scaled devs 6·sv−30 = −30×3, +30×3; S = −30,−60,−90,−60,−30,0;
+    // runmin bottoms at −90 → drawup peaks at 90 in the LAST bucket;
+    // peak_cusum = 90/6 = 15. The recursive max(0, C+d) on the
+    // unscaled devs (−5×3, +5×3) gives 0,0,0,5,10,15 — same answer.
+    // type "flat": constant series → drawup 0 everywhere, tie on the
+    // max resolves to the EARLIEST bucket.
+    val d = eventsDir(
+      (0 until 6).map(h => (h.toLong, f"2024-01-01 0$h:00:00", 1L, "up",
+        if (h < 3) 0.0 else 10.0)) ++
+      (0 until 4).map(h => (10L + h, f"2024-01-01 0$h:00:00", 1L, "flat",
+        7.0)))
+    val r = graft.queries.Events.qEventsCusum(spark, d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2),
+          x.getTimestamp(3).toInstant.toString, x.getLong(4))).toMap
+    assert(r("up") == ((6L, 15.0, "2024-01-01T05:00:00Z", 0L)), s"up: $r")
+    assert(r("flat") == ((4L, 0.0, "2024-01-01T00:00:00Z", 0L)),
+      s"flat ties to earliest: $r")
+  }
+
+  test("weighted median: weight mass moves the median off the count median") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_li").toString
+    // flag A: qty 1 (w 1), 2 (w 1), 3 (w 10) — count median is 2 but
+    // 10/12 of the weight sits on 3; first qty with 2·cumw ≥ 12 is 3.
+    // flag B: symmetric weights → exact half lands on qty 1
+    // (2·cumw = total at the first row — the ≥ makes it inclusive).
+    Seq(("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0),
+      ("B", 1.0, 5.0), ("B", 2.0, 5.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Agg.qAggWeightedMedian(spark, dir).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("A" -> 3.0, "B" -> 1.0), s"got $r")
+  }
+
+  test("gopher: each rule fails on its own planted violation") {
+    val sw = "the a an and of"
+    // 56 tokens, 25% stopwords, mean word length 4.25 — passes all
+    val good = Seq.fill(14)("the table scan merge").mkString(" ")
+    val short = "tiny doc only"                       // wordcount fails
+    val soup = (sw + " ") * 12 + sw                   // all stopwords
+    val longw = good + " " + "x" * 25                 // maxword fails
+    val noSw = Seq.fill(60)("table scan part").mkString(" ") // 0 stopwords
+    val d = docsDir(Seq(
+      (0L, good, "en", "s"), (1L, short, "en", "s"), (2L, soup, "en", "s"),
+      (3L, longw, "en", "s"), (4L, noSw, "en", "s")))
+    val r = graft.queries.Text.qTextGopher(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        (x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5), x.getBoolean(6), x.getBoolean(7))).toMap
+    assert(r(0L) == ((true, true, true, true, true, true)), s"good: $r")
+    assert(!r(1L)._1 && !r(1L)._6, s"short fails wordcount: $r")
+    assert(!r(2L)._5 && !r(2L)._6, s"soup fails swratio: $r")
+    assert(!r(3L)._3 && !r(3L)._6, s"long word fails maxword: $r")
+    assert(!r(4L)._4 && !r(4L)._6, s"no stopwords fails: $r")
+  }
+
+  test("pmi: an always-together bigram tops the free-mixing filler") {
+    // "new york" appears 8 times and its words never occur apart;
+    // filler words mix freely, so their bigram PMI sits near 0 while
+    // the collocation's is ln(c_xy·M²/(N·c_x·c_y)) with c_x=c_y=c_xy.
+    val filler = Seq("aa", "bb", "cc", "dd")
+    val mix = (0 until 30).map(i => filler(i % 4)).mkString(" ")
+    val d = docsDir(Seq(
+      (0L, ("new york " * 8).trim, "en", "s"),
+      (1L, mix, "en", "s"), (2L, mix, "en", "s"), (3L, mix, "en", "s")))
+    val rows = graft.queries.Text.qTextPmi(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5)))
+    val top = rows.head
+    assert(top._1 == "new" && top._2 == "york", s"top: ${rows.toSeq}")
+    val m = 16.0 + 90.0 // tokens: 16 in doc0, 30×3 filler
+    val nb = 15.0 + 87.0 // bigrams per doc: len−1
+    val expected = math.log(top._3 * m * m / (nb * top._4 * top._5))
+    assert(math.abs(top._6 - expected) < 1e-6, s"pmi value: $top")
+    assert(rows.forall(r => r._3 >= 5), "support threshold respected")
+    assert(top._6 > rows.last._6, "collocation beats free mixing")
+  }
+
+  test("neighborhood: path graph n1/n2 count exactly the ball members") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_li2").toString
+    // orders {1,2}, {2,3}, {3,4} → path 1-2-3-4
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Graph.qGraphNeighborhood(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r == Map(
+      1L -> ((1L, 2L, 2.0)),   // {2}, {2,3}
+      2L -> ((2L, 3L, 1.5)),   // {1,3}, {1,3,4}
+      3L -> ((2L, 3L, 1.5)),   // {2,4}, {1,2,4}
+      4L -> ((1L, 2L, 2.0))),  // {3}, {2,3}
+      s"got $r")
+  }
+
+  test("paths: trigrams follow event-time order, not insertion order") {
+    // user 1 emits a→b→c→d (the c row is planted out of insertion
+    // order); user 2 emits a→b→c — trigram (a,b,c) has n=2, n_users=2,
+    // (b,c,d) has n=1.
+    val d = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (3L, "2024-01-01 10:03:00", 1L, "d", 0.0),
+      (1L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (2L, "2024-01-01 10:02:00", 1L, "c", 0.0),
+      (4L, "2024-01-01 11:00:00", 2L, "a", 0.0),
+      (5L, "2024-01-01 11:01:00", 2L, "b", 0.0),
+      (6L, "2024-01-01 11:02:00", 2L, "c", 0.0)))
+    val r = graft.queries.Events.qEventsPaths(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("a", "b", "c", 2L, 2L), ("b", "c", "d", 1L, 1L)), s"got ${r.toSeq}")
+  }
+
+  test("xcorr: a shifted copy correlates perfectly at its lag") {
+    // type b's hourly counts are exactly type a's one hour later
+    // (a: 1,2,3 at hours 0-2; b: 1,2,3 at hours 1-3) → pairing a_t
+    // with b_{t+1} gives (1,1),(2,2),(3,3): r = 1.0 at lag +1
+    var id = 0L
+    def burst(h: Int, typ: String, n: Int) = (0 until n).map { _ =>
+      id += 1; (id, f"2024-01-01 0$h:00:00", 1L, typ, 0.0)
+    }
+    val d = eventsDir(
+      burst(0, "a", 1) ++ burst(1, "a", 2) ++ burst(2, "a", 3) ++
+      burst(1, "b", 1) ++ burst(2, "b", 2) ++ burst(3, "b", 3))
+    val rows = graft.queries.Events.qEventsXcorr(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)) ->
+        (x.getLong(3), if (x.isNullAt(4)) Double.NaN else x.getDouble(4)))
+      .toMap
+    assert(rows.size == 7, s"one type pair x 7 lags: $rows")
+    assert(rows(("a", "b", 1)) == ((3L, 1.0)), s"shifted copy: $rows")
+    assert(rows(("a", "b", 0))._2 < 1.0, s"lag 0 must not be perfect: $rows")
+  }
+
+  test("cluster stats: sizes roll up pairs, chains, and singletons") {
+    val x = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val y = (1 to 30).map(i => s"alt$i").mkString(" ")
+    val z = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    // cluster of 3 (identical x), cluster of 2 (identical y), one
+    // singleton → sizes 1×1, 2×1, 3×1
+    val d = docsDir(Seq(
+      (0L, x, "en", "s"), (1L, x, "en", "s"), (2L, x, "en", "s"),
+      (3L, y, "en", "s"), (4L, y, "en", "s"), (5L, z, "en", "s")))
+    val r = graft.queries.DedupSim.qDedupClusterStats(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)),
+      s"got ${r.toSeq}")
+  }
+
+  test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_li3").toString
+    // flag A: four equal prices → perfect equality, G = 0 exactly;
+    // flag B: all the money on one row of four → G = 3/4 exactly
+    (Seq.fill(4)(("A", 10.0)) ++ Seq(("B", 0.0), ("B", 0.0),
+      ("B", 0.0), ("B", 10.0)))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Agg.qAggGini(spark, dir).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == Map("A" -> ((4L, 0.0)), "B" -> ((4L, 0.75))), s"got $r")
+  }
+
+  test("zipf: the rank-frequency slope matches the closed-form fit") {
+    // counts 4, 2, 1 at ranks 1, 2, 3
+    val d = docsDir(Seq((0L, "a a a a b b c", "en", "s")))
+    val row = graft.queries.Text.qTextZipf(spark, d).collect().head
+    assert(row.getLong(0) == 3, s"vocab size: $row")
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(math.abs(row.getDouble(1) - slope) < 1e-6, s"slope: $row")
+    assert(math.abs(row.getDouble(2) - intercept) < 1e-6, s"intercept: $row")
+    assert(row.getDouble(1) < 0, "frequency must fall with rank")
+  }
+
+  test("source matrix: within- and cross-source dup pairs land in their cells") {
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    // identical text in srcA×2 and srcB×1 → pairs (0,1) A-A,
+    // (0,2)+(1,2) A-B, all jaccard 1.0; doc 3 shares nothing.
+    val d = docsDir(Seq(
+      (0L, a, "en", "srcA"), (1L, a, "en", "srcA"), (2L, a, "en", "srcB"),
+      (3L, other, "en", "srcB")))
+    val r = graft.queries.DedupSim.qDedupSourceMatrix(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r == Map(
+      ("srcA", "srcA") -> ((1L, 1.0, 1.0)),
+      ("srcA", "srcB") -> ((2L, 1.0, 1.0))), s"got $r")
+  }
+}

@@ -84,6 +84,35 @@ class ScalingSpec extends SparkSpec {
       s"kcore shuffle grew ${ratio}x on ~13x edges ($small -> $big)")
   }
 
+  test("paths trigram shuffle grows linearly with the event volume") {
+    // one user-partitioned window over the fact plus a |types|³-
+    // bounded count table — shuffle ∝ events, never sequences²
+    val small = shuffleRecordsOf(
+      graft.queries.Events.qEventsPaths(spark, sfSmall))
+    val big = shuffleRecordsOf(
+      graft.queries.Events.qEventsPaths(spark, sfBig))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    assert(ratio < 25.0,
+      s"paths shuffle grew ${ratio}x on 10x data ($small -> $big)")
+  }
+
+  test("cusum shuffle is rollup-bounded: it grows with buckets, not events") {
+    // past the first hash aggregate everything runs on the hourly
+    // rollup — 10× the events over the SAME calendar span must leave
+    // the downstream shuffle nearly flat, so total shuffle growth
+    // stays well under the event growth (the days-dimension claim,
+    // measured instead of asserted)
+    val small = shuffleRecordsOf(
+      graft.queries.Events.qEventsCusum(spark, sfSmall))
+    val big = shuffleRecordsOf(
+      graft.queries.Events.qEventsCusum(spark, sfBig))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    assert(ratio < 25.0,
+      s"cusum shuffle grew ${ratio}x on 10x data ($small -> $big)")
+  }
+
   test("the quadratic control blows up, so the detector discriminates") {
     def allPairs(d: String): DataFrame = {
       val users = Tables.events(spark, d).select(col("user_id")).distinct()

@@ -818,6 +818,57 @@ class StreamingSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("streaming cusum finalizes buckets in order and matches the batch recursion") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TypedEvent, CusumPoint}
+    def ev(t: String, typ: String, v: Double) =
+      TypedEvent(typ, Timestamp.valueOf(t), v)
+    // type a, k = 5: bucket sums 7 (10h, split across an out-of-order
+    // pair), 1 (11h), 12.5 (12h) → C = 2.0, 0.0, 7.5. The 10:30 row
+    // ARRIVES after the 11:15 row but inside the 2 h watermark — it
+    // must still land in the 10h bucket before it closes.
+    val all = Seq(
+      ev("2024-03-01 10:00:00", "a", 3.0),
+      ev("2024-03-01 11:15:00", "a", 1.0),
+      ev("2024-03-01 10:30:00", "a", 4.0),
+      ev("2024-03-01 12:10:00", "a", 12.5),
+      ev("2024-03-01 15:30:00", "b", 0.0)) // advances wm; stays held
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.cusumStream(stream.toDS(),
+        new java.math.BigDecimal("5"), "2 hours")
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(2)); q.processAllAvailable()
+      stream.addData(all(2), all(3)); q.processAllAvailable()
+      stream.addData(all(4)); q.processAllAvailable()
+      // empty passes let armed event-time timeouts flush
+      stream.addData(Seq.empty[TypedEvent]); q.processAllAvailable()
+      stream.addData(Seq.empty[TypedEvent]); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_out").as[CusumPoint].collect()
+      .map(p => (p.event_type, p.bucket_start.toInstant.toString) -> p.cusum)
+      .toMap
+    // batch twin on the same rows; type b's 15h bucket is not yet
+    // final (wm = 13:30), so only type a's three buckets compare
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum_tw")
+      .toString
+    all.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts, 1L, e.event_type, e.value) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Events.cusumFixedTarget(
+        spark.read.parquet(s"$dir/events.parquet"),
+        new java.math.BigDecimal("5")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toString) ->
+        r.getDouble(2)).toMap
+    val expected = batch.filter(_._1._1 == "a")
+    assert(streamed == expected, s"streamed=$streamed\nexpected=$expected")
+    assert(streamed(("a", "2024-03-01T10:00:00Z")) == 2.0,
+      "late row must fold into its event-time bucket")
+  }
+
   test("streaming drift monitor scores windows against the frozen reference") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
