@@ -395,6 +395,46 @@ object Events {
         count(col("t_click")), 6).as("click_to_purchase"))
   }
 
+  /** TIME-BOUNDED FUNNEL — q_events_funnel with CONVERSION WINDOWS
+    * (the metric product teams actually track: a click counts only
+    * within 1 h of the first view, a purchase only within 1 h of that
+    * click — unbounded funnels overcount by attributing next-week
+    * purchases): the min-chain runs as THREE STACKED whole-partition
+    * window aggregates over one user_id exchange — each stage's
+    * conditional min reads the previous stage's column in the same
+    * pass, so unlike the join-back batch funnel there is NO re-join
+    * of the fact (three Window nodes, one shuffle, then the per-user
+    * collapse rides the same partitioning). Pure integer-µs bounds;
+    * two rounded conversion divisions close the summary. */
+  def qEventsFunnelWindow(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(wu))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" &&
+          col("ts_us") > col("tv") && col("ts_us") <= col("tv") + hourUs,
+          col("ts_us"))).over(wu))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("tc") && col("ts_us") <= col("tc") + hourUs,
+          col("ts_us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+        max(col("tp")).as("tp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click_1h"),
+        count(col("tp")).as("n_purchase_1h"),
+        round(count(col("tc")).cast("double") / count(col("tv")), 6)
+          .as("view_to_click"),
+        round(count(col("tp")).cast("double") / count(col("tc")), 6)
+          .as("click_to_purchase"))
+  }
+
   /** Cohort retention: users grouped by first-active day, counted on
     * each later day-offset they return. The activity table is the
     * distinct (user, day) grid — one aggregate; cohorts are a per-user
@@ -954,6 +994,53 @@ object Events {
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
+  /** SEASONAL STRENGTH per type — the one-number daily-rhythm measure
+    * behind the heatmap matrix and the seasonal-naive forecast choice:
+    * the share of hourly-count variance explained by hour-of-day,
+    * SSB/SST over the dense grid (missing hours 0, the autocorr
+    * alignment lesson). Group moments (n_h, Σx, Σx²) are exact
+    * integers per (type, hour-of-day) — 24 rows per type; the 24
+    * between-group terms quantize to the 6 dp decimal grid before the
+    * EXACT sum (the entropy-term discipline — a float Σ over even 24
+    * terms is order-dependent), total SS stays in exact BIGINT
+    * (n·ΣΣx² < 2⁵³ through ~10⁸ grid hours; past that, lift to
+    * DECIMAL(38,0) — the skew-report pattern), and one guarded IEEE
+    * division closes. Peak hour is the argmax-by-exact-equality of
+    * the quantized hour means (ties → earliest hour). */
+  def qEventsSeasonality(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val byHour = hourlyDense(s, d)
+      .withColumn("h",
+        pmod(floor(col("b") / lit(3600000000L)), lit(24)).cast("int"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s_h"),
+        sum(col("x") * col("x")).as("ss_h"))
+    val mh = col("mean_h").cast("double")
+    val m = col("mean").cast("double")
+    val tot = byHour
+      .withColumn("n", sum(col("n_h")).over(wt))
+      .withColumn("s", sum(col("s_h")).over(wt))
+      .withColumn("ss", sum(col("ss_h")).over(wt))
+      .withColumn("mean_h",
+        round(col("s_h").cast("double") / col("n_h"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("mean",
+        round(col("s").cast("double") / col("n"), 6).cast("decimal(18,6)"))
+      .withColumn("term",
+        round(col("n_h") * (mh - m) * (mh - m), 6).cast("decimal(18,6)"))
+      .withColumn("mh_max", max(col("mean_h")).over(wt))
+    val den = (max(col("n")) * max(col("ss")) -
+      max(col("s")) * max(col("s"))).cast("double")
+    tot.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_hours"),
+        when(den > 0.0,
+          round(sum(col("term")).cast("double") * max(col("n")) / den, 6))
+          .as("seasonal_strength"),
+        min(when(col("mean_h") === col("mh_max"), col("h"))).as("peak_hour"),
+        max(col("mh_max")).cast("double").as("peak_mean"))
+      .orderBy(col("event_type"))
+  }
+
   def qEventsAutocorr(s: SparkSession, d: String): DataFrame = {
     val dense = hourlyDense(s, d)
     val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
@@ -1203,6 +1290,7 @@ object Events {
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_autocorr" -> (qEventsAutocorr _),
+    "q_events_seasonality" -> (qEventsSeasonality _),
     "q_events_xcorr" -> (qEventsXcorr _),
     "q_events_changepoint" -> (qEventsChangepoint _),
     "q_events_cusum" -> (qEventsCusum _),
@@ -1214,6 +1302,7 @@ object Events {
     "q_events_anomaly" -> (qEventsAnomaly _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_funnel_window" -> (qEventsFunnelWindow _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_json" -> (qEventsJson _),
@@ -1342,6 +1431,53 @@ object Events {
         |    AS BIGINT) / 1000000.0 AS prob
         |FROM matrix m JOIN totals t USING (from_type)
         |ORDER BY m.from_type, m.to_type""".stripMargin,
+    "q_events_seasonality" ->
+      """WITH ph AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ph),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi, 3600000000)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ph),
+        |dense AS (
+        |  SELECT t.event_type, g.b, COALESCE(ph.c, 0) AS x
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.b = g.b),
+        |byhour AS (
+        |  SELECT event_type, CAST((b // 3600000000) % 24 AS INT) AS h,
+        |    COUNT(*) AS n_h, CAST(SUM(x) AS BIGINT) AS s_h,
+        |    CAST(SUM(x * x) AS BIGINT) AS ss_h
+        |  FROM dense GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, h, n_h, s_h, ss_h,
+        |    CAST(SUM(n_h) OVER wt AS BIGINT) AS n,
+        |    CAST(SUM(s_h) OVER wt AS BIGINT) AS s,
+        |    CAST(SUM(ss_h) OVER wt AS BIGINT) AS ss
+        |  FROM byhour WINDOW wt AS (PARTITION BY event_type)),
+        |q AS (
+        |  SELECT event_type, h, n_h, n, s, ss,
+        |    CAST(ROUND(CAST(s_h AS DOUBLE) / n_h, 6) AS DECIMAL(18,6))
+        |      AS mean_h,
+        |    CAST(ROUND(CAST(s AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS mean
+        |  FROM tot),
+        |q2 AS (
+        |  SELECT event_type, h, n, s, ss, mean_h,
+        |    CAST(ROUND(n_h * (CAST(mean_h AS DOUBLE) - CAST(mean AS DOUBLE))
+        |      * (CAST(mean_h AS DOUBLE) - CAST(mean AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS term,
+        |    MAX(mean_h) OVER (PARTITION BY event_type) AS mh_max
+        |  FROM q)
+        |SELECT event_type, MAX(n) AS n_hours,
+        |  CASE WHEN CAST(MAX(n) * MAX(ss) - MAX(s) * MAX(s) AS DOUBLE) > 0
+        |    THEN ROUND(CAST(SUM(term) AS DOUBLE) * MAX(n)
+        |      / CAST(MAX(n) * MAX(ss) - MAX(s) * MAX(s) AS DOUBLE), 6)
+        |  END AS seasonal_strength,
+        |  MIN(CASE WHEN mean_h = mh_max THEN h END) AS peak_hour,
+        |  CAST(MAX(mh_max) AS DOUBLE) AS peak_mean
+        |FROM q2 GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_events_xcorr" ->
       """WITH ph AS (
         |  SELECT event_type,
@@ -1443,6 +1579,36 @@ object Events {
         |FROM fr
         |WHERE n_prev = 12 AND n_next = 12 AND ROUND(ABS(mn - mp), 6) > 50.0
         |ORDER BY event_type, bucket_start""".stripMargin,
+    "q_events_funnel_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w1 AS (
+        |  SELECT user_id, event_type, ts_us,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+        |      OVER wu AS tv
+        |  FROM ev WINDOW wu AS (PARTITION BY user_id)),
+        |w2 AS (
+        |  SELECT user_id, event_type, ts_us, tv,
+        |    MIN(CASE WHEN event_type = 'click' AND ts_us > tv
+        |      AND ts_us <= tv + 3600000000 THEN ts_us END)
+        |      OVER wu AS tc
+        |  FROM w1 WINDOW wu AS (PARTITION BY user_id)),
+        |w3 AS (
+        |  SELECT user_id, tv, tc,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts_us > tc
+        |      AND ts_us <= tc + 3600000000 THEN ts_us END)
+        |      OVER wu AS tp
+        |  FROM w2 WINDOW wu AS (PARTITION BY user_id)),
+        |pu AS (
+        |  SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp
+        |  FROM w3 GROUP BY 1)
+        |SELECT COUNT(*) AS n_users, COUNT(tv) AS n_view,
+        |  COUNT(tc) AS n_click_1h, COUNT(tp) AS n_purchase_1h,
+        |  ROUND(CAST(COUNT(tc) AS DOUBLE) / COUNT(tv), 6)
+        |    AS view_to_click,
+        |  ROUND(CAST(COUNT(tp) AS DOUBLE) / COUNT(tc), 6)
+        |    AS click_to_purchase
+        |FROM pu""".stripMargin,
     "q_events_paths" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS t1,

@@ -315,7 +315,9 @@ object Text {
     * count table, |V| rows by construction, the q_win_unpartitioned
     * contract) → ln(rank)/ln(count) quantized to the 9 dp decimal
     * grid (the entropy log discipline) → exact decimal moment sums →
-    * slope and intercept as one fixed IEEE sequence at 6 dp. */
+    * slope and intercept as one fixed IEEE sequence at 6 dp (both
+    * NULL-guarded for the degenerate one-type corpus, where the fit
+    * denominator is exactly 0). */
   def qTextZipf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs(s, d).select(
@@ -339,8 +341,10 @@ object Text {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .select(col("n_types"), round(slope, 6).as("slope"),
-        round((sy - slope * sx) / nd, 6).as("intercept"))
+      .select(col("n_types"),
+        when(col("n_types") > 1, round(slope, 6)).as("slope"),
+        when(col("n_types") > 1, round((sy - slope * sx) / nd, 6))
+          .as("intercept"))
   }
 
   /** End-to-end curation pipeline — the LLM-corpus flow users actually
@@ -1100,16 +1104,18 @@ object Text {
         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
         |  FROM q)
         |SELECT n_types,
+        |  CASE WHEN n_types > 1 THEN
         |  ROUND((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+        |  CASE WHEN n_types > 1 THEN
         |  ROUND((CAST(sy AS DOUBLE)
         |    - (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |      / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 6)
+        |      * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE), 6) END
         |    AS intercept
         |FROM s""".stripMargin,
     "q_text_pmi" ->

@@ -37,14 +37,15 @@ class PlanLintSpec extends SparkSpec {
     *    column, small by data contract (autocorr and forecast share
     *    hourlyDense, which densifies the hourly series the same way
     *    the gapfill pair densify their 5-minute grid);
-    *  - q_events_xcorr — shares hourlyDense verbatim with autocorr/
-    *    forecast, so it inherits the same grid × type-dimension cross;
-    *    its own 1-row totals are broadcast and invisible to the lint. */
+    *  - q_events_xcorr / q_events_seasonality — share hourlyDense
+    *    verbatim with autocorr/forecast, so they inherit the same
+    *    grid × type-dimension cross; their own small aggregates are
+    *    broadcast and invisible to the lint. */
   private val crossAllowed = Set(
     "q_cross_join", "q_ann_bruteforce", "q_embed_bitsim",
     "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate", "q_events_autocorr",
-    "q_events_forecast", "q_events_xcorr")
+    "q_events_forecast", "q_events_xcorr", "q_events_seasonality")
 
   /** Reviewed whole-relation windows:
     *  - q_win_unpartitioned — the documented driver-bounded

@@ -236,6 +236,13 @@ class PlanSpec extends SparkSpec {
     assert(nEx <= 3, s"cusum grew extra shuffles ($nEx):\n$cus")
     assert("\\bWindow\\b".r.findAllIn(cus).length == 4,
       s"cusum window stack changed:\n$cus")
+    // q_events_funnel_window: the three stage mins stack as Window
+    // nodes over ONE user_id exchange — no join of the fact to itself
+    val fw = plan(gq.Events.qEventsFunnelWindow(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(fw).length == 3,
+      s"funnel window lost its three-stage stack:\n$fw")
+    assert(!fw.contains("Join"),
+      s"funnel window regressed to the join-back shape:\n$fw")
     // q_agg_weighted_median: the raw fact is never globally sorted —
     // the only Sort nodes are the window's intra-partition sorts and
     // the 3-row display sort

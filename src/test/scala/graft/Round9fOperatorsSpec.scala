@@ -185,6 +185,50 @@ class Round9fOperatorsSpec extends SparkSpec {
       s"got ${r.toSeq}")
   }
 
+  test("funnel window: conversions outside the hour no longer count") {
+    // u1: click inside 1 h of view, purchase 90 min after click (OUT);
+    // u2: click 90 min after view (OUT); u3: full chain inside both
+    // windows; u4: click with no view at all
+    val d = eventsDir(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 11:30:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 09:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 09:20:00", 3L, "click", 0.0),
+      (8L, "2024-01-01 10:10:00", 3L, "purchase", 0.0),
+      (9L, "2024-01-01 08:00:00", 4L, "click", 0.0)))
+    val r = graft.queries.Events.qEventsFunnelWindow(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2L, 1L)), s"got $r")
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6, s"v->c: $r")
+    assert(r.getDouble(5) == 0.5, s"c->p: $r")
+  }
+
+  test("seasonality: a pure hour-of-day spike explains all the variance") {
+    // 48-hour span. "flat": one event every hour → zero TOTAL
+    // variance, so the share is undefined (NULL by the guard) and the
+    // peak ties to hour 0. "spike": events only at hour-of-day 5
+    // (both days) → variance fully explained.
+    val flat = (0 until 48).map { i =>
+      (i.toLong, f"2024-01-${1 + i / 24}%02d ${i % 24}%02d:00:00",
+        1L, "flat", 0.0)
+    }
+    val spike = Seq(
+      (100L, "2024-01-01 05:00:00", 1L, "spike", 0.0),
+      (101L, "2024-01-02 05:00:00", 1L, "spike", 0.0))
+    val d = eventsDir(flat ++ spike)
+    val r = graft.queries.Events.qEventsSeasonality(spark, d).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) Double.NaN else x.getDouble(2),
+          x.getInt(3), x.getDouble(4))).toMap
+    assert(r("flat")._1 == 48L && r("flat")._2.isNaN &&
+      r("flat")._3 == 0 && r("flat")._4 == 1.0, s"flat: $r")
+    assert(math.abs(r("spike")._2 - 1.0) < 1e-4, s"spike strength: $r")
+    assert(r("spike")._3 == 5 && r("spike")._4 == 1.0, s"spike peak: $r")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString
