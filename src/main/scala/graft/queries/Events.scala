@@ -1259,6 +1259,30 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** DAILY PERCENTILE BANDS per type — the operational latency-style
+    * report (p50/p95/p99 per endpoint per day) on the reference's
+    * percentile machinery: one grouped aggregate on (type, day),
+    * exact-vs-GK-sketch routed by input bytes exactly like
+    * q_agg_median_mode (ScaleRouting — at 100 TB the sketch path
+    * engages automatically; the oracle mirrors the exact branch at
+    * test scale). NULL values drop first so the count and the
+    * quantiles agree on the population. */
+  def qEventsPercentiles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ScaleRouting.percentileCont
+    val exact = graft.operators.ScaleRouting
+      .exactPercentileOk(s, s"$d/events.parquet")
+    Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(percentileCont(exact, "value", 0.5), 4).as("p50"),
+        round(percentileCont(exact, "value", 0.95), 4).as("p95"),
+        round(percentileCont(exact, "value", 0.99), 4).as("p99"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** TOP BEHAVIORAL PATHS — the 3-step sequence mining behind funnel
     * discovery ("what do users actually do?", the exploratory
     * counterpart to the fixed-stage q_events_funnel): per-user event
@@ -1285,6 +1309,7 @@ object Events {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_paths" -> (qEventsPaths _),
+    "q_events_percentiles" -> (qEventsPercentiles _),
     "q_events_drift" -> (qEventsDrift _),
     "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
@@ -1609,6 +1634,17 @@ object Events {
         |  ROUND(CAST(COUNT(tp) AS DOUBLE) / COUNT(tc), 6)
         |    AS click_to_purchase
         |FROM pu""".stripMargin,
+    "q_events_percentiles" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+        |    AS p50,
+        |  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4)
+        |    AS p95,
+        |  ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4)
+        |    AS p99,
+        |  MAX(value) AS max_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_paths" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS t1,

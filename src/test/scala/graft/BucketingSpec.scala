@@ -81,6 +81,59 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("khop frontier join reads a bucketed adjacency with no adjacency-side shuffle") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the 100-TB shape qGraphKhop's scaladoc names: the stationary
+      // adjacency persists BUCKETED on its join key, so each BFS
+      // round's frontier expansion shuffles only the (small) frontier
+      // — the big side never moves
+      val items = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct()
+      val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+      Bucketing.writeBucketed(adj, "b_adj", "u", 8, sortCols = Seq("u"))
+      val idx = spark.table("b_adj")
+      val frontier = idx.select(col("u").as("node"))
+        .where(col("node") <= 20L).distinct()
+      val joined = frontier.join(idx, col("node") === col("u"))
+        .select(col("v").as("node"))
+      def strip(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val smj = strip(joined.queryExecution.executedPlan)
+        .collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "expected a sort-merge frontier join")
+      val adjSide = Seq(smj.get.left, smj.get.right).filter(
+        _.collectFirst { case f: FileSourceScanExec if f.bucketedScan => f }
+          .nonEmpty)
+      assert(adjSide.nonEmpty, "bucketed adjacency scan not found")
+      assert(adjSide.head
+        .collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"adjacency side of the frontier join shuffled:\n${adjSide.head}")
+      // the bucketed round returns the same frontier the in-plan
+      // adjacency produces
+      val viaIdx = joined.collect().map(_.getLong(0)).sorted.toSeq
+      val inPlan = adj.select(col("u").as("node2"), col("v"))
+        .where(col("node2") <= 20L)
+        .select(col("v")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaIdx == inPlan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_adj")
+    }
+  }
+
   test("aggregation on the bucket key avoids the shuffle too") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -229,6 +229,20 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(r("spike")._3 == 5 && r("spike")._4 == 1.0, s"spike peak: $r")
   }
 
+  test("percentiles: linear-interpolation bands on a planted 1..100 day") {
+    // values 1..100 in one (type, day): p = 0.95 lands at rank 95.05
+    // → 95 + 0.05·(96−95); nulls must not count
+    val d = eventsDir(
+      (1 to 100).map(i =>
+        (i.toLong, "2024-01-01 10:00:00", 1L, "a", i.toDouble)))
+    val r = graft.queries.Events.qEventsPercentiles(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 100L && row.getDouble(3) == 50.5 &&
+      row.getDouble(4) == 95.05 && row.getDouble(5) == 99.01 &&
+      row.getDouble(6) == 100.0, s"got $row")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString
