@@ -1283,6 +1283,43 @@ object Events {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Fixed histogram config shared by the batch query, the streaming
+    * twin, and the generated oracle: 25 buckets of width 20 over
+    * [0, 500) — the production pattern (latency buckets are chosen
+    * from SLOs, not data) that makes the state shape constant. */
+  val HistLo = 0.0
+  val HistHi = 500.0
+  val HistBuckets = 25
+
+  /** HISTOGRAM QUANTILES per type — the STREAMABLE percentile path
+    * completing the ladder (exact q_events_percentiles ↔ GK-sketch
+    * routing ↔ this): n fixed conditional bucket counts in ONE
+    * aggregate (mergeable integers — the only state shape a streaming
+    * windowed aggregate can hold; rank-based percentiles cannot
+    * stream), then p50/p95/p99 interpolate inside the crossing bucket
+    * as a codegen'd when-chain projection — no second shuffle, error
+    * bounded by one bucket width by construction. Bit-identical in
+    * batch, streaming (EventsStream.histQuantileStream), and the
+    * oracle: integer counts + one fixed IEEE close. */
+  def qEventsHistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.HistQuantile
+    val aggs = HistQuantile.bucketCounts(
+      col("value"), HistLo, HistHi, HistBuckets)
+    val agg = Tables.events(s, d).where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    val cnts = (0 until HistBuckets).map(i => col(s"c$i"))
+    agg.select(col("event_type"),
+        cnts.reduce(_ + _).as("n"),
+        round(HistQuantile.estimate(cnts, 0.5, HistLo, HistHi), 4)
+          .as("h_p50"),
+        round(HistQuantile.estimate(cnts, 0.95, HistLo, HistHi), 4)
+          .as("h_p95"),
+        round(HistQuantile.estimate(cnts, 0.99, HistLo, HistHi), 4)
+          .as("h_p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** TOP BEHAVIORAL PATHS — the 3-step sequence mining behind funnel
     * discovery ("what do users actually do?", the exploratory
     * counterpart to the fixed-stage q_events_funnel): per-user event
@@ -1310,6 +1347,7 @@ object Events {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
+    "q_events_hist_quantiles" -> (qEventsHistQuantiles _),
     "q_events_drift" -> (qEventsDrift _),
     "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
@@ -1634,6 +1672,42 @@ object Events {
         |  ROUND(CAST(COUNT(tp) AS DOUBLE) / COUNT(tc), 6)
         |    AS click_to_purchase
         |FROM pu""".stripMargin,
+    // window-formulation twin of the conditional-count plan: absent
+    // (empty) buckets drop out of the grouped form, but cum − c there
+    // equals the array-form cumulative-before, and the crossing
+    // bucket always has c > 0, so the interpolation arithmetic is
+    // the identical fixed IEEE sequence
+    "q_events_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 20.0) AS INT), 0),
+        |      24) AS bk
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bk, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bk)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM c),
+        |ps AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS p),
+        |hit AS (
+        |  SELECT event_type, p, total, bk, c, cum - c AS cumprev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, p ORDER BY bk)
+        |      AS rn
+        |  FROM cum CROSS JOIN ps
+        |  WHERE cum >= p * total),
+        |est AS (
+        |  SELECT event_type, p, total,
+        |    0.0 + (CAST(bk AS DOUBLE)
+        |      + (p * total - CAST(cumprev AS DOUBLE)) / CAST(c AS DOUBLE))
+        |      * 20.0 AS est
+        |  FROM hit WHERE rn = 1)
+        |SELECT event_type, MAX(total) AS n,
+        |  ROUND(MAX(CASE WHEN p = 0.5 THEN est END), 4) AS h_p50,
+        |  ROUND(MAX(CASE WHEN p = 0.95 THEN est END), 4) AS h_p95,
+        |  ROUND(MAX(CASE WHEN p = 0.99 THEN est END), 4) AS h_p99
+        |FROM est GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_percentiles" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
         |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)

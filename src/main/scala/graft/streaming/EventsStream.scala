@@ -599,6 +599,40 @@ object EventsStream {
       }
   }
 
+  /** Streaming HISTOGRAM QUANTILES — per-ingest-window p50/p95/p99
+    * per type from the fixed-bucket estimator
+    * (operators.HistQuantile; batch twin q_events_hist_quantiles):
+    * the n conditional bucket counts are ONE windowed aggregate
+    * (mergeable integer state, constant per open window — the
+    * driftStream discipline: no chained streaming aggregates), and
+    * the interpolation closes in a stateless projection on watermark
+    * finalization. This is the percentile shape that actually runs on
+    * an unbounded stream — rank-based percentiles cannot. Estimates
+    * are bit-identical to the same-window batch aggregate
+    * (spec-asserted). */
+  def histQuantileStream(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.HistQuantile
+    import graft.queries.Events.{HistBuckets, HistHi, HistLo}
+    val aggs = HistQuantile.bucketCounts(col("value"), HistLo, HistHi,
+      HistBuckets)
+    val cnts = (0 until HistBuckets).map(i => col(s"c$i"))
+    events.where(col("value").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        cnts.reduce(_ + _).as("n"),
+        round(HistQuantile.estimate(cnts, 0.5, HistLo, HistHi), 4)
+          .as("h_p50"),
+        round(HistQuantile.estimate(cnts, 0.95, HistLo, HistHi), 4)
+          .as("h_p95"),
+        round(HistQuantile.estimate(cnts, 0.99, HistLo, HistHi), 4)
+          .as("h_p99"))
+  }
+
   /** Streaming one-sided CUSUM — the PRODUCTION deployment of the
     * drift alarm (queries.Events.cusumFixedTarget is the batch twin):
     * per event type, hourly bucket sums finalize when the watermark

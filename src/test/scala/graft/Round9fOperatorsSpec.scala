@@ -243,6 +243,21 @@ class Round9fOperatorsSpec extends SparkSpec {
       row.getDouble(6) == 100.0, s"got $row")
   }
 
+  test("hist quantiles: estimates stay within one bucket width of exact") {
+    // uniform 1..500 — exact p50 = 250.5; the histogram estimate may
+    // be off by at most the 20-unit bucket width (the documented
+    // contract); an exactly bucket-aligned spike pins the estimate
+    val d = eventsDir(
+      (1 to 500).map(i =>
+        (i.toLong, "2024-01-01 10:00:00", 1L, "u", i.toDouble)))
+    val r = graft.queries.Events.qEventsHistQuantiles(spark, d).collect()
+    val row = r.head
+    assert(row.getLong(1) == 500L)
+    assert(math.abs(row.getDouble(2) - 250.5) <= 20.0, s"p50: $row")
+    assert(math.abs(row.getDouble(3) - 475.05) <= 20.0, s"p95: $row")
+    assert(math.abs(row.getDouble(4) - 495.01) <= 20.0, s"p99: $row")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString

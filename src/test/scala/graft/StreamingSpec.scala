@@ -818,6 +818,59 @@ class StreamingSpec extends SparkSpec {
       < 1e-9)
   }
 
+  test("streaming histogram quantiles equal the batch estimator per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.HistQuantile
+    import graft.queries.Events.{HistBuckets, HistHi, HistLo}
+    // window 1: values 10,30,50,470 for type a (the 470 arrives LATE,
+    // after window-2 rows, but inside the watermark); window 2: 90×3
+    val all = Seq(
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "a", 10.0),
+      (Timestamp.valueOf("2024-03-01 10:10:00"), "a", 30.0),
+      (Timestamp.valueOf("2024-03-01 10:20:00"), "a", 50.0),
+      (Timestamp.valueOf("2024-03-01 11:05:00"), "a", 90.0),
+      (Timestamp.valueOf("2024-03-01 11:06:00"), "a", 90.0),
+      (Timestamp.valueOf("2024-03-01 10:40:00"), "a", 470.0), // late
+      (Timestamp.valueOf("2024-03-01 13:00:00"), "b", 1.0)) // advances wm
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = EventsStream.histQuantileStream(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hq_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all.take(5)); q.processAllAvailable()
+      stream.addData(all(5)); q.processAllAvailable()
+      stream.addData(all(6)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hq_out").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // batch: the SAME aggregate over the same rows, grouped by the
+    // same window bucket (only type-a windows are final at wm 12:50)
+    val aggs = HistQuantile.bucketCounts(col("value"), HistLo, HistHi,
+      HistBuckets)
+    val cnts = (0 until HistBuckets).map(i => col(s"c$i"))
+    val batch = all.toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("ws"), col("event_type"),
+        cnts.reduce(_ + _).as("n"),
+        round(HistQuantile.estimate(cnts, 0.5, HistLo, HistHi), 4),
+        round(HistQuantile.estimate(cnts, 0.95, HistLo, HistHi), 4),
+        round(HistQuantile.estimate(cnts, 0.99, HistLo, HistHi), 4))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val expected = batch.filter(_._1._2 == "a")
+    assert(streamed == expected, s"streamed=$streamed\nexpected=$expected")
+    // the late 470 landed in window 1: its p99 reaches the top bucket
+    assert(streamed(("2024-03-01T10:00:00Z", "a"))._1 == 4L,
+      "late row must join its event-time window")
+  }
+
   test("streaming cusum finalizes buckets in order and matches the batch recursion") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
