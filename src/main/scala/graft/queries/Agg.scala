@@ -313,6 +313,47 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** COHORT LTV MATRIX — cumulative revenue per user by signup cohort
+    * (the unit-economics report next to RFM and the events cohort
+    * retention): customers cohort by FIRST-order month, every order
+    * lands in its (cohort, month-offset) cell, and cumulative LTV per
+    * user runs along each cohort row. Both dates are month-truncated
+    * before differencing, so the offset is an exact integer on any
+    * engine; revenue sums stay DECIMAL end-to-end (the q_tpch1 money
+    * contract) and only the LTV-per-user close divides. Shape: two
+    * hash aggregates + one join on the customer partitioning, then a
+    * window over the calendar-bounded (cohort × offset) matrix. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).as("m"),
+      dec("o_totalprice").as("p"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort"))
+    val sized = first.groupBy(col("cohort"))
+      .agg(countDistinct(col("o_custkey")).as("cohort_size"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.join(first, "o_custkey")
+      .withColumn("offset",
+        months_between(col("m"), col("cohort")).cast("int"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("p")).as("revenue"))
+      .join(sized, "cohort")
+      .withColumn("cum_rev", sum(col("revenue")).over(wc))
+      // LTV-per-user closes on the INTEGER half-up grid (the
+      // transitions ppm discipline): a double ROUND at 4 dp flips
+      // half-ties differently across engines — observed here at
+      // sf0.01 before this close was integerized
+      .withColumn("cum_u", (col("cum_rev") * 10000).cast("bigint"))
+      .select(col("cohort").as("cohort_month"), col("offset"),
+        col("n_active"),
+        col("revenue").cast("decimal(38,4)").as("revenue"),
+        (expr("CAST((2 * cum_u + cohort_size) DIV (2 * cohort_size) AS BIGINT)")
+          .cast("double") / lit(10000.0)).as("cum_ltv_per_user"))
+      .orderBy(col("cohort_month"), col("offset"))
+  }
+
   /** GINI COEFFICIENT of revenue concentration per flag — the
     * inequality audit (how much of the money sits in how few line
     * items; operationally the same skew measure that decides salting
@@ -549,6 +590,7 @@ object Agg {
     "q_agg_median_mode" -> (qAggMedianMode _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),
     "q_agg_gini" -> (qAggGini _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_agg_corr_regr" -> (qAggCorrRegr _),
     "q_agg_list" -> (qAggList _),
     "q_histogram" -> (qHistogram _),
@@ -664,6 +706,35 @@ object Agg {
         |  m.mode_qty, m.mode_n
         |FROM stats s JOIN m ON s.l_returnflag = m.l_returnflag AND m.rk = 1
         |ORDER BY s.l_returnflag""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        |  FROM orders),
+        |fst AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1),
+        |sized AS (
+        |  SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_size
+        |  FROM fst GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_custkey, o.m, o.p, f.cohort,
+        |    DATE_DIFF('month', f.cohort, o.m) AS off
+        |  FROM o JOIN fst f USING (o_custkey)),
+        |cell AS (
+        |  SELECT cohort, off, COUNT(DISTINCT o_custkey) AS n_active,
+        |    SUM(p) AS revenue
+        |  FROM j GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, off, n_active, revenue, cohort_size,
+        |    SUM(revenue) OVER (PARTITION BY cohort ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM cell JOIN sized USING (cohort))
+        |SELECT cohort AS cohort_month, CAST(off AS INT) AS "offset",
+        |  n_active, CAST(revenue AS DECIMAL(38,4)) AS revenue,
+        |  CAST((2 * CAST(cum_rev * 10000 AS BIGINT) + cohort_size)
+        |    // (2 * cohort_size) AS BIGINT) / 10000.0
+        |    AS cum_ltv_per_user
+        |FROM cum ORDER BY cohort_month, "offset" """.stripMargin,
     "q_agg_gini" ->
       """WITH rk AS (
         |  SELECT l_returnflag,

@@ -1234,6 +1234,58 @@ object Events {
     * contract), one hash aggregate to the |types|² matrix, and the
     * per-source totals come from a second aggregate of THAT matrix
     * (types² rows), broadcast back. No global window, no driver math. */
+  /** Power-iteration rounds for q_events_stationary — fixed and
+    * unrolled in the oracle (the PageRank / khop discipline): the
+    * result is a deterministic "R-round" vector whether or not the
+    * chain has mixed. */
+  val StationaryRounds = 8
+
+  /** STATIONARY DISTRIBUTION of the behavior Markov chain — where the
+    * transition matrix says users spend their long-run time (the
+    * chain-level complement to q_events_transitions' edge view, and
+    * PageRank's little sibling on the |types|² matrix): π ← πP,
+    * unrolled StationaryRounds times from uniform. EVERY number lives
+    * on the integer ppm grid — the matrix entries are the transitions
+    * half-up ppm probabilities, each round's π requantizes by integer
+    * half-up DIV — so all eight rounds are pure BIGINT arithmetic,
+    * bit-identical on any engine with zero float drift to analyze.
+    * After the one fact-scan pair extraction, every round runs on the
+    * |types|²-bounded checkpointed matrix (data-volume-free).
+    * Contract: every type must have an outgoing edge (true of any
+    * dense behavior log; an absorbing type would need a dangling-mass
+    * term like PageRank's). */
+  def qEventsStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    val ev = Tables.events(s, d)
+    val cnt = ev
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
+    val m = cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("CAST((2000000 * n + t) DIV (2 * t) AS BIGINT)").as("np"))
+      .localCheckpoint()
+    val types = ev.select(col("event_type")).distinct()
+    var pi = types
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+      .select(col("event_type").as("from_type"),
+        expr("CAST(1000000 DIV k AS BIGINT)").as("pi"))
+    for (_ <- 1 to StationaryRounds) {
+      pi = pi.join(m, "from_type")
+        .groupBy(col("to_type"))
+        .agg(expr("CAST((2 * SUM(pi * np) + 1000000) DIV 2000000 AS BIGINT)")
+          .as("pi2"))
+        .select(col("to_type").as("from_type"), col("pi2").as("pi"))
+    }
+    pi.select(col("from_type").as("event_type"),
+        (col("pi").cast("double") / lit(1000000.0)).as("pi"))
+      .orderBy(col("event_type"))
+  }
+
   def qEventsTransitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(expr("unix_micros(ts)"), col("event_id"))
@@ -1352,6 +1404,7 @@ object Events {
     "q_events_dwell" -> (qEventsDwell _),
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
+    "q_events_stationary" -> (qEventsStationary _),
     "q_events_autocorr" -> (qEventsAutocorr _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_events_xcorr" -> (qEventsXcorr _),
@@ -1382,6 +1435,40 @@ object Events {
     "q_events_cohort" -> (qEventsCohort _),
     "q_topk_heap" -> (qTopkHeap _),
     "q_range_join" -> (qRangeJoin _))
+
+  /** DuckDB twin of qEventsStationary — the same ppm matrix and the
+    * same unrolled integer power iteration. */
+  private def stationaryOracle: String = {
+    def round(k: Int): String =
+      s"""p$k AS (
+         |  SELECT m.to_type AS event_type,
+         |    CAST((2 * SUM(p.pi * m.np) + 1000000) // 2000000 AS BIGINT)
+         |      AS pi
+         |  FROM p${k - 1} p JOIN m ON p.event_type = m.from_type
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS from_type
+       |  FROM events),
+       |cnt AS (
+       |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+       |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |m AS (
+       |  SELECT c.from_type, c.to_type,
+       |    CAST((2000000 * c.n + t.t) // (2 * t.t) AS BIGINT) AS np
+       |  FROM cnt c JOIN tot t USING (from_type)),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |nt AS (SELECT COUNT(*) AS k FROM types),
+       |p0 AS (
+       |  SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi
+       |  FROM types CROSS JOIN nt),
+       |${(1 to StationaryRounds).map(round).mkString(",\n")}
+       |SELECT event_type, pi / 1000000.0 AS pi
+       |FROM p$StationaryRounds ORDER BY event_type""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_events_drift" ->
@@ -1477,6 +1564,7 @@ object Events {
         |    CAST((2 * spe_ppm + n_pos) // (2 * n_pos) AS BIGINT) / 1000000.0
         |  END AS mape
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_events_stationary" -> stationaryOracle,
     "q_events_transitions" ->
       """WITH lagged AS (
         |  SELECT user_id, event_type,

@@ -258,6 +258,39 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - 495.01) <= 20.0, s"p99: $row")
   }
 
+  test("cohort ltv: offsets anchor to the first-order month and cumulate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_ord").toString
+    // both customers cohort to Jan; c1 returns in Feb → cell (0): 2
+    // actives, $40, ltv 20; cell (1): 1 active, $20, cum 60 → ltv 30
+    Seq((1L, 1L, "2024-01-05 00:00:00", 10.0),
+      (2L, 1L, "2024-02-20 00:00:00", 20.0),
+      (3L, 2L, "2024-01-25 00:00:00", 30.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d"))).drop("d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.queries.Agg.qCohortLtv(spark, dir).collect()
+      .map(x => (x.getTimestamp(0).toInstant.toString, x.getInt(1)) ->
+        (x.getLong(2), x.getDecimal(3).doubleValue, x.getDouble(4))).toMap
+    assert(r == Map(
+      ("2024-01-01T00:00:00Z", 0) -> ((2L, 40.0, 20.0)),
+      ("2024-01-01T00:00:00Z", 1) -> ((1L, 20.0, 30.0))), s"got $r")
+  }
+
+  test("stationary: the chain converges to the hand-solved fixpoint") {
+    // sequence (a,a,a,b)×6 → P(a→a)=2/3, P(a→b)=1/3, P(b→a)=1:
+    // stationary π = (3/4, 1/4); the second eigenvalue is −1/3, so 8
+    // rounds land within (1/3)^8 ≈ 1.5e-4 of it (+ ppm rounding)
+    val seq = Seq.fill(6)(Seq("a", "a", "a", "b")).flatten
+    val d = eventsDir(seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, f"2024-01-01 10:${i}%02d:00", 1L, t, 0.0)
+    })
+    val r = graft.queries.Events.qEventsStationary(spark, d).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.75) < 0.01, s"pi(a): $r")
+    assert(math.abs(r("b") - 0.25) < 0.01, s"pi(b): $r")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString
