@@ -150,6 +150,26 @@ object Text {
         langId(langs.map(l => l -> col(s"hits_$l")).toMap).as("lang_pred")): _*)
       .orderBy(col("doc_id"))
 
+  /** LANGID CONFUSION MATRIX — the measurement query for the n-gram
+    * language heuristic (the q_ann_recall discipline applied to the
+    * text family: the classifier's quality is an oracle-checked
+    * number, not a claim): predicted × actual counts against the
+    * corpus's ground-truth lang column, with each cell's share of its
+    * actual language on the integer half-up ppm grid (the transitions
+    * close — no float division drifts). The diagonal shares ARE the
+    * per-language recall. |langs|²-bounded output past one backbone
+    * pass. */
+  def qLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qTextLangid(s, d).select(col("lang"), col("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        (expr("CAST((2000000 * n + t) DIV (2 * t) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("share"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   /** Normalized md5 fingerprint + exact-duplicate cluster size. */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
     val fp = docs(s, d)
@@ -756,6 +776,7 @@ object Text {
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
+    "q_langid_confusion" -> (qLangidConfusion _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_quantiles" -> (qTextQuantiles _))
 
@@ -1209,6 +1230,33 @@ object Text {
          |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
          |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) >= 0.5 AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_langid_confusion" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${hitsSql("en")} AS hits_en, ${hitsSql("es")} AS hits_es,
+         |    ${hitsSql("de")} AS hits_de, ${hitsSql("fr")} AS hits_fr,
+         |    ${hitsSql("zh")} AS hits_zh
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) = 0 THEN 'und'
+         |      WHEN hits_en = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'en'
+         |      WHEN hits_es = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'es'
+         |      WHEN hits_de = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'de'
+         |      WHEN hits_fr = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'fr'
+         |      WHEN hits_zh = GREATEST(hits_en, hits_es, hits_de, hits_fr, hits_zh) THEN 'zh'
+         |      ELSE 'und' END AS lang_pred
+         |  FROM h),
+         |cell AS (
+         |  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |tt AS (
+         |  SELECT lang, lang_pred, n,
+         |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS t
+         |  FROM cell)
+         |SELECT lang, lang_pred, n,
+         |  CAST((2000000 * n + t) // (2 * t) AS BIGINT) / 1000000.0
+         |    AS share
+         |FROM tt ORDER BY lang, lang_pred""".stripMargin,
     "q_text_langid" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,

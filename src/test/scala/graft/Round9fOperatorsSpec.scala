@@ -291,6 +291,23 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(math.abs(r("b") - 0.25) < 0.01, s"pi(b): $r")
   }
 
+  test("confusion matrix: shares split per actual language on the ppm grid") {
+    // actual en: two docs full of en markers, one of es markers →
+    // cells (en,en,2,2/3) and (en,es,1,1/3); actual es: one clean hit
+    val d = docsDir(Seq(
+      (0L, "the and of with the", "en", "s"),
+      (1L, "the and of with and", "en", "s"),
+      (2L, "el la los con el", "en", "s"),
+      (3L, "el la los con la", "es", "s")))
+    val r = graft.queries.Text.qLangidConfusion(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r == Map(
+      ("en", "en") -> ((2L, 0.666667)),
+      ("en", "es") -> ((1L, 0.333333)),
+      ("es", "es") -> ((1L, 1.0))), s"got $r")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString
