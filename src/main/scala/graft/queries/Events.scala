@@ -1234,6 +1234,46 @@ object Events {
     * contract), one hash aggregate to the |types|² matrix, and the
     * per-source totals come from a second aggregate of THAT matrix
     * (types² rows), broadcast back. No global window, no driver math. */
+  /** A/B CONVERSION TEST — the experiment-analysis primitive: users
+    * split into two deterministic arms (user_id parity stands in for
+    * the assignment hash), per-arm conversion = did the user ever
+    * purchase, and the two-proportion z-statistic closes the
+    * comparison. All counts are exact integers off ONE per-user
+    * collapse (distinct-user flags, then conditional sums — no
+    * multi-countDistinct Expand, the q_events_wau lesson); rates
+    * close on the integer half-up ppm grid and the z-statistic is one
+    * fixed IEEE sequence at 6 dp over the exact counts (the pooled
+    * variance form), so every number is engine-identical. */
+  def qEventsAbTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", lit(1L)))
+        .as("conv_raw"))
+      .select((col("user_id") % 2).cast("int").as("arm"),
+        coalesce(col("conv_raw"), lit(0L)).as("conv"))
+    val agg = perUser.agg(
+      count(when(col("arm") === 0, lit(1))).as("n_a"),
+      sum(when(col("arm") === 0, col("conv"))).as("c_a"),
+      count(when(col("arm") === 1, lit(1))).as("n_b"),
+      sum(when(col("arm") === 1, col("conv"))).as("c_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"),
+      col("c_a").cast("double"), col("n_b").cast("double"),
+      col("c_b").cast("double"))
+    val pPool = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    // degenerate arms (0% or 100% pooled conversion) have zero pooled
+    // variance — the z-statistic is undefined, NULL on both engines
+    val defined = col("c_a") + col("c_b") > 0 &&
+      col("c_a") + col("c_b") < col("n_a") + col("n_b")
+    agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      (expr("CAST((2000000 * c_a + n_a) DIV (2 * n_a) AS BIGINT)")
+        .cast("double") / lit(1000000.0)).as("rate_a"),
+      (expr("CAST((2000000 * c_b + n_b) DIV (2 * n_b) AS BIGINT)")
+        .cast("double") / lit(1000000.0)).as("rate_b"),
+      when(defined, round(z, 6)).as("z_score"))
+  }
+
   /** Power-iteration rounds for q_events_stationary — fixed and
     * unrolled in the oracle (the PageRank / khop discipline): the
     * result is a deterministic "R-round" vector whether or not the
@@ -1405,6 +1445,7 @@ object Events {
     "q_events_forecast" -> (qEventsForecast _),
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_stationary" -> (qEventsStationary _),
+    "q_events_ab_test" -> (qEventsAbTest _),
     "q_events_autocorr" -> (qEventsAutocorr _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_events_xcorr" -> (qEventsXcorr _),
@@ -1565,6 +1606,32 @@ object Events {
         |  END AS mape
         |FROM agg ORDER BY event_type""".stripMargin,
     "q_events_stationary" -> stationaryOracle,
+    "q_events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS c_a,
+        |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c_b
+        |  FROM pu)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  CAST((2000000 * c_a + n_a) // (2 * n_a) AS BIGINT) / 1000000.0
+        |    AS rate_a,
+        |  CAST((2000000 * c_b + n_b) // (2 * n_b) AS BIGINT) / 1000000.0
+        |    AS rate_b,
+        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |  ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |    / SQRT((CAST(c_a AS DOUBLE) + c_b)
+        |        / (CAST(n_a AS DOUBLE) + n_b)
+        |      * (1.0 - (CAST(c_a AS DOUBLE) + c_b)
+        |        / (CAST(n_a AS DOUBLE) + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+        |FROM agg""".stripMargin,
     "q_events_transitions" ->
       """WITH lagged AS (
         |  SELECT user_id, event_type,

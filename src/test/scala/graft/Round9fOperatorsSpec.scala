@@ -308,6 +308,29 @@ class Round9fOperatorsSpec extends SparkSpec {
       ("es", "es") -> ((1L, 1.0))), s"got $r")
   }
 
+  test("ab test: arms split by parity and the z-score matches the closed form") {
+    // arm 0 (even users 2, 4): one of two converts; arm 1 (odd users
+    // 1, 3): both convert → z = (0.5−1)/√(0.75·0.25·(0.5+0.5))
+    val d = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 2L, "purchase", 0.0),
+      (1L, "2024-01-01 10:01:00", 4L, "view", 0.0),
+      (2L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      (3L, "2024-01-01 10:03:00", 3L, "purchase", 0.0)))
+    val r = graft.queries.Events.qEventsAbTest(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)), s"counts: $r")
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0, s"rates: $r")
+    val expected = (0.5 - 1.0) /
+      math.sqrt(0.75 * 0.25 * (1.0 / 2 + 1.0 / 2))
+    assert(math.abs(r.getDouble(6) - expected) < 1e-6, s"z: $r")
+    // degenerate: everyone converts → z undefined, NULL not a crash
+    val d2 = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "purchase", 0.0),
+      (1L, "2024-01-01 10:01:00", 2L, "purchase", 0.0)))
+    val r2 = graft.queries.Events.qEventsAbTest(spark, d2).collect().head
+    assert(r2.isNullAt(6), s"degenerate z must be NULL: $r2")
+  }
+
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r9f_li3").toString
