@@ -38,22 +38,30 @@ object HistQuantile {
 
   /** Interpolated p-quantile from the n count columns: find the first
     * bucket whose cumulative count reaches p·total, interpolate by
-    * the overshoot fraction. Pure when-chains over the fixed n — the
-    * whole estimate is one codegen'd projection, no second shuffle. */
+    * the overshoot fraction.
+    *
+    * Built from array higher-order functions over ONE array literal —
+    * NOT nested when-chains: the chain form expands to thousands of
+    * expression nodes, and fused into the aggregate's output method
+    * it blew janino's method-size limit, silently dropping the WHOLE
+    * aggregate stage to interpreted execution (measured 3.4 s → the
+    * HOF form runs the scan codegen'd and closes in a separate tiny
+    * projection over |groups| rows). Integer arithmetic until the
+    * final fixed IEEE interpolation — unchanged, so the oracle and
+    * the streaming twin still match bit-for-bit. */
   def estimate(
       counts: Seq[Column], p: Double, lo: Double, hi: Double): Column = {
     val n = counts.size
     val width = (hi - lo) / n
-    val total = counts.reduce(_ + _)
-    val cums = (0 until n).map(i => counts.take(i + 1).reduce(_ + _))
-    val t = lit(p) * total
-    def pick(vals: Seq[Column]): Column =
-      (0 until n).reverse.foldLeft(vals(n - 1)) { (acc, i) =>
-        when(cums(i) >= t, vals(i)).otherwise(acc)
-      }
-    val idx = pick((0 until n).map(i => lit(i)))
-    val c = pick(counts)
-    val cumPrev = pick((0 until n).map(i => cums(i) - counts(i)))
+    val arr = array(counts: _*)
+    val cums = transform(sequence(lit(1), lit(n)),
+      i => aggregate(slice(arr, lit(1), i), lit(0L), (a, x) => a + x))
+    val t = lit(p) * element_at(cums, n)
+    val idx = element_at(
+      filter(sequence(lit(0), lit(n - 1)),
+        i => element_at(cums, i + 1).cast("double") >= t), 1)
+    val c = element_at(arr, idx + 1)
+    val cumPrev = when(idx === 0, lit(0L)).otherwise(element_at(cums, idx))
     val frac = (t - cumPrev.cast("double")) / c.cast("double")
     lit(lo) + (idx.cast("double") + frac) * lit(width)
   }

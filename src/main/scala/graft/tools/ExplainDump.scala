@@ -168,7 +168,16 @@ object ExplainDump {
       "bigram window + unigram counts; vocabulary-sized joins " +
       "broadcast; top-20 is TakeOrderedAndProject, no global window"),
     "q_events_paths" -> ("path trigrams: two leads in ONE Window " +
-      "pass, |types|3-bounded count table, TakeOrderedAndProject"))
+      "pass, |types|3-bounded count table, TakeOrderedAndProject"),
+    "q_events_funnel_window" -> ("time-bounded funnel: three stage " +
+      "mins as stacked Window nodes over ONE user_id exchange — no " +
+      "fact re-join"),
+    "q_events_hist_quantiles" -> ("histogram quantiles: 25 " +
+      "conditional counts in one mergeable aggregate, interpolation " +
+      "as a codegen'd projection — the streamable percentile shape"),
+    "q_events_stationary" -> ("markov stationary: one fact-scan pair " +
+      "extraction, then 8 integer-ppm power rounds on the " +
+      "checkpointed |types|^2 matrix"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
