@@ -1266,12 +1266,18 @@ object Events {
     // variance — the z-statistic is undefined, NULL on both engines
     val defined = col("c_a") + col("c_b") > 0 &&
       col("c_a") + col("c_b") < col("n_a") + col("n_b")
+    // an empty arm (possible on a filtered slice, not this data) gets
+    // a NULL rate instead of an ANSI integer-division error; the z
+    // guard already requires both arms non-degenerate
     agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-      (expr("CAST((2000000 * c_a + n_a) DIV (2 * n_a) AS BIGINT)")
-        .cast("double") / lit(1000000.0)).as("rate_a"),
-      (expr("CAST((2000000 * c_b + n_b) DIV (2 * n_b) AS BIGINT)")
-        .cast("double") / lit(1000000.0)).as("rate_b"),
-      when(defined, round(z, 6)).as("z_score"))
+      when(col("n_a") > 0,
+        expr("CAST((2000000 * c_a + n_a) DIV (2 * n_a) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("rate_a"),
+      when(col("n_b") > 0,
+        expr("CAST((2000000 * c_b + n_b) DIV (2 * n_b) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("rate_b"),
+      when(defined && col("n_a") > 0 && col("n_b") > 0, round(z, 6))
+        .as("z_score"))
   }
 
   /** Power-iteration rounds for q_events_stationary — fixed and
@@ -1620,11 +1626,14 @@ object Events {
         |    CAST(SUM(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c_b
         |  FROM pu)
         |SELECT n_a, c_a, n_b, c_b,
-        |  CAST((2000000 * c_a + n_a) // (2 * n_a) AS BIGINT) / 1000000.0
-        |    AS rate_a,
-        |  CAST((2000000 * c_b + n_b) // (2 * n_b) AS BIGINT) / 1000000.0
-        |    AS rate_b,
-        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+        |  CASE WHEN n_a > 0 THEN
+        |    CAST((2000000 * c_a + n_a) // (2 * n_a) AS BIGINT) / 1000000.0
+        |    END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    CAST((2000000 * c_b + n_b) // (2 * n_b) AS BIGINT) / 1000000.0
+        |    END AS rate_b,
+        |  CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b
+        |      AND n_a > 0 AND n_b > 0 THEN
         |  ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
         |    / SQRT((CAST(c_a AS DOUBLE) + c_b)
         |        / (CAST(n_a AS DOUBLE) + n_b)

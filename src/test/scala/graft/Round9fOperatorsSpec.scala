@@ -5,10 +5,14 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 /** Round-9 sixth-session additions: CUSUM drift detection via the
-  * drawup identity, weighted median, the Gopher rule gate, PMI
-  * collocations, 2-hop neighborhood size, and the cross-source
-  * duplication matrix. Planted fixtures run the registered queries
-  * unmodified against hand-computed answers. */
+  * drawup identity, weighted median, Gini, the Gopher rule gate, PMI
+  * collocations, the Zipf fit, behavioral paths, cross-correlation,
+  * the time-bounded funnel, seasonal strength, daily and histogram
+  * percentiles, the Markov stationary distribution, the A/B z-test,
+  * cohort LTV, the langid confusion matrix, 2-hop neighborhood size,
+  * cluster-size stats, and the cross-source duplication matrix.
+  * Planted fixtures run the registered queries unmodified against
+  * hand-computed answers. */
 class Round9fOperatorsSpec extends SparkSpec {
 
   private def eventsDir(
@@ -329,6 +333,13 @@ class Round9fOperatorsSpec extends SparkSpec {
       (1L, "2024-01-01 10:01:00", 2L, "purchase", 0.0)))
     val r2 = graft.queries.Events.qEventsAbTest(spark, d2).collect().head
     assert(r2.isNullAt(6), s"degenerate z must be NULL: $r2")
+    // an arm with zero users: NULL rate for it, NULL z, no ANSI error
+    val d3 = eventsDir(Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "purchase", 0.0),
+      (1L, "2024-01-01 10:01:00", 3L, "view", 0.0)))
+    val r3 = graft.queries.Events.qEventsAbTest(spark, d3).collect().head
+    assert(r3.getLong(0) == 0L && r3.isNullAt(4) && !r3.isNullAt(5) &&
+      r3.isNullAt(6), s"empty arm must yield NULLs: $r3")
   }
 
   test("gini: equal mass scores 0, a single holder scores (n-1)/n") {
