@@ -135,6 +135,31 @@ class Round9fOperatorsSpec extends SparkSpec {
       s"got $r")
   }
 
+  test("anf: exact balls match, estimates are valid FM points") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r9f_li4").toString
+    // path 1-2-3-4 again: exact ball2 (incl. self) is 3,4,4,3
+    Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.queries.Graph.qGraphAnf(spark, dir).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(rows.view.mapValues(_._1).toMap ==
+      Map(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 3L), s"exact balls: $rows")
+    rows.foreach { case (n, (ball2, est2, err)) =>
+      // every estimate is 2^k/0.77351 for an integer k ≥ 0
+      val k = math.log(est2 * 0.77351) / math.log(2.0)
+      assert(math.abs(k - math.round(k)) < 1e-6, s"node $n est grid: $est2")
+      assert(math.abs(err - math.abs(est2 - ball2) / ball2) < 1e-6,
+        s"node $n err consistency: $rows")
+    }
+    // deterministic: the portable hash makes reruns bit-identical
+    val again = graft.queries.Graph.qGraphAnf(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(again == rows.view.mapValues(_._2).toMap, "estimate not stable")
+  }
+
   test("paths: trigrams follow event-time order, not insertion order") {
     // user 1 emits a→b→c→d (the c row is planted out of insertion
     // order); user 2 emits a→b→c — trigram (a,b,c) has n=2, n_users=2,
