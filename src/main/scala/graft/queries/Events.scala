@@ -822,8 +822,11 @@ object Events {
     * sequential test the two-window mean-shift screen above
     * approximates. The textbook form is recursive
     * (Cₙ = max(0, Cₙ₋₁ + xₙ − k), not a frame aggregate), but the
-    * DRAWUP IDENTITY unrolls it exactly: Cₙ = Sₙ − min_{i≤n} Sᵢ where
-    * S is the running sum of deviations — a cumulative sum and a
+    * DRAWUP IDENTITY unrolls it exactly: Cₙ = Sₙ − min_{0≤i≤n} Sᵢ
+    * where S is the running sum of deviations and S₀ = 0 (the empty
+    * prefix) enters through least(min S, 0) — without it a series
+    * whose prefix sums start positive would lose the C₁ = d₁ anchor
+    * and underreport the peak — a cumulative sum and a
     * running min, two ordinary frames over ONE partitioning (a single
     * exchange; Catalyst stacks the Window nodes shuffle-free). So the
     * "inherently sequential" detector runs partition-parallel per type.
@@ -858,7 +861,8 @@ object Events {
       .withColumn("n", count(lit(1)).over(wt))
       .withColumn("t", sum(col("sv")).over(wt))
       .withColumn("sdev", sum(col("n") * col("sv") - col("t")).over(wc))
-      .withColumn("drawup", col("sdev") - min(col("sdev")).over(wc))
+      .withColumn("drawup",
+        col("sdev") - least(min(col("sdev")).over(wc), lit(0)))
       .withColumn("dmax", max(col("drawup")).over(wt))
       .groupBy(col("event_type"))
       .agg(
@@ -1299,7 +1303,10 @@ object Events {
     * |types|²-bounded checkpointed matrix (data-volume-free).
     * Contract: every type must have an outgoing edge (true of any
     * dense behavior log; an absorbing type would need a dangling-mass
-    * term like PageRank's). */
+    * term like PageRank's — its mass silently drains each round here).
+    * Types with no INCOMING edge still get a pi = 0 output row via a
+    * final left join of the type dimension, so the report's row set is
+    * the type vocabulary regardless of matrix shape. */
   def qEventsStationary(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(expr("unix_micros(ts)"), col("event_id"))
@@ -1327,8 +1334,17 @@ object Events {
           .as("pi2"))
         .select(col("to_type").as("from_type"), col("pi2").as("pi"))
     }
-    pi.select(col("from_type").as("event_type"),
-        (col("pi").cast("double") / lit(1000000.0)).as("pi"))
+    // types with no INCOMING transition after the final round drop out
+    // of the inner-join fixpoint — left-join the type dimension back so
+    // they surface as pi = 0 rows instead of vanishing from the report
+    // (a sink-only type is data, not an error; losing its row would
+    // make |output| data-dependent)
+    types.select(col("event_type"))
+      .join(pi.withColumnRenamed("from_type", "event_type"),
+        Seq("event_type"), "left")
+      .select(col("event_type"),
+        (coalesce(col("pi"), lit(0L)).cast("double") / lit(1000000.0))
+          .as("pi"))
       .orderBy(col("event_type"))
   }
 
@@ -1513,8 +1529,9 @@ object Events {
        |  SELECT event_type, CAST(1000000 // k AS BIGINT) AS pi
        |  FROM types CROSS JOIN nt),
        |${(1 to StationaryRounds).map(round).mkString(",\n")}
-       |SELECT event_type, pi / 1000000.0 AS pi
-       |FROM p$StationaryRounds ORDER BY event_type""".stripMargin
+       |SELECT t.event_type, COALESCE(p.pi, 0) / 1000000.0 AS pi
+       |FROM types t LEFT JOIN p$StationaryRounds p USING (event_type)
+       |ORDER BY t.event_type""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -1910,7 +1927,8 @@ object Events {
         |  FROM sc WINDOW wc AS (PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |dr AS (
-        |  SELECT event_type, b, n, sdev - MIN(sdev) OVER wc AS drawup
+        |  SELECT event_type, b, n,
+        |    sdev - LEAST(MIN(sdev) OVER wc, 0) AS drawup
         |  FROM cs WINDOW wc AS (PARTITION BY event_type ORDER BY b
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |dm AS (

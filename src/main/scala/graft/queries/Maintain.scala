@@ -435,13 +435,15 @@ object Maintain {
       val counts = li.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       counts.agg(count(lit(1)).as("n_keys"),
           sum(col("c")).as("n_rows"), max(col("c")).as("max_c"),
-          // Σc² — the exact row count a self-join on this key would
-          // produce (the basket/dedup pair-join planning number);
-          // DECIMAL end-to-end: one mega-hot key's c² already strains
-          // 2⁶³ and the sum certainly passes it at 100 TB
+          // Σc² — the row count a self-join on this key would produce
+          // (the basket/dedup pair-join planning number); accumulated
+          // as exact DECIMAL (one mega-hot key's c² already strains
+          // 2⁶³ at 100 TB) and CLOSED TO DOUBLE — a planning estimate
+          // needs magnitude, not unit precision, and a raw decimal
+          // output column defeats the harness hash (Agg contract)
           sum((col("c").cast("decimal(19,0)") * col("c"))
             .cast("decimal(38,0)")).cast("decimal(38,0)")
-            .as("selfjoin_rows"))
+            .cast("double").as("selfjoin_rows"))
         .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
           col("max_c"), col("selfjoin_rows"),
           // DECIMAL intermediate: 2·10⁶·max_c·n_keys passes 2⁶³ around
@@ -492,7 +494,8 @@ object Maintain {
   def oracles: Map[String, String] = Map(
     "q_skew_report" -> {
       def block(k: String): String =
-        s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c, selfjoin_rows,
+        s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c,
+           |  CAST(selfjoin_rows AS DOUBLE) AS selfjoin_rows,
            |  CAST((CAST(2000000 AS HUGEINT) * max_c * n_keys + n_rows)
            |    // (2 * n_rows) AS BIGINT) / 1000000.0 AS straggler_factor,
            |  CAST((2000000 * max_c + n_rows) // (2 * n_rows)

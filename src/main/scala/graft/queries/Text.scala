@@ -41,13 +41,17 @@ object Text {
       max(col("n_chars")).as("n_chars"),
       max(col("n_nopunct")).as("n_nopunct"),
       max(col("n_nows")).as("n_nows"),
-      count(lit(1)).as("n_toks"),
+      count(when(length(col("tok")) > 0, lit(1))).as("n_toks"),
       max(length(col("tok"))).as("max_tok"),
       count(when(col("tok").isInCollection(stopwords), lit(1))).as("n_sw")) ++
       langs.map(l =>
         count(when(col("tok").isInCollection(markers(l)), lit(1))).as(s"hits_$l"))
     // split("") = [""], so every doc yields >=1 token row: no doc is
-    // lost to the groupBy and no left-join back is needed
+    // lost to the groupBy and no left-join back is needed. n_toks is a
+    // CONDITIONAL count that skips zero-length tokens — split on text
+    // with leading/trailing whitespace emits empty strings, and
+    // counting them would inflate every downstream ratio and Gopher
+    // verdict (a where() would instead drop empty docs entirely).
     base.groupBy(col("doc_id"), col("lang")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -296,8 +300,12 @@ object Text {
     * the two unigram joins broadcast. */
   def qTextPmi(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // drop the zero-length tokens a leading/trailing-whitespace split
+    // emits BEFORE counting: an empty "word" would enter both the
+    // bigram table and the M/N totals (the backbone's n_toks fix)
     val tok = docs(s, d).select(col("doc_id"),
       posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
       .localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bi = tok.withColumn("w2", lead(col("word"), 1).over(w))
@@ -305,10 +313,11 @@ object Text {
       .select(col("word").as("w1"), col("w2"))
     val cbg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
     val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("cu"))
-    // N = Σ(len−1) = M − n_docs (split("") = [""] keeps every doc at
-    // ≥ 1 token), so BOTH totals come from one token aggregate — a
-    // count over `bi` would re-run the whole bigram window subtree
-    // (expression trees, not DAGs)
+    // N = Σ(len−1) = M − |docs with ≥1 token| (both counted over the
+    // SAME filtered token table, so the identity survives the
+    // empty-token filter), so BOTH totals come from one token
+    // aggregate — a count over `bi` would re-run the whole bigram
+    // window subtree (expression trees, not DAGs)
     val totals = tok.agg(count(lit(1)).as("m"),
       (count(lit(1)) - countDistinct(col("doc_id"))).as("nb"))
     cbg
@@ -1142,10 +1151,12 @@ object Text {
     "q_text_pmi" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS word
+        |    UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |      t -> t <> '')) AS word
         |  FROM documents),
         |ws AS (
-        |  SELECT STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ws
+        |  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |    t -> t <> '') AS ws
         |  FROM documents),
         |bi AS (
         |  SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (
@@ -1184,20 +1195,24 @@ object Text {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
-         |  LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tokens,
+         |  LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+         |    t -> t <> '')) AS n_tokens,
          |  LENGTH(text) AS n_chars_m,
          |  ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
          |    / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
          |  ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
          |    t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
-         |    / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1), 6) AS stopword_ratio,
+         |    / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |      t -> t <> '')), 1), 6) AS stopword_ratio,
          |  ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) * 1.0
-         |    / GREATEST(LEN(STRING_SPLIT_REGEX(text, '\\s+')), 1), 6) AS mean_tok_len
+         |    / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+         |      t -> t <> '')), 1), 6) AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_gopher" ->
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS n_toks,
+         |    LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |      w -> w <> '')) AS n_toks,
          |    LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nows,
          |    LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
          |      w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
@@ -1219,12 +1234,14 @@ object Text {
     "q_text_quality" ->
       s"""WITH scored AS (
          |  SELECT doc_id,
-         |    LEAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) / 64.0, 1.0) AS len_score,
+         |    LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+         |      t -> t <> '')) / 64.0, 1.0) AS len_score,
          |    1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
          |      / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) AS punct_score,
          |    LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
          |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
-         |      / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1)) * 5.0, 1.0) AS sw_score
+         |      / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |        t -> t <> '')), 1)) * 5.0, 1.0) AS sw_score
          |  FROM documents)
          |SELECT doc_id,
          |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,

@@ -177,8 +177,10 @@ object Windows {
       orderBy = Seq(col("o_orderdate"), col("o_orderkey")))
     Tables.orders(s, d).select(
       col("o_orderkey"),
-      sum(dec("o_totalprice")).over(byCust).cast("decimal(38,4)").as("cum_by_cust"),
-      sum(dec("o_totalprice")).over(byStatus).cast("decimal(38,4)").as("cum_by_status"))
+      sum(dec("o_totalprice")).over(byCust).cast("decimal(38,4)")
+        .cast("double").as("cum_by_cust"),
+      sum(dec("o_totalprice")).over(byStatus).cast("decimal(38,4)")
+        .cast("double").as("cum_by_status"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -478,12 +480,12 @@ object Windows {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "q_win_multi" ->
       """SELECT o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cum_by_cust,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS cum_by_cust,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS cum_by_status
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE) AS cum_by_status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_win_unpartitioned" ->
       """SELECT c_custkey,

@@ -50,7 +50,8 @@ case class FunnelRow(
     user_id: Long, t_view: Option[Long], t_click: Option[Long],
     t_purchase: Option[Long], stage: Int)
 case class CusumCarry(
-    pending: Seq[(Long, Long)], open: Map[Long, Long], c: Long)
+    pending: Seq[(Long, Long)], open: Map[Long, Long], c: Long,
+    lastEmitted: Long, nLate: Long)
 case class CusumPoint(
     event_type: String, bucket_start: java.sql.Timestamp, cusum: Double)
 
@@ -648,8 +649,11 @@ object EventsStream {
     * performs), so bucket sums and the carry are exact longs and the
     * emitted double is the one correctly-rounded conversion — the
     * spec asserts double-identical output vs the batch query under
-    * out-of-order arrival. State per type: the not-yet-final rows
-    * (watermark-delay-bounded) + open bucket sums + ONE long carry. */
+    * out-of-order arrival. Rows landing in a bucket that already
+    * finalized (ts <= watermark on arrival) are dropped as late and
+    * counted — never folded out of order or re-emitted. State per
+    * type: the not-yet-final rows (watermark-delay-bounded) + open
+    * bucket sums + the carry, last-emitted bucket, and late count. */
   def cusumStream(
       events: Dataset[TypedEvent],
       kTarget: java.math.BigDecimal,
@@ -670,15 +674,24 @@ object EventsStream {
         GroupStateTimeout.EventTimeTimeout()) {
         (typ: String, rows: Iterator[TypedEvent],
             state: GroupState[CusumCarry]) =>
-          val prev = state.getOption.getOrElse(CusumCarry(Nil, Map.empty, 0L))
+          val prev = state.getOption.getOrElse(
+            CusumCarry(Nil, Map.empty, 0L, Long.MinValue, 0L))
           val pending = prev.pending ++
             rows.map(r => (r.ts.getTime * 1000L, q4(r.value)))
           val horizonUs = state.getCurrentWatermarkMs() * 1000L
           val (ripe, hold) = pending.partition(_._1 <= horizonUs)
           var open = prev.open
+          // a ripe row whose bucket was already finalized in an earlier
+          // batch (it slipped in at ts <= watermark) must NOT re-create
+          // the closed bucket: folding it now would recurse out of
+          // order and emit a duplicate point in append mode. Drop it as
+          // late — the drop-late semantics of Spark's own windowed
+          // aggregates — and count it in the carry for observability.
+          var late = prev.nLate
           ripe.foreach { case (ts, q) =>
             val b = ts / hourUs * hourUs
-            open = open.updated(b, open.getOrElse(b, 0L) + q)
+            if (b <= prev.lastEmitted) late += 1L
+            else open = open.updated(b, open.getOrElse(b, 0L) + q)
           }
           // a bucket whose END the watermark passed is final: hold
           // rows all have ts > horizon, hence sit in later buckets
@@ -690,7 +703,9 @@ object EventsStream {
             CusumPoint(typ, new java.sql.Timestamp(b / 1000L),
               c.toDouble / 10000.0)
           }
-          state.update(CusumCarry(hold, still, c))
+          val lastEmitted =
+            if (closed.isEmpty) prev.lastEmitted else closed.keys.max
+          state.update(CusumCarry(hold, still, c, lastEmitted, late))
           val wakes = still.keys.map(b => (b + hourUs) / 1000L) ++
             hold.map(_._1 / 1000L + 1L)
           if (wakes.nonEmpty)

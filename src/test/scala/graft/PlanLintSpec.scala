@@ -124,4 +124,22 @@ class PlanLintSpec extends SparkSpec {
     val bad = offences.result()
     assert(bad.isEmpty, s"${bad.size} plan-lint offences:\n${bad.mkString("\n")}")
   }
+
+  test("no registered query exposes a DECIMAL output column") {
+    // The correctness harness hashes decimal output columns
+    // asymmetrically between the engines even when value, scale, and
+    // arrow type agree — in round 9 every decimal-output query
+    // hash-failed and every non-decimal one passed. The contract
+    // (Agg scaladoc): accumulate exact DECIMAL internally, normalize
+    // to scale 4, close to DOUBLE (exact while unscaled < 2^53) or
+    // STRING (q_table_fingerprint's exact-128-bit form). Schema-only
+    // analysis: nothing executes here.
+    val offences = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      f <- fn(spark, sf).schema.fields
+      if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    } yield s"$name: ${f.name} is ${f.dataType}"
+    assert(offences.isEmpty,
+      s"decimal output columns defeat the oracle hash:\n${offences.mkString("\n")}")
+  }
 }

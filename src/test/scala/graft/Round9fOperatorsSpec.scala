@@ -43,11 +43,19 @@ class Round9fOperatorsSpec extends SparkSpec {
     // unscaled devs (−5×3, +5×3) gives 0,0,0,5,10,15 — same answer.
     // type "flat": constant series → drawup 0 everywhere, tie on the
     // max resolves to the EARLIEST bucket.
+    // type "hi": starts ABOVE its mean — hourly sums 10,0,5,5 → n=4,
+    // T=20, scaled devs 4·sv−20 = +20,−20,0,0; S = 20,0,0,0. The S₀=0
+    // empty-prefix term is load-bearing here: min_{0≤i} Sᵢ = 0 at the
+    // FIRST bucket (min over i≥1 alone would be 20), so drawup =
+    // 20,0,0,0 and the peak is C₁ = 20/4 = 5 in bucket 0 — matching
+    // the recursion max(0, C+d) on devs +5,−5,0,0 → 5,0,0,0.
     val d = eventsDir(
       (0 until 6).map(h => (h.toLong, f"2024-01-01 0$h:00:00", 1L, "up",
         if (h < 3) 0.0 else 10.0)) ++
       (0 until 4).map(h => (10L + h, f"2024-01-01 0$h:00:00", 1L, "flat",
-        7.0)))
+        7.0)) ++
+      Seq(10.0, 0.0, 5.0, 5.0).zipWithIndex.map { case (v, h) =>
+        (20L + h, f"2024-01-01 0$h:00:00", 1L, "hi", v) })
     val r = graft.queries.Events.qEventsCusum(spark, d).collect()
       .map(x => x.getString(0) ->
         (x.getLong(1), x.getDouble(2),
@@ -55,6 +63,8 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(r("up") == ((6L, 15.0, "2024-01-01T05:00:00Z", 0L)), s"up: $r")
     assert(r("flat") == ((4L, 0.0, "2024-01-01T00:00:00Z", 0L)),
       s"flat ties to earliest: $r")
+    assert(r("hi") == ((4L, 5.0, "2024-01-01T00:00:00Z", 0L)),
+      s"above-mean start anchors C1 via S0=0: $r")
   }
 
   test("weighted median: weight mass moves the median off the count median") {
@@ -83,9 +93,10 @@ class Round9fOperatorsSpec extends SparkSpec {
     val noSw = Seq.fill(60)("table scan part").mkString(" ") // 0 stopwords
     val d = docsDir(Seq(
       (0L, good, "en", "s"), (1L, short, "en", "s"), (2L, soup, "en", "s"),
-      (3L, longw, "en", "s"), (4L, noSw, "en", "s")))
-    val r = graft.queries.Text.qTextGopher(spark, d).collect()
-      .map(x => x.getLong(0) ->
+      (3L, longw, "en", "s"), (4L, noSw, "en", "s"),
+      (5L, "  " + good + "  ", "en", "s"))) // padded twin of doc 0
+    val out = graft.queries.Text.qTextGopher(spark, d).collect()
+    val r = out.map(x => x.getLong(0) ->
         (x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
           x.getBoolean(5), x.getBoolean(6), x.getBoolean(7))).toMap
     assert(r(0L) == ((true, true, true, true, true, true)), s"good: $r")
@@ -93,6 +104,11 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(!r(2L)._5 && !r(2L)._6, s"soup fails swratio: $r")
     assert(!r(3L)._3 && !r(3L)._6, s"long word fails maxword: $r")
     assert(!r(4L)._4 && !r(4L)._6, s"no stopwords fails: $r")
+    // leading/trailing whitespace must not mint phantom tokens: the
+    // padded twin scores token-for-token like the clean doc
+    val nTok = out.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(nTok(5L) == nTok(0L), s"padded twin token count: $nTok")
+    assert(r(5L) == r(0L), s"padded twin verdicts: $r")
   }
 
   test("pmi: an always-together bigram tops the free-mixing filler") {
@@ -300,7 +316,7 @@ class Round9fOperatorsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val r = graft.queries.Agg.qCohortLtv(spark, dir).collect()
       .map(x => (x.getTimestamp(0).toInstant.toString, x.getInt(1)) ->
-        (x.getLong(2), x.getDecimal(3).doubleValue, x.getDouble(4))).toMap
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
     assert(r == Map(
       ("2024-01-01T00:00:00Z", 0) -> ((2L, 40.0, 20.0)),
       ("2024-01-01T00:00:00Z", 1) -> ((1L, 20.0, 30.0))), s"got $r")

@@ -922,6 +922,41 @@ class StreamingSpec extends SparkSpec {
       "late row must fold into its event-time bucket")
   }
 
+  test("streaming cusum drops rows for already-finalized buckets instead of re-emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TypedEvent, CusumPoint}
+    def ev(t: String, typ: String, v: Double) =
+      TypedEvent(typ, Timestamp.valueOf(t), v)
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.cusumStream(stream.toDS(),
+        new java.math.BigDecimal("1"), "2 hours")
+      .writeStream.format("memory").queryName("cusum_late_out")
+      .outputMode("append").start()
+    try {
+      // 10h bucket (sum 3, k=1 → C=2) finalizes once the 13:30 row
+      // pushes the watermark to 11:30
+      stream.addData(ev("2024-03-01 10:15:00", "a", 3.0),
+        ev("2024-03-01 13:30:00", "b", 0.0))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[TypedEvent]); q.processAllAvailable()
+      // a row for the CLOSED 10h bucket, behind the watermark: it must
+      // not re-open the bucket, fold into the carry out of order, or
+      // emit a duplicate append-mode point
+      stream.addData(ev("2024-03-01 10:45:00", "a", 99.0))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[TypedEvent]); q.processAllAvailable()
+      stream.addData(Seq.empty[TypedEvent]); q.processAllAvailable()
+    } finally q.stop()
+    val pts = spark.table("cusum_late_out").as[CusumPoint].collect()
+      .filter(p => p.event_type == "a")
+      .map(p => p.bucket_start.toInstant.toString -> p.cusum)
+    assert(pts.count(_._1 == "2024-03-01T10:00:00Z") == 1,
+      s"finalized bucket emitted more than once: ${pts.toSeq}")
+    assert(pts.toMap.get("2024-03-01T10:00:00Z").contains(2.0),
+      s"late 99.0 leaked into the closed bucket: ${pts.toSeq}")
+  }
+
   test("streaming drift monitor scores windows against the frozen reference") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
