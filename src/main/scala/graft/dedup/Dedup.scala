@@ -506,6 +506,141 @@ object Dedup {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
   }
 
+  /** Exact-substring DELETION — the removal step of exact-substring
+    * dedup (Lee et al. 2022 delete every occurrence of a duplicated
+    * substring, reference stupidb has no text surface at all): each
+    * token covered by any cross-document duplicated k-span is dropped
+    * and the survivors reassemble into the cleaned text.
+    *
+    * Shape: the duplicatedSpanStats backbone (token posexplode, one
+    * lead() window for span ids, one s_id aggregate for the duplicated
+    * set) plus TWO doc-partitioned windows — a running max of
+    * duplicated-span starts turns interval-union coverage into the
+    * per-row test `pos < last_start + k` (no token×span join, no
+    * interval explosion), and the reassembly is one ordered
+    * collect_list per doc. Every shuffle is on doc_id except the span
+    * aggregate; cleaned text is deterministic (total order by pos).
+    * Portable md5-15 span ids keep the full DuckDB oracle. */
+  def spanRemoval(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = SpanK): DataFrame = {
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+    val spans = tok
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("pos"), col("np"),
+        concat_ws(" ",
+          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
+          .as("sp"))
+      .where(col("pos") <= col("np") - k)
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+    val dup = spans.select(col("s_id"), col("id")).distinct()
+      .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("s_id"))
+    val starts = spans.join(dup, "s_id")
+      .select(col("id"), col("pos"), lit(1).as("is_start"))
+    val wcum = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(starts, Seq("id", "pos"), "left")
+      .withColumn("ls",
+        max(when(col("is_start") === 1, col("pos"))).over(wcum))
+      .withColumn("covered",
+        col("ls").isNotNull && col("pos") < col("ls") + k)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("covered"), lit(1))).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("covered"),
+            struct(col("pos").as("p"), col("word").as("w"))))),
+          x => x.getField("w")), " ").as("clean_text"))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        round((col("n_tokens") - col("n_removed")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("keep_frac"),
+        col("clean_text"))
+  }
+
+  // ---- content-defined chunking --------------------------------------
+
+  /** CDC rolling-window width and boundary divisor: a cut lands after
+    * any token whose trailing CdcW-token window hashes to 0 mod CdcD,
+    * so the expected chunk length is CdcD tokens. Production CDC
+    * (LBFS/FastCDC) adds min/max chunk clamps; omitted here so the
+    * boundary rule stays a pure per-row predicate. */
+  val CdcW = 4
+  val CdcD = 16
+
+  /** Minimum chunk length for a DUP verdict: a geometric boundary
+    * process emits 1-token chunks, and a chunk of "the" collides with
+    * every other doc's — the same stop-shingle noise the ngram-Jaccard
+    * df cap removes. Production CDC clamps boundaries (FastCDC min
+    * size); clamping relationally would make the cut flag depend on
+    * the previous ACCEPTED cut (sequential), so the clamp here applies
+    * to the verdict instead: short chunks chunk normally but never
+    * count as duplication. */
+  val CdcMinTok = 4
+
+  /** CONTENT-DEFINED CHUNKING dedup — the storage-dedup shape (Rabin
+    * fingerprint boundaries: LBFS, Muthitacharoen et al. 2001; FastCDC)
+    * applied to corpus text: chunk boundaries depend only on the local
+    * CdcW-token window, so a shared region between two documents
+    * re-synchronizes to the SAME chunks even when a divergent prefix
+    * shifts its positions — the property fixed-stride chunking lacks
+    * and the reason storage systems dedup at CDC boundaries.
+    *
+    * Pipeline: token backbone → boundary flag (one lag-window concat +
+    * md5-15 mod CdcD — pure per-row arithmetic, engine-portable) →
+    * chunk index by EXCLUSIVE prefix sum of flags → chunk reassembly
+    * (one ordered aggregate per (doc, chunk)) → keep-first verdict per
+    * chunk content hash (row_number by (doc_id, chunk), the
+    * q_dedup_exact rule) → per-doc rollup. Shuffles: doc_id for the
+    * windows and rollup, chunk hash for the keep-first rank — all
+    * linear, nothing pairwise. Returns one row per doc:
+    * (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens, dup_frac). */
+  def cdcChunkStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = CdcW, d: Int = CdcD): DataFrame = {
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+    val windowed = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(j => lag(col("word"), j).over(byPos)) :+
+        col("word"): _*)
+    val flagged = tok.withColumn("cut",
+      when(col("pos") >= w - 1 &&
+        conv(substring(md5(windowed), 1, 15), 16, 10).cast("long") % d === 0,
+        lit(1)).otherwise(lit(0)))
+    val chunks = flagged
+      .withColumn("chunk", coalesce(
+        sum(col("cut")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("c_toks"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos").as("p"),
+            col("word").as("w")))),
+          x => x.getField("w")), " ").as("c_text"))
+      .select(col("id"), col("chunk"), col("c_toks"),
+        conv(substring(md5(col("c_text")), 1, 15), 16, 10).cast("long")
+          .as("c_hash"))
+    val ranked = chunks.withColumn("rk",
+      row_number().over(Window.partitionBy(col("c_hash"))
+        .orderBy(col("id"), col("chunk"))))
+    val isDup = col("rk") > 1 && col("c_toks") >= CdcMinTok
+    ranked.groupBy(col("id"))
+      .agg(sum(col("c_toks")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        count(when(isDup, lit(1))).as("n_dup_chunks"),
+        coalesce(sum(when(isDup, col("c_toks"))), lit(0L))
+          .as("dup_tokens"))
+      .select(col("id").as("doc_id"), col("n_tokens").cast("long"),
+        col("n_chunks"), col("n_dup_chunks"),
+        col("dup_tokens").cast("long"),
+        round(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** One row per token with an ENGINE-PORTABLE 64-bit hash, split into

@@ -270,6 +270,26 @@ object DedupSim {
     Dedup.duplicatedSpanStats(docsParallel(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Exact-substring DELETION — the removal step completing the
+    * detection signal above (Lee et al. 2022 delete every occurrence
+    * of a duplicated substring): covered tokens drop, survivors
+    * reassemble into the cleaned text (Dedup.spanRemoval: interval
+    * union as one running-max window, no token×span join). */
+  def qDedupSpanRemoval(s: SparkSession, d: String): DataFrame =
+    Dedup.spanRemoval(docsParallel(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** CONTENT-DEFINED CHUNKING dedup — storage-dedup boundaries (Rabin
+    * fingerprint family: LBFS, FastCDC) on corpus text: boundary
+    * after any token whose trailing CdcW-token window hashes to
+    * 0 mod CdcD, so a shared region re-synchronizes to identical
+    * chunks even under a shifted prefix (the property fixed-stride
+    * chunking lacks); keep-first verdict per chunk content hash,
+    * per-doc duplicated-chunk rollup (Dedup.cdcChunkStats). */
+  def qDedupCdc(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcChunkStats(docsParallel(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs, blocked on label — with the
     * HOT-BLOCK GUARD: a label hotter than Similarity.HotBlockCap rows
     * is sub-partitioned by IVF cell (size-derived cell count), so no
@@ -694,6 +714,8 @@ object DedupSim {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_spans" -> (qDedupSpans _),
+    "q_dedup_span_removal" -> (qDedupSpanRemoval _),
+    "q_dedup_cdc" -> (qDedupCdc _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1198,8 +1220,104 @@ object DedupSim {
        |FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id""".stripMargin
   }
 
+  /** DuckDB twin of qDedupSpanRemoval — same span-id CTEs as
+    * spansOracle, then the same running-max coverage window and an
+    * ordered STRING_AGG reassembly. GENERATED from Dedup.SpanK. */
+  private def spanRemovalOracle: String = {
+    val k = Dedup.SpanK
+    val spanConcat = (0 until k).map(j => s"ws[pos+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws FROM documents),
+       |tk AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS pos, ws
+       |  FROM w),
+       |tok AS (SELECT doc_id, pos, ws[pos] AS word FROM tk),
+       |st AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws) - ${k - 1})) AS pos, ws
+       |  FROM w WHERE LEN(ws) >= $k),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    CAST(CONCAT('0x', SUBSTR(MD5($spanConcat), 1, 15)) AS BIGINT) AS s_id
+       |  FROM st),
+       |dup AS (
+       |  SELECT s_id FROM sp GROUP BY s_id HAVING COUNT(DISTINCT doc_id) >= 2),
+       |starts AS (SELECT doc_id, pos, 1 AS is_start FROM sp JOIN dup USING (s_id)),
+       |mk AS (
+       |  SELECT t.doc_id, t.pos, t.word,
+       |    MAX(CASE WHEN s.is_start = 1 THEN t.pos END) OVER (
+       |      PARTITION BY t.doc_id ORDER BY t.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+       |  FROM tok t LEFT JOIN starts s
+       |    ON t.doc_id = s.doc_id AND t.pos = s.pos),
+       |cv AS (
+       |  SELECT doc_id, pos, word,
+       |    (ls IS NOT NULL AND pos < ls + $k) AS covered
+       |  FROM mk)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  COUNT(CASE WHEN covered THEN 1 END) AS n_removed,
+       |  ROUND(CAST(COUNT(*) - COUNT(CASE WHEN covered THEN 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS keep_frac,
+       |  COALESCE(STRING_AGG(CASE WHEN NOT covered THEN word END,
+       |    ' ' ORDER BY pos), '') AS clean_text
+       |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of qDedupCdc — the same boundary predicate (trailing
+    * CdcW-token window, md5-15 mod CdcD), exclusive-prefix-sum chunk
+    * ids, STRING_AGG chunk reassembly, and keep-first rank. GENERATED
+    * from Dedup.CdcW/CdcD. */
+  private def cdcOracle: String = {
+    val w = Dedup.CdcW
+    val d = Dedup.CdcD
+    val m = Dedup.CdcMinTok
+    // GREATEST clamps the list index to 1: DuckDB evaluates the CASE
+    // arms eagerly, so an out-of-range ws[pos-j] (NULL) would collapse
+    // CONCAT('0x', NULL) to '0x' and fail the BIGINT cast even on rows
+    // the pos >= w guard masks; clamped rows hash garbage that the
+    // guard then discards on both engines
+    val winConcat = ((w - 1) to 0 by -1)
+      .map(j => if (j == 0) "ws[pos]" else s"ws[GREATEST(pos - $j, 1)]")
+      .mkString(" || ' ' || ")
+    s"""WITH wt AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws FROM documents),
+       |tk AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS pos, ws
+       |  FROM wt),
+       |tok AS (
+       |  SELECT doc_id, pos, ws[pos] AS word,
+       |    CASE WHEN pos >= $w AND
+       |      CAST(CONCAT('0x', SUBSTR(MD5($winConcat), 1, 15)) AS BIGINT)
+       |        % $d = 0
+       |    THEN 1 ELSE 0 END AS cut
+       |  FROM tk),
+       |ch AS (
+       |  SELECT doc_id, pos, word,
+       |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM tok),
+       |cs AS (
+       |  SELECT doc_id, chunk, COUNT(*) AS c_toks,
+       |    CAST(CONCAT('0x', SUBSTR(MD5(STRING_AGG(word, ' ' ORDER BY pos)),
+       |      1, 15)) AS BIGINT) AS c_hash
+       |  FROM ch GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_hash
+       |    ORDER BY doc_id, chunk) AS rk
+       |  FROM cs)
+       |SELECT doc_id, CAST(SUM(c_toks) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN rk > 1 AND c_toks >= $m THEN 1 END) AS n_dup_chunks,
+       |  CAST(COALESCE(SUM(CASE WHEN rk > 1 AND c_toks >= $m THEN c_toks END),
+       |    0) AS BIGINT) AS dup_tokens,
+       |  ROUND(CAST(COALESCE(SUM(CASE WHEN rk > 1 AND c_toks >= $m
+       |    THEN c_toks END), 0) AS DOUBLE) / SUM(c_toks), 6) AS dup_frac
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q_dedup_spans" -> spansOracle,
+    "q_dedup_span_removal" -> spanRemovalOracle,
+    "q_dedup_cdc" -> cdcOracle,
     "q_embed_pca" -> pcaOracle,
     "q_embed_covariance" ->
       """WITH raw AS (
