@@ -578,7 +578,8 @@ object Dedup {
     * size); clamping relationally would make the cut flag depend on
     * the previous ACCEPTED cut (sequential), so the clamp here applies
     * to the verdict instead: short chunks chunk normally but never
-    * count as duplication. */
+    * count as duplication. Overridable per call via cdcChunkStats'
+    * minTok parameter, alongside w and d. */
   val CdcMinTok = 4
 
   /** CONTENT-DEFINED CHUNKING dedup — the storage-dedup shape (Rabin
@@ -593,14 +594,26 @@ object Dedup {
     * md5-15 mod CdcD — pure per-row arithmetic, engine-portable) →
     * chunk index by EXCLUSIVE prefix sum of flags → chunk reassembly
     * (one ordered aggregate per (doc, chunk)) → keep-first verdict per
-    * chunk content hash (row_number by (doc_id, chunk), the
-    * q_dedup_exact rule) → per-doc rollup. Shuffles: doc_id for the
-    * windows and rollup, chunk hash for the keep-first rank — all
-    * linear, nothing pairwise. Returns one row per doc:
+    * chunk content hash → per-doc rollup.
+    *
+    * The keep-first verdict is a min(struct(id, chunk)) AGGREGATE per
+    * c_hash joined back on c_hash — NOT a row_number window. A window
+    * rank over the content hash serializes every instance of one chunk
+    * content into a single sort task, and a boilerplate chunk (license
+    * header, nav bar — exactly what CDC dedup exists to find) repeated
+    * 10⁹× across a 100-TB corpus is then a straggler sort. The
+    * aggregate does map-side partials (≤1 row per hash per input
+    * partition), and the join-back streams the probe side through a
+    * hash lookup with no per-key buffering. Same ordering rule
+    * (lexicographic (doc_id, chunk)), same answer.
+    *
+    * Shuffles: doc_id for the windows and rollup, chunk hash for the
+    * winner aggregate + join — all linear, nothing pairwise, nothing
+    * sorted by a content key. Returns one row per doc:
     * (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens, dup_frac). */
   def cdcChunkStats(
       docs: DataFrame, idCol: String, textCol: String,
-      w: Int = CdcW, d: Int = CdcD): DataFrame = {
+      w: Int = CdcW, d: Int = CdcD, minTok: Int = CdcMinTok): DataFrame = {
     val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
     val tok = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
@@ -624,10 +637,13 @@ object Dedup {
       .select(col("id"), col("chunk"), col("c_toks"),
         conv(substring(md5(col("c_text")), 1, 15), 16, 10).cast("long")
           .as("c_hash"))
-    val ranked = chunks.withColumn("rk",
-      row_number().over(Window.partitionBy(col("c_hash"))
-        .orderBy(col("id"), col("chunk"))))
-    val isDup = col("rk") > 1 && col("c_toks") >= CdcMinTok
+    val winners = chunks.groupBy(col("c_hash"))
+      .agg(min(struct(col("id"), col("chunk"))).as("w"))
+      .select(col("c_hash"), col("w.id").as("w_id"),
+        col("w.chunk").as("w_chunk"))
+    val ranked = chunks.join(winners, Seq("c_hash"))
+    val isDup = !(col("id") === col("w_id") &&
+      col("chunk") === col("w_chunk")) && col("c_toks") >= minTok
     ranked.groupBy(col("id"))
       .agg(sum(col("c_toks")).as("n_tokens"),
         count(lit(1)).as("n_chunks"),

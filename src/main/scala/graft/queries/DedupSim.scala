@@ -1264,8 +1264,9 @@ object DedupSim {
 
   /** DuckDB twin of qDedupCdc — the same boundary predicate (trailing
     * CdcW-token window, md5-15 mod CdcD), exclusive-prefix-sum chunk
-    * ids, STRING_AGG chunk reassembly, and keep-first rank. GENERATED
-    * from Dedup.CdcW/CdcD. */
+    * ids, STRING_AGG chunk reassembly, and the same keep-first rule as
+    * the Spark side: a MIN(struct(doc_id, chunk)) winner per c_hash
+    * joined back, not a rank window. GENERATED from Dedup.CdcW/CdcD. */
   private def cdcOracle: String = {
     val w = Dedup.CdcW
     val d = Dedup.CdcD
@@ -1300,17 +1301,21 @@ object DedupSim {
        |    CAST(CONCAT('0x', SUBSTR(MD5(STRING_AGG(word, ' ' ORDER BY pos)),
        |      1, 15)) AS BIGINT) AS c_hash
        |  FROM ch GROUP BY 1, 2),
+       |wn AS (
+       |  SELECT c_hash, MIN({'d': doc_id, 'c': chunk}) AS w
+       |  FROM cs GROUP BY 1),
        |rk AS (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_hash
-       |    ORDER BY doc_id, chunk) AS rk
-       |  FROM cs)
+       |  SELECT cs.*,
+       |    NOT (cs.doc_id = wn.w.d AND cs.chunk = wn.w.c)
+       |      AND cs.c_toks >= $m AS dup
+       |  FROM cs JOIN wn USING (c_hash))
        |SELECT doc_id, CAST(SUM(c_toks) AS BIGINT) AS n_tokens,
        |  COUNT(*) AS n_chunks,
-       |  COUNT(CASE WHEN rk > 1 AND c_toks >= $m THEN 1 END) AS n_dup_chunks,
-       |  CAST(COALESCE(SUM(CASE WHEN rk > 1 AND c_toks >= $m THEN c_toks END),
+       |  COUNT(CASE WHEN dup THEN 1 END) AS n_dup_chunks,
+       |  CAST(COALESCE(SUM(CASE WHEN dup THEN c_toks END),
        |    0) AS BIGINT) AS dup_tokens,
-       |  ROUND(CAST(COALESCE(SUM(CASE WHEN rk > 1 AND c_toks >= $m
-       |    THEN c_toks END), 0) AS DOUBLE) / SUM(c_toks), 6) AS dup_frac
+       |  ROUND(CAST(COALESCE(SUM(CASE WHEN dup THEN c_toks END),
+       |    0) AS DOUBLE) / SUM(c_toks), 6) AS dup_frac
        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 

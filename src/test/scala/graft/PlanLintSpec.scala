@@ -125,6 +125,79 @@ class PlanLintSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.size} plan-lint offences:\n${bad.mkString("\n")}")
   }
 
+  test("no registered plan ranks a window over a content-hash-derived key") {
+    // Round-10 lesson (q_dedup_cdc): a sorted window partitioned by a
+    // CONTENT hash serializes every instance of one content value into
+    // a single sort task. Content hashes are exactly the keys dedup
+    // exists to find collisions on, so the hot key is guaranteed — a
+    // boilerplate chunk repeated 10⁹× across 100 TB becomes one
+    // straggler sort. The keep-first/keep-best verdicts must be
+    // aggregates (min/max_by with map-side partials) joined back, never
+    // a rank window. This lint traces each window partition key back
+    // through the plan's aliases to a hash function (md5/sha/xxhash64/
+    // murmur3/crc32) and flags any SORTED window partitioned by one.
+    import org.apache.spark.sql.catalyst.expressions._
+    def isHash(e: Expression): Boolean = e.exists {
+      case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 | _: Murmur3Hash |
+           _: XxHash64 => true
+      case _ => false
+    }
+    // hash MOD n is a bounded uniform BUCKET, not a content identity:
+    // every bucket holds ~corpus/n rows by uniformity of the hash,
+    // independent of content skew, so a per-bucket window is balanced
+    // by construction. q_shard_assign's per-shard rank is exactly this
+    // shape and is the intended design — exempt mod-of-hash lineage.
+    def isBucketed(e: Expression): Boolean = e.exists {
+      case _: Pmod | _: Remainder => true
+      case _ => false
+    }
+    def hashDerived(plan: LogicalPlan): Set[ExprId] = {
+      val aliases = plan.collect {
+        case p => p.expressions.flatMap(_.collect { case a: Alias => a })
+      }.flatten
+      var derived = aliases
+        .filter(a => isHash(a.child) && !isBucketed(a.child))
+        .map(_.exprId).toSet
+      var changed = true
+      while (changed) {
+        val next = derived ++ aliases.filter(a =>
+          !isBucketed(a.child) && a.child.exists {
+            case ar: AttributeReference => derived(ar.exprId)
+            case _ => false
+          }).map(_.exprId)
+        changed = next.size != derived.size
+        derived = next
+      }
+      derived
+    }
+    def offendingWindows(plan: LogicalPlan): Seq[LWindow] = {
+      val derived = hashDerived(plan)
+      plan.collect {
+        case w: LWindow if w.orderSpec.nonEmpty && w.partitionSpec.exists {
+          case ar: AttributeReference => derived(ar.exprId)
+          case e => isHash(e)
+        } => w
+      }
+    }
+    // negative control: the round-10 q_dedup_cdc shape must trip it
+    import org.apache.spark.sql.functions._
+    val bad = Tables.orders(spark, sf)
+      .withColumn("c_hash",
+        conv(substring(md5(col("o_orderpriority")), 1, 15), 16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_hash")).orderBy(col("o_orderkey"))))
+    assert(offendingWindows(bad.queryExecution.optimizedPlan).nonEmpty,
+      "hash-key rank-window detector is blind")
+    val offences = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      w <- offendingWindows(fn(spark, sf).queryExecution.optimizedPlan)
+    } yield s"$name: sorted window partitioned by a content-hash key " +
+      s"(${w.partitionSpec.mkString(", ")})"
+    assert(offences.isEmpty,
+      s"hash-key rank windows single-task hot content:\n${offences.mkString("\n")}")
+  }
+
   test("no registered query exposes a DECIMAL output column") {
     // The correctness harness hashes decimal output columns
     // asymmetrically between the engines even when value, scale, and

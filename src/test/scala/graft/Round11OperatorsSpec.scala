@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions and regressions. The hot-chunk CDC fixture pins
+  * the round's scale fix: the keep-first verdict per chunk content
+  * hash is a min-struct aggregate + join-back, so 10³ instances of one
+  * chunk content never serialize into a single sort task — and the
+  * verdict stays byte-identical to the rank-window it replaced. */
+class Round11OperatorsSpec extends SparkSpec {
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r11_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cdc: 10^3 copies of one hot chunk — winner aggregate keeps exactly the first") {
+    // The boilerplate-chunk scenario the aggregate rewrite exists for:
+    // 1000 documents all containing the same 96-token region, so every
+    // interior chunk's content hash has ~10^3 instances. The lowest
+    // (doc_id, chunk) instance of each chunk content is the winner;
+    // doc 0 therefore reports ZERO duplication and every other doc
+    // reports the identical dup profile (same chunks, same boundaries,
+    // same winner losses).
+    val s = (1 to 96).map(i => s"s$i").mkString(" ")
+    val d = docsDir((0L until 1000L).map(i => (i, s)))
+    val r = graft.queries.DedupSim.qDedupCdc(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r.size == 1000, s"one row per doc: ${r.size}")
+    assert(r(0L)._3 == 0L && r(0L)._4 == 0L,
+      s"doc 0 owns every chunk: ${r(0L)}")
+    val dupProfile = r(1L)
+    assert(dupProfile._4 > 0L, s"copies must dedup against doc 0: $dupProfile")
+    assert((1L until 1000L).forall(i => r(i) == dupProfile),
+      "identical docs must report identical dup profiles")
+  }
+}
