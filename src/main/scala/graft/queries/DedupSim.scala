@@ -115,9 +115,13 @@ object DedupSim {
     * oracles verbatim. */
   def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
+    // materialize the pair table once: connectedComponents unions it in
+    // both directions, and without a checkpoint each union branch
+    // re-runs the full shingle-index join (the q_minhash_recall lesson)
     val pairs = Dedup.ngramJaccardPairs(
       docs, "doc_id", "text",
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
+      .localCheckpoint()
     val cl = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
     val scored = docs.select(col("doc_id"))
