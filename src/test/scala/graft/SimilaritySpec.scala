@@ -49,6 +49,18 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("OR-amplified LSH lifts measured recall past the lean baseline") {
+    // the registered recall report itself: 16 tables of 6-bit
+    // signatures must beat 4 tables of 8-bit ones (1−(1−p^b)^L grows
+    // as b shrinks and L grows) and clear the production bar
+    val r = graft.queries.DedupSim.qAnnRecall(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r("lsh_multi") >= 0.3,
+      s"amplified recall ${r("lsh_multi")} below the 0.3 bar")
+    assert(r("lsh_multi") > r("lsh"),
+      s"amplification must lift recall: $r")
+  }
+
   test("IVF top-k achieves reasonable recall and bounded cell scans") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.where(col("vec_id") < 10)
