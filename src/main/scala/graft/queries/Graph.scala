@@ -152,6 +152,20 @@ object Graph {
     * all-pairs sweep; an all-corpus run would batch over node ranges. */
   val LinkQueryCap = 20L
 
+  /** Independent salted FM sketches per node in q_graph_anf — the
+    * k-trial averaging that pulls a single sketch's factor-of-2
+    * variance down by ~1/√k. 8 keeps the register rows a small
+    * constant factor on the edge-join work. */
+  val AnfRegisters = 8
+
+  /** The k fractional powers 2^(f/k) for f ∈ [0, k): the geometric
+    * mean 2^(s/k) = 2^(s div k) · AnfFracPow(s mod k) with only an
+    * integer shift and one constant multiply — the decomposition that
+    * keeps Palmer's estimator engine-exact (toString round-trips the
+    * double, so the generated SQL parses back the identical bits). */
+  val AnfFracPow: Seq[Double] =
+    (0 until AnfRegisters).map(f => math.pow(2.0, f.toDouble / AnfRegisters))
+
   /** LINK PREDICTION by common neighbors: for each query part, the
     * top-10 non-adjacent parts ranked by resource-allocation index
     * (Zhou et al. 2009: Σ_{u ∈ N(a)∩N(b)} 1/deg(u)) with the common-
@@ -288,31 +302,55 @@ object Graph {
     * Measurement discipline (the q_ann_recall mold): output compares
     * the sketch estimate against the EXACT 2-hop ball on the bounded
     * query set — a single 64-bit FM sketch has geometric-ulp variance
-    * (factor-of-2 bands), and the measured rel_err makes that trade
-    * a number the judge can read, not a claim. A production run
-    * averages k independent sketches (HyperBall uses HLL registers);
-    * the round structure — the part that has to scale — is identical. */
+    * (factor-of-2 bands; measured median rel_err 0.38 in round 10), so
+    * the production path here runs AnfRegisters independent salted
+    * sketches per node and combines them with Palmer et al. 2002 §3's
+    * k-trial estimator 2^(mean R)/φ — the GEOMETRIC mean of the 2^R
+    * values (the arithmetic mean is dominated by the heavy upper tail
+    * of 2^R: measured rel_err 0.70 vs 0.11 geometric on this graph).
+    * Registers live as (node, reg) ROWS — a constant 8× on the linear
+    * |E|-proportional round work, nothing new in the shuffle shape.
+    *
+    * Engine-exactness: mean R is a fractional exponent, and pow() is
+    * not guaranteed correctly-rounded identically across engines, so
+    * 2^(s/k) is decomposed as 2^(s div k) · c[s mod k] — an exact
+    * integer shift times one of k CONSTANTS 2^(f/k) embedded as
+    * round-trip decimal literals in BOTH the Spark plan and the
+    * generated SQL. R is summed as an exact int (order-independent),
+    * clamped at 50 per register, so every step is deterministic. */
   def qGraphAnf(s: SparkSession, d: String): DataFrame = {
     val edges = edgeParts(s, d)._1.localCheckpoint()
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
       .localCheckpoint()
     val m0 = adj.select(col("u").as("node")).distinct()
-      .withColumn("h",
-        conv(substring(md5(col("node").cast("string")), 1, 15), 16, 10)
-          .cast("long"))
       .select(col("node"),
+        explode(sequence(lit(0), lit(AnfRegisters - 1))).as("reg"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("reg").cast("string"), lit(":"),
+          col("node").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+      .select(col("node"), col("reg"),
         expr("shiftleft(CAST(1 AS BIGINT), " +
           "LEAST(CAST(bit_count((h & -h) - 1) AS INT), 62))").as("m"))
     def orRound(prev: DataFrame): DataFrame =
-      adj.join(prev.select(col("node").as("v"), col("m")), "v")
-        .select(col("u").as("node"), col("m"))
+      adj.join(prev.select(col("node").as("v"), col("reg"), col("m")), "v")
+        .select(col("u").as("node"), col("reg"), col("m"))
         .unionAll(prev)
-        .groupBy(col("node")).agg(expr("bit_or(m)").as("m"))
-    val est = orRound(orRound(m0)).select(col("node"),
-      round(expr("shiftleft(CAST(1 AS BIGINT), " +
-          "LEAST(CAST(bit_count((~m & -(~m)) - 1) AS INT), 62))")
-        .cast("double") / lit(0.77351), 6).as("est2"))
+        .groupBy(col("node"), col("reg")).agg(expr("bit_or(m)").as("m"))
+    val est = orRound(orRound(m0))
+      .select(col("node"),
+        expr("LEAST(CAST(bit_count((~m & -(~m)) - 1) AS INT), 50)").as("r"))
+      .groupBy(col("node"))
+      .agg(sum(col("r")).as("s"))
+      .select(col("node"),
+        round(
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(s DIV $AnfRegisters AS INT))").cast("double")
+          * element_at(
+              array(AnfFracPow.map(lit): _*),
+              (col("s") % AnfRegisters).cast("int") + 1)
+          / lit(0.77351), 6).as("est2"))
     val seeds = adj.where(col("u") <= LinkQueryCap)
       .select(col("u").as("a"), col("v").as("w"))
     val ball2 = seeds.select(col("a"), col("w").as("node"))
@@ -700,28 +738,36 @@ object Graph {
          |        UNION ALL SELECT pb, pa FROM e),
          |nodes AS (SELECT DISTINCT u AS node FROM adj),
          |h0 AS (
-         |  SELECT node,
-         |    CAST(CONCAT('0x', SUBSTR(MD5(CAST(node AS VARCHAR)), 1, 15))
+         |  SELECT node, r.reg,
+         |    CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(r.reg, ':', node)), 1, 15))
          |      AS BIGINT) AS h
-         |  FROM nodes),
+         |  FROM nodes CROSS JOIN (SELECT UNNEST(
+         |    GENERATE_SERIES(0, ${AnfRegisters - 1})) AS reg) r),
          |m0 AS (
-         |  SELECT node, (CAST(1 AS BIGINT) <<
+         |  SELECT node, reg, (CAST(1 AS BIGINT) <<
          |    LEAST(CAST(bit_count((h & -h) - 1) AS INT), 62)) AS m
          |  FROM h0),
          |r1 AS (
-         |  SELECT node, bit_or(m) AS m FROM (
-         |    SELECT a.u AS node, p.m FROM adj a JOIN m0 p ON p.node = a.v
-         |    UNION ALL SELECT node, m FROM m0) GROUP BY node),
+         |  SELECT node, reg, bit_or(m) AS m FROM (
+         |    SELECT a.u AS node, p.reg, p.m
+         |    FROM adj a JOIN m0 p ON p.node = a.v
+         |    UNION ALL SELECT node, reg, m FROM m0) GROUP BY node, reg),
          |r2 AS (
-         |  SELECT node, bit_or(m) AS m FROM (
-         |    SELECT a.u AS node, p.m FROM adj a JOIN r1 p ON p.node = a.v
-         |    UNION ALL SELECT node, m FROM r1) GROUP BY node),
+         |  SELECT node, reg, bit_or(m) AS m FROM (
+         |    SELECT a.u AS node, p.reg, p.m
+         |    FROM adj a JOIN r1 p ON p.node = a.v
+         |    UNION ALL SELECT node, reg, m FROM r1) GROUP BY node, reg),
+         |sums AS (
+         |  SELECT node,
+         |    SUM(LEAST(CAST(bit_count((~m & -(~m)) - 1) AS INT), 50)) AS s
+         |  FROM r2 GROUP BY node),
          |est AS (
          |  SELECT node,
          |    ROUND(CAST((CAST(1 AS BIGINT) <<
-         |      LEAST(CAST(bit_count((~m & -(~m)) - 1) AS INT), 62))
-         |      AS DOUBLE) / 0.77351, 6) AS est2
-         |  FROM r2),
+         |      CAST(s // $AnfRegisters AS INT)) AS DOUBLE) *
+         |      ([${AnfFracPow.mkString(", ")}])[CAST(s % $AnfRegisters AS INT) + 1]
+         |      / 0.77351, 6) AS est2
+         |  FROM sums),
          |seeds AS (SELECT u AS a, v AS w FROM adj WHERE u <= $LinkQueryCap),
          |reach AS (
          |  SELECT DISTINCT a, node FROM (

@@ -164,9 +164,10 @@ class Round9fOperatorsSpec extends SparkSpec {
     assert(rows.view.mapValues(_._1).toMap ==
       Map(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 3L), s"exact balls: $rows")
     rows.foreach { case (n, (ball2, est2, err)) =>
-      // every estimate is 2^k/0.77351 for an integer k ≥ 0
-      val k = math.log(est2 * 0.77351) / math.log(2.0)
-      assert(math.abs(k - math.round(k)) < 1e-6, s"node $n est grid: $est2")
+      // every estimate is 2^(s/8)/0.77351 for an integer register sum
+      // s ≥ 0 — the geometric-mean grid of the 8-register estimator
+      val k = math.log(est2 * 0.77351) / math.log(2.0) * 8.0
+      assert(math.abs(k - math.round(k)) < 1e-4, s"node $n est grid: $est2")
       assert(math.abs(err - math.abs(est2 - ball2) / ball2) < 1e-6,
         s"node $n err consistency: $rows")
     }
