@@ -740,6 +740,65 @@ object DedupSim {
       .orderBy(col("method"))
   }
 
+  /** Probe depths the IVF tuning sweep reports — powers of two up to
+    * the depth q_ann_ivf would use at the next notch. */
+  val ProbeSweepDepths = Seq(1, 2, 4, 8)
+
+  /** IVF PROBE-COUNT TUNING CURVE (the q_dedup_threshold_sweep mold
+    * for ANN): recall@5 vs brute-force truth at every probe depth in
+    * ProbeSweepDepths, all sliced from ONE ranked probe-assignment
+    * table — the index is built once, the probes are ranked once, and
+    * each depth is a filter, not a re-scan. This is the chart that
+    * picks the production nprobe: the marginal recall of each probe
+    * doubling against its linear scan-cost doubling.
+    *
+    * Scale shape: the corpus assignment and the ranked probes are the
+    * per-row broadcast-argmax expressions of q_ann_ivf (no exchange);
+    * the depth dimension is a 4-row broadcast theta-join over the
+    * checkpointed candidate table; everything downstream aggregates
+    * per (depth, query). Fully oracle-checked end-to-end. */
+  def qAnnProbeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embParallel(s, d)
+    val queries = emb.where(col("vec_id") < 20)
+    val cos = Similarity.cosineIn(s) _
+    val cents = Similarity.ivfCentroids(emb, derivedCells(s, d))
+    val cells = Similarity
+      .ivfAssign(emb, cents, "vec_id", "embedding", 1, cos)
+      .select(col("vec_id"), col("embedding").as("cv"), col("cell_id"))
+    val probes = Similarity.ivfProbesRanked(
+      queries, cents, "vec_id", "embedding", ProbeSweepDepths.max, cos)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("probe_rk"), col("cell_id"))
+    // candidate scores computed ONCE for the deepest probe set; every
+    // shallower depth is a probe_rk filter over this table
+    val cand = probes.join(cells, "cell_id")
+      .where(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cos(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("probe_rk"), col("sim"))
+      .localCheckpoint()
+    val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val pdim = ProbeSweepDepths.toDF("nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = broadcast(pdim)
+      .join(cand, col("probe_rk") <= col("nprobe"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+    val hits = topk.join(bf, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("nhit"))
+    val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_bf"))
+    pdim.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"), col("n_queries"),
+        round(coalesce(col("nhit"), lit(0L)) /
+          greatest(col("n_bf"), lit(1L)), 6).as("recall_at_5"))
+      .orderBy(col("nprobe"))
+  }
+
   private val KmeansCells = 16
   private val KmeansIters = 2
 
@@ -764,6 +823,7 @@ object DedupSim {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multi" -> (qAnnLshMulti _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_probe_sweep" -> (qAnnProbeSweep _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_ann_ivf_stats" -> (qAnnIvfStats _),
@@ -1742,6 +1802,7 @@ object DedupSim {
     "q_ann_lsh" -> lshOracle,
     "q_ann_lsh_multi" -> lshMultiOracle,
     "q_ann_ivf" -> ivfOracle,
+    "q_ann_probe_sweep" -> probeSweepOracle,
     "q_ann_ivfpq" -> pqOracle,
     "q_ann_bruteforce" -> bruteforceOracle,
     "q_ann_recall" ->
@@ -1883,6 +1944,54 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
+
+  /** Probe-sweep oracle: the ivf index CTEs with the probe rank kept
+    * to the deepest depth, the depth ladder as an UNNEST dimension,
+    * per-depth top-5 by probe_rk filter, recall vs the brute-force
+    * truth — GENERATED from ProbeSweepDepths. */
+  private val probeSweepOracle =
+      s"""WITH $ivfAsgCtes,
+        |probes AS (
+        |  SELECT vec_id AS query_id, ve AS qv, cell_id, crk AS probe_rk FROM (
+        |    SELECT vec_id, ve, cell_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+        |    FROM sims WHERE vec_id < 20) t WHERE crk <= ${ProbeSweepDepths.max}),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id, p.probe_rk,
+        |    ROUND(LIST_DOT_PRODUCT(p.qv, a.ve) /
+        |      GREATEST(SQRT(LIST_DOT_PRODUCT(p.qv, p.qv)) *
+        |        SQRT(LIST_DOT_PRODUCT(a.ve, a.ve)), 1e-12), 6) AS sim
+        |  FROM probes p JOIN asg a
+        |    ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id),
+        |pdim AS (SELECT UNNEST([${ProbeSweepDepths.mkString(", ")}]) AS nprobe),
+        |topk AS (
+        |  SELECT nprobe, query_id, vec_id FROM (
+        |    SELECT d.nprobe, c.query_id, c.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY d.nprobe, c.query_id
+        |        ORDER BY c.sim DESC, c.vec_id) AS rk
+        |    FROM pdim d JOIN cand c ON c.probe_rk <= d.nprobe) t
+        |  WHERE rk <= 5),
+        |bf AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT v1.vec_id AS query_id, v2.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY v1.vec_id ORDER BY
+        |        ROUND(LIST_DOT_PRODUCT(v1.ve, v2.ve) /
+        |          GREATEST(SQRT(LIST_DOT_PRODUCT(v1.ve, v1.ve)) *
+        |            SQRT(LIST_DOT_PRODUCT(v2.ve, v2.ve)), 1e-12), 6) DESC,
+        |        v2.vec_id) AS rk
+        |    FROM v v1 JOIN v v2 ON v1.vec_id < 20 AND v1.vec_id <> v2.vec_id) t
+        |  WHERE rk <= 5),
+        |hits AS (
+        |  SELECT nprobe, COUNT(*) AS nhit FROM topk a
+        |  WHERE EXISTS (SELECT 1 FROM bf b
+        |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
+        |  GROUP BY nprobe),
+        |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+        |  COUNT(*) AS n_bf FROM bf)
+        |SELECT p.nprobe, tot.n_queries,
+        |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
+        |FROM pdim p LEFT JOIN hits h USING (nprobe) CROSS JOIN tot
+        |ORDER BY p.nprobe""".stripMargin
 
   /** IVF-PQ oracle GENERATED from the same PQ constants (M=8 subspaces
     * × 8 dims, K=16 codes): codebook = the md5-picked 16 vectors,

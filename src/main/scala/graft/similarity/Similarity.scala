@@ -292,6 +292,28 @@ object Similarity {
     }
   }
 
+  /** Query probe assignments WITH their probe rank (1 = nearest
+    * centroid): the same ranked-slice arithmetic as `ivfAssign`'s
+    * multi-probe branch, but keeping the rank so ONE exploded
+    * (id, probe_rk, cell_id) table serves every probe depth ≤ nProbe —
+    * the shared-assignment backbone of the probe-count tuning sweep. */
+  def ivfProbesRanked(
+      vecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int,
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
+    val base = vecs.crossJoin(broadcast(packCentroids(centroids)))
+    val scored = scoredCells(col(vecCol), col("_cents"), cosineFn)
+    val ranked = transform(scored, s => struct(
+      (-s.getField("_sim")).as("_negSim"),
+      s.getField("cell_id").as("cell_id")))
+    val passthrough = vecs.columns.toSeq.map(col)
+    base.select(passthrough :+
+      posexplode(transform(slice(array_sort(ranked), 1, nProbe),
+        s => s.getField("cell_id"))).as(Seq("_p", "cell_id")): _*)
+      .withColumn("probe_rk", col("_p") + 1)
+      .drop("_p")
+  }
+
   /** IVF approximate top-k: corpus rows live in their 1 nearest cell,
     * each query probes its `nProbe` nearest cells — scan cost drops
     * from |corpus| to |corpus|·nProbe/K per query, the standard

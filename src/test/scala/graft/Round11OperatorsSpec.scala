@@ -43,4 +43,18 @@ class Round11OperatorsSpec extends SparkSpec {
     assert((1L until 1000L).forall(i => r(i) == dupProfile),
       "identical docs must report identical dup profiles")
   }
+
+  test("probe sweep: recall grows monotonically with depth and agrees with q_ann_ivf at 4") {
+    val sweep = graft.queries.DedupSim.qAnnProbeSweep(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(sweep.keySet == Set(1, 2, 4, 8), s"depth ladder: $sweep")
+    // more probes can only add candidates, so recall is non-decreasing
+    assert(sweep(1) <= sweep(2) && sweep(2) <= sweep(4)
+      && sweep(4) <= sweep(8), s"monotonicity: $sweep")
+    // depth 4 is exactly q_ann_ivf's geometry, so the sweep's 4-probe
+    // point must equal the recall report's ivf row
+    val recall = graft.queries.DedupSim.qAnnRecall(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(sweep(4) == recall("ivf"), s"${sweep(4)} vs ${recall("ivf")}")
+  }
 }
