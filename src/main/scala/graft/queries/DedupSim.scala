@@ -102,6 +102,53 @@ object DedupSim {
       .orderBy(col("size"))
   }
 
+  /** INCREMENTAL CLUSTER MAINTENANCE — the ingest-time half of
+    * q_dedup_cluster: yesterday's corpus labeling (CC over the
+    * corpus-corpus edges) plus today's batch edges (every pair
+    * touching a src0 doc), folded together by
+    * Cluster.incrementalComponents, which relabels ONLY components
+    * the batch touches. The pair table is blocked on lang alone so
+    * batch↔corpus edges exist (the lang+source blocking of
+    * q_dedup_cluster would never produce a cross-source bridge).
+    *
+    * The oracle is the FULL REBUILD over the same lang-blocked pair
+    * set — the incremental result must hash-equal it, the
+    * q_scd2_incremental no-second-implementation gate. At real scale
+    * `existing` is a persisted table and the batch edges come from
+    * the band index (q_dedup_incremental's path); here both derive
+    * from the one oracle-checkable pair table, checkpointed once and
+    * split by endpoint source. */
+  def qDedupClusterIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val allPairs = Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text",
+      blockCols = Seq("lang"), n = 3, threshold = 0.3)
+      .localCheckpoint()
+    val batchIds = docs.where(col("source") === "src0")
+      .select(col("doc_id")).localCheckpoint()
+    val oldPairs = allPairs
+      .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_anti")
+      .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"),
+        "left_anti")
+    // batch-touching edges as two DISJOINT semi-join slices (touches
+    // via id_a; touches via id_b only) — no whole-table set op
+    val newPairs = allPairs
+      .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .unionByName(allPairs
+        .join(batchIds.select(col("doc_id").as("id_b")), Seq("id_b"),
+          "left_semi")
+        .join(batchIds.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_anti"))
+    val existing = graft.dedup.Cluster
+      .connectedComponents(oldPairs, "id_a", "id_b")
+    graft.dedup.Cluster
+      .incrementalComponents(existing, newPairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CANONICAL SELECTION BY QUALITY — the keep/drop decision done
     * right: within each near-dup cluster (q_dedup_cluster's connected
     * components, singletons their own cluster), keep the member with
@@ -805,6 +852,7 @@ object DedupSim {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_dedup_cluster_incremental" -> (qDedupClusterIncremental _),
     "q_dedup_cluster_stats" -> (qDedupClusterStats _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -1099,25 +1147,33 @@ object DedupSim {
     * universe — numerator and per-doc sizes both from the kept rows,
     * the relational twin of Dedup.ngramJaccardPairs. Ends with a
     * `pairs` CTE: (id_a, id_b, jaccard) at jaccard >= 0.3. */
-  private def cappedCountCtes: String =
+  private def cappedCountCtesOn(blocks: Seq[String]): String = {
+    val bcols = blocks.mkString(", ")
+    val bnums = (1 to blocks.size + 1).mkString(", ")
+    val joinCond = (blocks.map(b => s"a.$b = b.$b") :+ "a.h = b.h")
+      .mkString(" AND ")
     s"""shx AS (
        |  SELECT doc_id, lang, source, UNNEST(sh) AS h FROM sh),
        |dfk AS (
-       |  SELECT lang, source, h FROM shx
-       |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= ${Dedup.JaccardDfCap}),
+       |  SELECT $bcols, h FROM shx
+       |  GROUP BY $bnums HAVING COUNT(*) <= ${Dedup.JaccardDfCap}),
        |kept AS (
        |  SELECT s.doc_id, s.lang, s.source, s.h
-       |  FROM shx s JOIN dfk USING (lang, source, h)),
+       |  FROM shx s JOIN dfk USING ($bcols, h)),
        |szs AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
        |pr AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
        |  FROM kept a JOIN kept b
-       |    ON a.lang = b.lang AND a.source = b.source AND a.h = b.h
+       |    ON $joinCond
        |      AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+  }
 
-  private def cappedPairCtes: String =
-    s"""$cappedCountCtes,
+  private def cappedCountCtes: String =
+    cappedCountCtesOn(Seq("lang", "source"))
+
+  private def cappedPairCtesOn(blocks: Seq[String]): String =
+    s"""${cappedCountCtesOn(blocks)},
        |pairs AS (
        |  SELECT id_a, id_b,
        |    ROUND(n_inter * 1.0 /
@@ -1127,6 +1183,9 @@ object DedupSim {
        |  JOIN szs sb ON pr.id_b = sb.doc_id
        |  WHERE ROUND(n_inter * 1.0 /
        |      GREATEST(sa.sz + sb.sz - n_inter, 1), 6) >= 0.3)""".stripMargin
+
+  private def cappedPairCtes: String =
+    cappedPairCtesOn(Seq("lang", "source"))
 
   /** Generated MinHash oracle — the 64 family columns, 16 band-bucket
     * expressions, and all constants come from the same Scala code the
@@ -1586,6 +1645,20 @@ object DedupSim {
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $ShingleCte,
          |$cappedPairCtes,
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, b AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.b FROM r JOIN e ON r.reach = e.a)
+         |SELECT id AS doc_id, MIN(reach) AS cluster_id
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the incremental result must equal the FULL REBUILD over the
+    // lang-blocked pair set — the oracle IS that rebuild, so any
+    // divergence in the label-maintenance algebra hash-fails here
+    "q_dedup_cluster_incremental" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |${cappedPairCtesOn(Seq("lang"))},
          |e AS (SELECT id_a AS a, id_b AS b FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),
          |r AS (

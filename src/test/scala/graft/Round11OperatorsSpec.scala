@@ -44,6 +44,34 @@ class Round11OperatorsSpec extends SparkSpec {
       "identical docs must report identical dup profiles")
   }
 
+  test("incremental components equal the full rebuild at every cutoff of a planted timeline") {
+    import spark.implicits._
+    // edge timeline engineered to exercise every maintenance case as
+    // the cutoff advances: growth of an existing cluster (1-2, 2-3),
+    // a separate cluster (10-11), a BRIDGE merging two existing
+    // clusters (3-10), brand-new vertices forming their own cluster
+    // (20-21), and a late edge attaching a new vertex to a merged
+    // cluster (11-30)
+    val timeline = Seq(
+      (1L, 2L), (10L, 11L), (2L, 3L), (20L, 21L), (3L, 10L), (11L, 30L))
+    def cc(edges: Seq[(Long, Long)]) =
+      graft.dedup.Cluster.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = cc(timeline)
+    for (cut <- 0 to timeline.size) {
+      val existing = graft.dedup.Cluster.connectedComponents(
+        timeline.take(cut).toDF("id_a", "id_b"), "id_a", "id_b")
+      val inc = graft.dedup.Cluster.incrementalComponents(
+        existing, timeline.drop(cut).toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"cutoff $cut: $inc != $full")
+    }
+    // the merged component's label is the global minimum across both
+    // pre-merge clusters — the rep-collapse must not lose the min
+    assert(full(30L) == 1L && full(11L) == 1L && full(20L) == 20L, s"$full")
+  }
+
   test("probe sweep: recall grows monotonically with depth and agrees with q_ann_ivf at 4") {
     val sweep = graft.queries.DedupSim.qAnnProbeSweep(spark, sf).collect()
       .map(x => x.getInt(0) -> x.getDouble(2)).toMap
