@@ -506,6 +506,48 @@ object Dedup {
           col("n_tokens").cast("double"), 6).as("dup_frac"))
   }
 
+  /** Per-row positioned k-span ids: array of (pos, s_id) structs with
+    * the SAME 0-based positions and portable md5-15 ids as the
+    * window-based builder inside duplicatedSpanStats/spanRemoval —
+    * the stream-safe form (lead() windows don't run on a stream).
+    * Not array_distinct'd: span REMOVAL needs every occurrence. */
+  def spanIdsExpr(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    // sequence(0, m) with m < 0 would DESCEND in Spark; guard short docs
+    when(size(words) >= k,
+      transform(
+        sequence(lit(0), size(words) - k),
+        i => struct(i.as("pos"),
+          conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => element_at(words, i + j + 1)): _*)),
+            1, 15), 16, 10).cast("long").as("s_id"))))
+      .otherwise(array().cast("array<struct<pos:int,s_id:bigint>>"))
+  }
+
+  /** The cross-document duplicated-span id set (s_id rows): spans
+    * appearing verbatim in ≥ 2 distinct documents. This IS the frozen
+    * set a streaming span-removal screen joins against; the batch
+    * spanRemoval derives it from its own input corpus. */
+  def duplicatedSpanIds(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = SpanK): DataFrame = {
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
+    tok
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .select(col("id"), col("pos"), col("np"),
+        concat_ws(" ",
+          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
+          .as("sp"))
+      .where(col("pos") <= col("np") - k)
+      .select(col("id"),
+        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+      .distinct()
+      .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("s_id"))
+  }
+
   /** Exact-substring DELETION — the removal step of exact-substring
     * dedup (Lee et al. 2022 delete every occurrence of a duplicated
     * substring, reference stupidb has no text surface at all): each

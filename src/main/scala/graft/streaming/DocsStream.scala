@@ -99,6 +99,47 @@ object DocsStream {
       docs.select(explode(split(lower(col("text")), "\\s+")).as("tok")),
       "tok")
 
+  /** Streaming exact-substring span DELETION — the stream-static twin
+    * of Dedup.spanRemoval: a FROZEN duplicated-span id set (built from
+    * the corpus by Dedup.duplicatedSpanIds, refreshed between ingest
+    * sessions like the band index) screens a continuous document feed,
+    * deleting every token covered by a known duplicated k-span.
+    *
+    * Per-row spans come from the stream-safe positioned expression
+    * (Dedup.spanIdsExpr — the lead() window of the batch builder is
+    * not streamable); the dup test is a stateless stream-static join;
+    * the per-doc collapse is the one watermark-bounded aggregate. The
+    * interval-union coverage and reassembly run as PURE ARRAY
+    * expressions after the aggregate (filter-with-index + exists over
+    * the collected start set), so verdicts are bit-equal to the batch
+    * spanRemoval fed the same corpus — spec-asserted. */
+  def spanRemovalStream(
+      docs: DataFrame, dupSpans: DataFrame,
+      watermarkDelay: String, k: Int = Dedup.SpanK,
+      window_ : String = "1 hour"): DataFrame = {
+    val collected = docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      // explode_outer: a doc shorter than k tokens has no spans but
+      // still gets its verdict row (empty start set → nothing removed)
+      .withColumn("sb", explode_outer(Dedup.spanIdsExpr(col("text"), k)))
+      .select(col("doc_id"), col("ingest_ts"), col("text"),
+        col("sb.pos").as("pos"), col("sb.s_id").as("s_id"))
+      .join(dupSpans.select(col("s_id"), lit(true).as("_dx")).distinct(),
+        Seq("s_id"), "left")
+      .groupBy(window(col("ingest_ts"), window_), col("doc_id"),
+        col("text"))
+      .agg(collect_set(when(col("_dx"), col("pos"))).as("starts"))
+    val words = split(col("text"), "\\s+")
+    val keepw = filter(words, (_, i) =>
+      !exists(col("starts"), s => s <= i && i < s + k))
+    collected.select(col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      (size(words) - size(keepw)).cast("long").as("n_removed"),
+      round(size(keepw).cast("double") / size(words).cast("double"), 6)
+        .as("keep_frac"),
+      array_join(keepw, " ").as("clean_text"))
+  }
+
   def decontamStream(
       docs: DataFrame, evalShingles: DataFrame,
       watermarkDelay: String, n: Int = 5,

@@ -202,6 +202,53 @@ class StreamingSpec extends SparkSpec {
         (12L, false, true), (13L, false, true)), s"scenario drifted: $want")
   }
 
+  test("streaming span removal equals the batch deletion on finalized batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // the Round10 fixture: an 8-token span planted verbatim in docs 0
+    // and 1 at different offsets; doc 2 is clean; doc 3 is too short
+    // to span (verdict row with nothing removed)
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docRows = Seq(
+      (0L, s"a1 a2 a3 a4 $s8 a5 a6 a7 a8"),
+      (1L, s"b1 b2 b3 b4 b5 b6 $s8 b7"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (3L, "one two"))
+    val docs = spark.createDataFrame(docRows).toDF("doc_id", "text")
+    // the FROZEN duplicated-span set a production screen would persist
+    val dupSpans = Dedup.duplicatedSpanIds(docs, "doc_id", "text")
+    val t0 = Timestamp.valueOf("2024-01-01 00:10:00")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream
+      .spanRemovalStream(sdf, dupSpans, "10 minutes")
+      .writeStream.format("memory").queryName("spanrm_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(docRows.map { case (id, tx) => (id, tx, t0) })
+      q.processAllAvailable()
+      stream.addData((999L, "watermark pusher row",
+        Timestamp.valueOf("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spanrm_out").where(col("doc_id") < 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    val want = Dedup.spanRemoval(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"stream $got vs batch $want")
+    // sanity on the scenario: both planted docs lose exactly the span
+    assert(want.find(_._1 == 0L).get._5 == "a1 a2 a3 a4 a5 a6 a7 a8")
+    assert(want.find(_._1 == 1L).get._3 == 8L)
+    assert(want.find(_._1 == 3L).get._3 == 0L, "short doc keeps all")
+  }
+
   test("streaming decontamination screen equals the batch overlap counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
