@@ -438,12 +438,14 @@ object Maintain {
           // Σc² — the row count a self-join on this key would produce
           // (the basket/dedup pair-join planning number); accumulated
           // as exact DECIMAL (one mega-hot key's c² already strains
-          // 2⁶³ at 100 TB) and CLOSED TO DOUBLE — a planning estimate
-          // needs magnitude, not unit precision, and a raw decimal
-          // output column defeats the harness hash (Agg contract)
+          // 2⁶³ at 100 TB) and CLOSED TO STRING — the exact-wide-
+          // integer rule q_table_fingerprint uses: past 2⁵³ a double
+          // close would depend on both engines' wide-decimal→double
+          // rounding agreeing, and a raw decimal output column defeats
+          // the harness hash (Agg contract)
           sum((col("c").cast("decimal(19,0)") * col("c"))
             .cast("decimal(38,0)")).cast("decimal(38,0)")
-            .cast("double").as("selfjoin_rows"))
+            .cast("string").as("selfjoin_rows"))
         .select(lit(keyCol).as("join_key"), col("n_keys"), col("n_rows"),
           col("max_c"), col("selfjoin_rows"),
           // DECIMAL intermediate: 2·10⁶·max_c·n_keys passes 2⁶³ around
@@ -495,7 +497,7 @@ object Maintain {
     "q_skew_report" -> {
       def block(k: String): String =
         s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c,
-           |  CAST(selfjoin_rows AS DOUBLE) AS selfjoin_rows,
+           |  CAST(selfjoin_rows AS VARCHAR) AS selfjoin_rows,
            |  CAST((CAST(2000000 AS HUGEINT) * max_c * n_keys + n_rows)
            |    // (2 * n_rows) AS BIGINT) / 1000000.0 AS straggler_factor,
            |  CAST((2000000 * max_c + n_rows) // (2 * n_rows)

@@ -49,6 +49,13 @@ case class FunnelState(
 case class FunnelRow(
     user_id: Long, t_view: Option[Long], t_click: Option[Long],
     t_purchase: Option[Long], stage: Int)
+/** COMPATIBILITY NOTE: lastEmitted and nLate were added after the
+  * original 3-field shape shipped; a streaming checkpoint written by
+  * the old encoder will NOT deserialize into this state — restart
+  * cusumStream from a fresh checkpoint directory after upgrading
+  * (acceptable here: CUSUM state rebuilds from one window of events;
+  * a schema-evolution-tolerant encoder would be the alternative if
+  * the state ever becomes expensive to rebuild). */
 case class CusumCarry(
     pending: Seq[(Long, Long)], open: Map[Long, Long], c: Long,
     lastEmitted: Long, nLate: Long)
