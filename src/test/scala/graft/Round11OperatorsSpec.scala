@@ -85,4 +85,26 @@ class Round11OperatorsSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getDouble(2)).toMap
     assert(sweep(4) == recall("ivf"), s"${sweep(4)} vs ${recall("ivf")}")
   }
+
+  test("pq probe sweep: agrees with q_ann_recall's ivfpq at 4, never beats exact ivf") {
+    val pq = graft.queries.DedupSim.qAnnPqProbeSweep(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(pq.keySet == Set(1, 2, 4, 8), s"depth ladder: $pq")
+    // NO monotonicity assert, deliberately: unlike the exact sweep,
+    // PQ recall can DIP as probes deepen — new candidates compete for
+    // the fixed 20-slot ADC shortlist and mis-ranked distances can
+    // evict true neighbors a shallower probe set kept (measured
+    // 0.22 → 0.20 from depth 2 to 4 at sf0.001). Exposing that is
+    // what the tuning curve is for.
+    val recall = graft.queries.DedupSim.qAnnRecall(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getDouble(2)).toMap
+    // depth 4 is exactly q_ann_ivfpq's geometry
+    assert(pq(4) == recall("ivfpq"), s"${pq(4)} vs ${recall("ivfpq")}")
+    // the compressed index can never beat the exact scan on the same
+    // probe set: each depth's PQ recall ≤ the exact IVF sweep's
+    val ivf = graft.queries.DedupSim.qAnnProbeSweep(spark, sf).collect()
+      .map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(Seq(1, 2, 4, 8).forall(p => pq(p) <= ivf(p)),
+      s"pq $pq must not exceed exact ivf $ivf")
+  }
 }

@@ -54,7 +54,7 @@ class Round8OperatorsSpec extends SparkSpec {
   test("ann recall query: one row per method, recall in [0,1], full query set") {
     val rows = graft.queries.DedupSim.qAnnRecall(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(rows.keySet == Set("ivf", "lsh", "ivfpq", "bitsim"),
+    assert(rows.keySet == Set("ivf", "lsh", "lsh_multi", "ivfpq", "bitsim"),
       s"methods: ${rows.keySet}")
     for ((m, (nq, rec)) <- rows) {
       assert(nq == 20L, s"$m judged on $nq queries, want the full 20")

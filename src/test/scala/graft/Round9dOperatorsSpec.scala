@@ -168,7 +168,8 @@ class Round9dOperatorsSpec extends SparkSpec {
     val rows = graft.queries.Maintain.qSkewReport(spark, dir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getDouble(4).toLong,
+          // selfjoin_rows closes to STRING (exact-wide-integer rule)
+          r.getString(4).toLong,
           r.getDouble(5), r.getDouble(6)))).toMap
     // selfjoin_rows = Σc²: hot orderkey 3²+1²=10, uniform keys 4·1²=4
     assert(rows("l_orderkey") == ((2L, 4L, 3L, 10L, 1.5, 0.75)), s"got $rows")
