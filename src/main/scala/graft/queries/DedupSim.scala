@@ -149,6 +149,59 @@ object DedupSim {
       .orderBy(col("doc_id"))
   }
 
+  /** Cosine threshold for the semantic (learned-cluster) near-dup
+    * verdict — matches q_dedup_embedding's 0.95 so the two blockings
+    * are comparable. */
+  val SemThreshold = 0.95
+
+  /** SEMANTIC DEDUP — the SemDeDup shape (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with k-means, call
+    * vectors within one cluster duplicates when their cosine clears a
+    * high threshold, keep one representative per duplicate group
+    * (min id here; the paper keeps the member farthest from the
+    * centroid — a one-line swap on the same backbone, documented
+    * rather than done so the verdict matches the repo-wide keep-first
+    * rule). Differs from q_dedup_embedding (data-given label blocks)
+    * and q_dedup_embedding_ivf (unrefined md5-seed cells) in that the
+    * blocking is LEARNED: one Lloyd refinement pulls the seed
+    * centroids to the data's actual density before anything pairs.
+    *
+    * Scale shape: K is SIZE-DERIVED (⌊√n⌋ — expected cell ≈ √n rows,
+    * so the within-cluster pair join does ≈ n total work, the
+    * q_dedup_embedding_ivf linearity argument; SemDeDup's production
+    * K of ~0.1%·n obeys the same discipline); the refinement is one
+    * assign (per-row broadcast argmax, no exchange) plus one quantized
+    * (cell, dim) mean aggregate; the verdict is a per-vector rollup of
+    * its in-cluster neighbor list — no window over members. Fully
+    * oracle-checked: the md5 seed pick, quantized-BIGINT Lloyd means
+    * (bit-identical, the kmeansRefine contract), rounded assignment,
+    * and the 6-dp pair cosines are all engine-portable. */
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val cos = Similarity.cosineIn(s) _
+    val cent = Similarity.kmeansRefine(
+      emb, k = derivedCells(s, d), iters = 1, cosineFn = cos)
+    val asg = Similarity.ivfAssign(emb, cent, "vec_id", "embedding", 1, cos)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .localCheckpoint() // feeds both pair sides and the verdict rollup
+    val v = asg.select(col("vec_id").as("id"), col("embedding").as("v"),
+      col("cell_id"))
+    val nbrs = v.as("x").join(v.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+        col("x.id") =!= col("y.id"))
+      .withColumn("cs", round(cos(col("x.v"), col("y.v")), 6))
+      .where(col("cs") >= SemThreshold)
+      .groupBy(col("x.id").as("vec_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("y.id")).as("min_nbr"))
+    asg.join(nbrs, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (col("n_near").isNull || col("min_nbr") > col("vec_id"))
+          .as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** CANONICAL SELECTION BY QUALITY — the keep/drop decision done
     * right: within each near-dup cluster (q_dedup_cluster's connected
     * components, singletons their own cluster), keep the member with
@@ -933,6 +986,7 @@ object DedupSim {
     "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_span_removal" -> (qDedupSpanRemoval _),
@@ -1146,6 +1200,71 @@ object DedupSim {
     * the two sides cannot drift: same md5 seed pick, same rounded
     * argmax assignment, same ×2²⁴ quantized component means, unrolled
     * KmeansIters times. */
+  /** Semantic-dedup oracle: size-derived K seed pick, ONE unrolled
+    * Lloyd iteration with the quantized-BIGINT means (the kmeansOracle
+    * arithmetic under a kdyn-derived K), refined assignment keeping
+    * the vector, within-cluster pair test at SemThreshold, keep-first
+    * verdict — GENERATED from the same constants. */
+  private def semanticOracle: String = {
+    val Q = "16777216.0"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       |kdyn AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |    CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER))) AS k FROM v),
+       |picked AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
+       |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
+       |        AS INTEGER) / $Q,
+       |      vec_id) AS cell_id
+       |  FROM v QUALIFY cell_id <= (SELECT k FROM kdyn)),
+       |cent0 AS (SELECT p.cell_id, v.ve AS cv
+       |  FROM picked p JOIN v ON p.vec_id = v.vec_id),
+       |sims1 AS (
+       |  SELECT v.vec_id, v.ve, c.cell_id,
+       |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
+       |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
+       |  FROM v CROSS JOIN cent0 c),
+       |asg1 AS (
+       |  SELECT vec_id, ve, cell_id FROM (
+       |    SELECT vec_id, ve, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+       |    FROM sims1) t WHERE crk = 1),
+       |comp1 AS (
+       |  SELECT cell_id, generate_subscripts(ve, 1) AS pos, unnest(ve) AS x
+       |  FROM asg1),
+       |m1 AS (
+       |  SELECT cell_id, pos,
+       |    CAST(SUM(CAST(ROUND(x * $Q) AS BIGINT)) AS DOUBLE) / ($Q * COUNT(*)) AS m
+       |  FROM comp1 GROUP BY cell_id, pos),
+       |cent1 AS (SELECT cell_id, list(m ORDER BY pos) AS cv
+       |  FROM m1 GROUP BY cell_id),
+       |simsF AS (
+       |  SELECT v.vec_id, v.ve, c.cell_id,
+       |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
+       |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
+       |  FROM v CROSS JOIN cent1 c),
+       |asgF AS (
+       |  SELECT vec_id, ve, cell_id FROM (
+       |    SELECT vec_id, ve, cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
+       |    FROM simsF) t WHERE crk = 1),
+       |nb AS (
+       |  SELECT x.vec_id, COUNT(*) AS n_near, MIN(y.vec_id) AS min_nbr
+       |  FROM asgF x JOIN asgF y
+       |    ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+       |  WHERE ROUND(LIST_DOT_PRODUCT(x.ve, y.ve) /
+       |      GREATEST(SQRT(LIST_DOT_PRODUCT(x.ve, x.ve)) *
+       |        SQRT(LIST_DOT_PRODUCT(y.ve, y.ve)), 1e-12), 6) >= $SemThreshold
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cell_id,
+       |  COALESCE(nb.n_near, 0) AS n_near,
+       |  (nb.n_near IS NULL OR nb.min_nbr > a.vec_id) AS is_kept
+       |FROM asgF a LEFT JOIN nb USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   private def kmeansOracle: String = {
     val Q = "16777216.0"
     def iterBlock(i: Int, prev: String): String = s"""
@@ -1796,6 +1915,7 @@ object DedupSim {
          |  s.doc_id = b.best_id AS is_kept
          |FROM scored s JOIN best b USING (cluster_id)
          |ORDER BY s.doc_id""".stripMargin,
+    "q_dedup_semantic" -> semanticOracle,
     // label-blocked pairs with the hot-block guard: labels above the
     // cap sub-partition by IVF cell, mirroring cosineNearDupPairsGuarded
     "q_dedup_embedding" ->

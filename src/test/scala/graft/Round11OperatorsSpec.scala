@@ -72,6 +72,32 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(full(30L) == 1L && full(11L) == 1L && full(20L) == 20L, s"$full")
   }
 
+  test("semantic dedup: planted near-identical pair collapses, distinct vectors survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r11_emb").toString
+    // vecs 0 and 1: same direction, tiny perturbation (cos ≈ 1);
+    // every other vector points at a distinct axis pair (cos ≤ 0.5
+    // between any two) — only the planted pair clears SemThreshold
+    val d64 = 8
+    def axis(i: Int, j: Int): Array[Float] = {
+      val a = Array.fill(d64)(0f); a(i) = 1f; a(j) = 0.1f; a
+    }
+    val rows = Seq(
+      (0L, "a", axis(0, 1)),
+      (1L, "a", axis(0, 1).map(x => x * 1.001f)),
+      (2L, "b", axis(2, 3)),
+      (3L, "b", axis(4, 5)),
+      (4L, "c", axis(6, 7)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.queries.DedupSim.qDedupSemantic(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(0L) == ((1L, true)), s"keeper: $r")
+    assert(r(1L) == ((1L, false)), s"dup dropped: $r")
+    assert(Seq(2L, 3L, 4L).forall(i => r(i) == ((0L, true))),
+      s"distinct vectors untouched: $r")
+  }
+
   test("probe sweep: recall grows monotonically with depth and agrees with q_ann_ivf at 4") {
     val sweep = graft.queries.DedupSim.qAnnProbeSweep(spark, sf).collect()
       .map(x => x.getInt(0) -> x.getDouble(2)).toMap
