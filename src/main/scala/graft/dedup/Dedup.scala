@@ -653,9 +653,15 @@ object Dedup {
     * winner aggregate + join — all linear, nothing pairwise, nothing
     * sorted by a content key. Returns one row per doc:
     * (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens, dup_frac). */
-  def cdcChunkStats(
+  /** The CDC chunk table: one row per (doc, chunk) with its token
+    * count and portable md5-15 content hash — the shared backbone of
+    * the corpus-wide keep-first stats (cdcChunkStats) and the
+    * batch-vs-corpus screen (cdcScreen). Token backbone → boundary
+    * flag (one lag-window concat + md5-15 mod d) → chunk index by
+    * exclusive prefix sum → one ordered reassembly aggregate. */
+  def cdcChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      w: Int = CdcW, d: Int = CdcD, minTok: Int = CdcMinTok): DataFrame = {
+      w: Int = CdcW, d: Int = CdcD): DataFrame = {
     val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
     val tok = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
@@ -666,7 +672,7 @@ object Dedup {
       when(col("pos") >= w - 1 &&
         conv(substring(md5(windowed), 1, 15), 16, 10).cast("long") % d === 0,
         lit(1)).otherwise(lit(0)))
-    val chunks = flagged
+    flagged
       .withColumn("chunk", coalesce(
         sum(col("cut")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
@@ -679,6 +685,12 @@ object Dedup {
       .select(col("id"), col("chunk"), col("c_toks"),
         conv(substring(md5(col("c_text")), 1, 15), 16, 10).cast("long")
           .as("c_hash"))
+  }
+
+  def cdcChunkStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = CdcW, d: Int = CdcD, minTok: Int = CdcMinTok): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, w, d)
     val winners = chunks.groupBy(col("c_hash"))
       .agg(min(struct(col("id"), col("chunk"))).as("w"))
       .select(col("c_hash"), col("w.id").as("w_id"),
@@ -697,6 +709,72 @@ object Dedup {
         col("dup_tokens").cast("long"),
         round(col("dup_tokens").cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** CDC INGEST SCREEN — chunk a batch and test each chunk against
+    * the EXISTING corpus's chunk-hash set (the storage-dedup ingest
+    * question: how much of this document is bytes the store already
+    * holds?). One verdict row per batch doc, same columns as
+    * cdcChunkStats but dup = "hash present in the corpus set" instead
+    * of keep-first within the input. The corpus side is a distinct
+    * 8-byte-hash relation — at scale a persisted index, refreshed
+    * between ingests (the band-index shape); only hashes shuffle. */
+  def cdcScreen(
+      batch: DataFrame, corpusChunkHashes: DataFrame,
+      idCol: String, textCol: String,
+      w: Int = CdcW, d: Int = CdcD, minTok: Int = CdcMinTok): DataFrame = {
+    val chunks = cdcChunks(batch, idCol, textCol, w, d)
+    val hit = chunks.join(
+      corpusChunkHashes.select(col("c_hash"), lit(true).as("_cx"))
+        .distinct(),
+      Seq("c_hash"), "left")
+    val isDup = coalesce(col("_cx"), lit(false)) &&
+      col("c_toks") >= minTok
+    hit.groupBy(col("id"))
+      .agg(sum(col("c_toks")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        count(when(isDup, lit(1))).as("n_dup_chunks"),
+        coalesce(sum(when(isDup, col("c_toks"))), lit(0L))
+          .as("dup_tokens"))
+      .select(col("id").as("doc_id"), col("n_tokens").cast("long"),
+        col("n_chunks"), col("n_dup_chunks"),
+        col("dup_tokens").cast("long"),
+        round(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Per-row CDC chunker: the stream-safe twin of `cdcChunks` — the
+    * boundary rule, chunk slicing, and portable md5-15 chunk hashes
+    * computed as PURE ARRAY EXPRESSIONS over one row's token array
+    * (the lag/prefix-sum windows of the relational builder don't run
+    * on a stream). Returns array<struct<chunk:int, c_toks:int,
+    * c_hash:long>>; spec-asserted chunk-identical to cdcChunks. */
+  def cdcChunksExpr(text: Column, w: Int = CdcW, d: Int = CdcD): Column = {
+    val words = split(text, "\\s+")
+    val n = size(words)
+    // cut flag per 0-based position: trailing w-token window hash
+    val cuts = filter(sequence(lit(0), n - 1), i =>
+      i >= w - 1 &&
+        conv(substring(md5(concat_ws(" ",
+          ((w - 1) to 0 by -1).map(j => element_at(words, i - j + 1)): _*)),
+          1, 15), 16, 10).cast("long") % d === 0)
+    // chunk j spans [starts(j), ends(j)] in 0-based token positions
+    val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(n - 1))
+    // a cut on the LAST token yields a phantom empty chunk (start = n)
+    // — the relational builder never materializes it (no token rows
+    // carry that chunk id), so drop it here too
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(
+        s.as("start"), e.as("end"))),
+      se => se.getField("start") <= se.getField("end"))
+    transform(spans, (se, j) => struct(
+      j.as("chunk"),
+      (se.getField("end") - se.getField("start") + 1).as("c_toks"),
+      conv(substring(md5(array_join(
+        slice(words, se.getField("start") + 1,
+          se.getField("end") - se.getField("start") + 1), " ")),
+        1, 15), 16, 10).cast("long").as("c_hash")))
   }
 
   // ---- SimHash ------------------------------------------------------

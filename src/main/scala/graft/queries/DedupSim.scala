@@ -394,6 +394,22 @@ object DedupSim {
     Dedup.cdcChunkStats(docsParallel(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** CDC INGEST SCREEN — the src0 "daily batch" chunked and tested
+    * against the rest of the corpus's chunk-hash set (the storage-
+    * dedup ingest question; see Dedup.cdcScreen). At scale the corpus
+    * hashes are a persisted index refreshed between ingests (the
+    * q_dedup_incremental band-index shape); here both sides derive
+    * from the one oracle-checkable documents table split by source. */
+  def qDedupCdcScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    Dedup.cdcScreen(
+      docs.where(col("source") === "src0"),
+      Dedup.cdcChunks(docs.where(col("source") =!= "src0"),
+        "doc_id", "text").select(col("c_hash")),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on label — with the
     * HOT-BLOCK GUARD: a label hotter than Similarity.HotBlockCap rows
     * is sub-partitioned by IVF cell (size-derived cell count), so no
@@ -991,6 +1007,7 @@ object DedupSim {
     "q_dedup_spans" -> (qDedupSpans _),
     "q_dedup_span_removal" -> (qDedupSpanRemoval _),
     "q_dedup_cdc" -> (qDedupCdc _),
+    "q_dedup_cdc_screen" -> (qDedupCdcScreen _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_lsh_multi" -> (qAnnLshMulti _),
@@ -1621,10 +1638,12 @@ object DedupSim {
     * ids, STRING_AGG chunk reassembly, and the same keep-first rule as
     * the Spark side: a MIN(struct(doc_id, chunk)) winner per c_hash
     * joined back, not a rank window. GENERATED from Dedup.CdcW/CdcD. */
-  private def cdcOracle: String = {
+  /** The wt/tk/tok/ch/cs CDC chunking CTE chain, prefixed so two
+    * independently-filtered chains (batch vs corpus) can coexist in
+    * one query. `where` filters the documents scan. */
+  private def cdcChunkCtes(pref: String, where: String): String = {
     val w = Dedup.CdcW
     val d = Dedup.CdcD
-    val m = Dedup.CdcMinTok
     // GREATEST clamps the list index to 1: DuckDB evaluates the CASE
     // arms eagerly, so an out-of-range ws[pos-j] (NULL) would collapse
     // CONCAT('0x', NULL) to '0x' and fail the BIGINT cast even on rows
@@ -1633,28 +1652,34 @@ object DedupSim {
     val winConcat = ((w - 1) to 0 by -1)
       .map(j => if (j == 0) "ws[pos]" else s"ws[GREATEST(pos - $j, 1)]")
       .mkString(" || ' ' || ")
-    s"""WITH wt AS (
-       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws FROM documents),
-       |tk AS (
+    s"""${pref}wt AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS ws
+       |  FROM documents$where),
+       |${pref}tk AS (
        |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS pos, ws
-       |  FROM wt),
-       |tok AS (
+       |  FROM ${pref}wt),
+       |${pref}tok AS (
        |  SELECT doc_id, pos, ws[pos] AS word,
        |    CASE WHEN pos >= $w AND
        |      CAST(CONCAT('0x', SUBSTR(MD5($winConcat), 1, 15)) AS BIGINT)
        |        % $d = 0
        |    THEN 1 ELSE 0 END AS cut
-       |  FROM tk),
-       |ch AS (
+       |  FROM ${pref}tk),
+       |${pref}ch AS (
        |  SELECT doc_id, pos, word,
        |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-       |  FROM tok),
-       |cs AS (
+       |  FROM ${pref}tok),
+       |${pref}cs AS (
        |  SELECT doc_id, chunk, COUNT(*) AS c_toks,
        |    CAST(CONCAT('0x', SUBSTR(MD5(STRING_AGG(word, ' ' ORDER BY pos)),
        |      1, 15)) AS BIGINT) AS c_hash
-       |  FROM ch GROUP BY 1, 2),
+       |  FROM ${pref}ch GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def cdcOracle: String = {
+    val m = Dedup.CdcMinTok
+    s"""WITH ${cdcChunkCtes("", "")},
        |wn AS (
        |  SELECT c_hash, MIN({'d': doc_id, 'c': chunk}) AS w
        |  FROM cs GROUP BY 1),
@@ -1677,6 +1702,7 @@ object DedupSim {
     "q_dedup_spans" -> spansOracle,
     "q_dedup_span_removal" -> spanRemovalOracle,
     "q_dedup_cdc" -> cdcOracle,
+    "q_dedup_cdc_screen" -> cdcScreenOracle,
     "q_embed_pca" -> pcaOracle,
     "q_embed_covariance" ->
       """WITH raw AS (
@@ -2209,6 +2235,30 @@ object DedupSim {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
         |  FROM cand) t WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin
+
+  /** CDC screen oracle: two independently-prefixed chunking chains
+    * (batch = src0, corpus = the rest), dup = batch chunk hash present
+    * in the corpus chain's distinct hash set and long enough — the
+    * relational twin of Dedup.cdcScreen. */
+  private def cdcScreenOracle: String = {
+    val m = Dedup.CdcMinTok
+    s"""WITH ${cdcChunkCtes("b", " WHERE source = 'src0'")},
+       |${cdcChunkCtes("c", " WHERE source <> 'src0'")},
+       |chs AS (SELECT DISTINCT c_hash FROM ccs),
+       |rk AS (
+       |  SELECT b.*,
+       |    (EXISTS (SELECT 1 FROM chs WHERE chs.c_hash = b.c_hash))
+       |      AND b.c_toks >= $m AS dup
+       |  FROM bcs b)
+       |SELECT doc_id, CAST(SUM(c_toks) AS BIGINT) AS n_tokens,
+       |  COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN dup THEN 1 END) AS n_dup_chunks,
+       |  CAST(COALESCE(SUM(CASE WHEN dup THEN c_toks END),
+       |    0) AS BIGINT) AS dup_tokens,
+       |  ROUND(CAST(COALESCE(SUM(CASE WHEN dup THEN c_toks END),
+       |    0) AS DOUBLE) / SUM(c_toks), 6) AS dup_frac
+       |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   /** Probe-sweep oracle: the ivf index CTEs with the probe rank kept
     * to the deepest depth, the depth ladder as an UNNEST dimension,

@@ -140,6 +140,41 @@ object DocsStream {
       array_join(keepw, " ").as("clean_text"))
   }
 
+  /** Streaming CDC ingest screen — the stream-static twin of
+    * Dedup.cdcScreen: a FROZEN corpus chunk-hash set (persisted-index
+    * shape) screens a document feed for content-defined chunks the
+    * store already holds. Per-row chunking via Dedup.cdcChunksExpr
+    * (pure array arithmetic — the batch builder's lag/prefix-sum
+    * windows are not streamable), one stateless stream-static join,
+    * one watermark-bounded per-doc rollup; verdicts spec-equal to the
+    * batch cdcScreen on finalized batches. */
+  def cdcScreenStream(
+      docs: DataFrame, corpusChunkHashes: DataFrame,
+      watermarkDelay: String,
+      w: Int = Dedup.CdcW, d: Int = Dedup.CdcD,
+      minTok: Int = Dedup.CdcMinTok,
+      window_ : String = "1 hour"): DataFrame = {
+    val isDup = coalesce(col("_cx"), lit(false)) &&
+      col("c_toks") >= minTok
+    docs
+      .withWatermark("ingest_ts", watermarkDelay)
+      .withColumn("cb", explode_outer(Dedup.cdcChunksExpr(col("text"), w, d)))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("cb.c_toks").as("c_toks"), col("cb.c_hash").as("c_hash"))
+      .join(corpusChunkHashes.select(col("c_hash"), lit(true).as("_cx"))
+        .distinct(), Seq("c_hash"), "left")
+      .groupBy(window(col("ingest_ts"), window_), col("doc_id"))
+      .agg(sum(col("c_toks")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        count(when(isDup, lit(1))).as("n_dup_chunks"),
+        coalesce(sum(when(isDup, col("c_toks"))), lit(0L)).cast("long")
+          .as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+  }
+
   def decontamStream(
       docs: DataFrame, evalShingles: DataFrame,
       watermarkDelay: String, n: Int = 5,

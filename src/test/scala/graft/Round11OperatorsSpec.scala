@@ -72,6 +72,27 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(full(30L) == 1L && full(11L) == 1L && full(20L) == 20L, s"$full")
   }
 
+  test("per-row CDC chunker is chunk-identical to the relational builder") {
+    import spark.implicits._
+    // shifted copies exercise boundary re-sync; the short doc ("one
+    // two") and a single token exercise the no-cut degenerate spans
+    val s = (1 to 60).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s), (1L, s"pa pb pc $s"), (2L, "one two"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val fromExpr = docs.select(col("doc_id"),
+      explode(graft.dedup.Dedup.cdcChunksExpr(col("text"))).as("cb"))
+      .select(col("doc_id"), col("cb.chunk").cast("long").as("chunk"),
+        col("cb.c_toks").cast("long").as("c_toks"), col("cb.c_hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val fromRel = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fromExpr == fromRel,
+      s"expr-only ${fromExpr -- fromRel}; rel-only ${fromRel -- fromExpr}")
+  }
+
   test("semantic dedup: planted near-identical pair collapses, distinct vectors survive") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r11_emb").toString

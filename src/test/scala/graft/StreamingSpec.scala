@@ -249,6 +249,56 @@ class StreamingSpec extends SparkSpec {
     assert(want.find(_._1 == 3L).get._3 == 0L, "short doc keeps all")
   }
 
+  test("streaming CDC screen equals the batch screen on finalized batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // corpus holds a 96-token region; batch doc 10 shares it behind a
+    // shifted prefix (chunks re-sync → dup chunks), 11 is novel, 12 is
+    // too short to ever cut
+    val s = (1 to 96).map(i => s"s$i").mkString(" ")
+    val corpusDocs = Seq((0L, s), (1L, "other corpus words entirely"))
+      .toDF("doc_id", "text")
+    val corpusHashes = Dedup.cdcChunks(corpusDocs, "doc_id", "text")
+      .select(col("c_hash"))
+    val batchRows = Seq(
+      (10L, s"pa pb pc $s"),
+      (11L, (1 to 40).map(i => s"n$i").mkString(" ")),
+      (12L, "one two"))
+    val t0 = Timestamp.valueOf("2024-01-01 00:10:00")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = graft.streaming.DocsStream
+      .cdcScreenStream(sdf, corpusHashes, "10 minutes")
+      .writeStream.format("memory").queryName("cdcscreen_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchRows.map { case (id, tx) => (id, tx, t0) })
+      q.processAllAvailable()
+      stream.addData((999L, "watermark pusher row",
+        Timestamp.valueOf("2024-01-01 02:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cdcscreen_out").where(col("doc_id") < 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    val want = Dedup.cdcScreen(
+        spark.createDataFrame(batchRows).toDF("doc_id", "text"),
+        corpusHashes, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"stream $got vs batch $want")
+    // scenario sanity: the shifted copy re-syncs to known chunks, the
+    // novel and short docs hold nothing the corpus has
+    assert(want.find(_._1 == 10L).get._5 > 0L, s"re-sync dup: $want")
+    assert(want.find(_._1 == 11L).get._5 == 0L &&
+      want.find(_._1 == 12L).get._5 == 0L, s"clean docs: $want")
+  }
+
   test("streaming decontamination screen equals the batch overlap counts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
