@@ -567,6 +567,78 @@ object Text {
       .limit(50)
   }
 
+  /** Merge rounds for q_bpe_train — unrolled in the generated oracle
+    * (the kmeans/PageRank fixed-iteration discipline). */
+  val BpeMerges = 6
+
+  /** Symbol separator for the BPE merge representation: each symbol is
+    * wrapped in its own separators (`␟sym␟`), so the merge of pair
+    * (p1, p2) is a plain string REPLACE of `␟p1␟␟p2␟` with `␟p1p2␟` —
+    * the full wrapping makes partial-symbol matches impossible
+    * ([a, bc] can never match pattern ␟a␟␟b␟) and, because standard
+    * REPLACE scans left-to-right non-overlapping and resumes AFTER the
+    * replacement, the string op IS exactly BPE's greedy within-word
+    * merge pass ([a,a,a] → [aa, a]; [a,b,a,b] → [ab, ab]) — both
+    * chaining cases spec-asserted. Engine-portable: Spark `replace`
+    * and DuckDB `REPLACE` share these semantics. */
+  val BpeSep = "\u001f"
+
+  /** ITERATIVE BPE TRAINING (Sennrich et al. 2016) — the tokenizer-
+    * training loop itself, not just the first iteration's candidate
+    * table (q_text_bpe_pairs): BpeMerges rounds of count-adjacent-
+    * pairs → pick the most frequent (ties lexicographic) → merge it
+    * everywhere, over the corpus word-frequency table. Output: the
+    * learned merge table (round, p1, p2, n) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale shape (the two-level trick): the ONLY corpus-sized pass is
+    * the initial tokenize → word-frequency aggregate (map-side
+    * combined, the shuffle carries the compact vocab). Every round is
+    * then VOCAB-sized: one pair explode + weighted count, one 1-row
+    * argmax (broadcast), one per-row string REPLACE. The vocab table
+    * is localCheckpointed per round so round N's plan doesn't replay
+    * rounds 1..N−1. All arithmetic is integer counts and plain string
+    * ops — the oracle unrolls the same rounds and hash-matches the
+    * merge table exactly. */
+  def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sep = BpeSep
+    var vocab = docs(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        array_join(transform(
+          filter(split(col("word"), ""), c => c =!= ""),
+          c => concat(lit(sep), c, lit(sep))), "").as("ws"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val syms = filter(split(col("ws"), sep), x => x =!= "")
+      val best = vocab
+        .select(col("freq"), explode(
+          zip_with(slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p1"), col("p2"))
+        .limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val (p1, p2, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, p1, p2, n))
+        vocab = vocab.select(col("freq"),
+          replace(col("ws"), lit(s"$sep$p1$sep$sep$p2$sep"),
+            lit(s"$sep$p1$p2$sep")).as("ws"))
+          .localCheckpoint()
+      }
+    }
+    merges.result().toDF("round", "p1", "p2", "n")
+      .orderBy(col("round"))
+  }
+
   /** Mixture resampling to target source weights — the corpus-blending
     * shape (hit a prescribed domain mixture from whatever the crawl
     * delivered). Globally COUPLED rates, unlike the per-stratum
@@ -767,6 +839,7 @@ object Text {
     "q_text_perplexity_bigram" -> (qTextPerplexityBigram _),
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -832,7 +905,49 @@ object Text {
        |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q_bpe_train oracle — BpeMerges rounds unrolled (the kmeans
+    * discipline): per round, symbol split on CHR(31), adjacent-pair
+    * weighted count, 1-row argmax with the (n DESC, p1, p2) tiebreak,
+    * REPLACE-based merge (the same left-to-right non-overlapping
+    * semantics as Spark's replace — spec-asserted), then the union of
+    * the round winners IS the merge table. */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s"""s$r AS (
+         |  SELECT freq, LIST_FILTER(STRING_SPLIT(ws, CHR(31)), x -> x <> '') AS sy
+         |  FROM $prev),
+         |p$r AS (
+         |  SELECT sy[i] AS p1, sy[i + 1] AS p2, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, sy, UNNEST(GENERATE_SERIES(1, LEN(sy) - 1)) AS i
+         |        FROM s$r)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT p1, p2, n FROM p$r ORDER BY n DESC, p1, p2 LIMIT 1),
+         |v$r AS (
+         |  SELECT freq, REPLACE(ws,
+         |    CHR(31) || b.p1 || CHR(31) || CHR(31) || b.p2 || CHR(31),
+         |    CHR(31) || b.p1 || b.p2 || CHR(31)) AS ws
+         |  FROM $prev CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS round, p1, p2, n FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS (
+       |  SELECT freq, ARRAY_TO_STRING(LIST_TRANSFORM(
+       |    STRING_SPLIT(word, ''), c -> CHR(31) || c || CHR(31)), '') AS ws
+       |  FROM w0),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle,
     "q_text_perplexity_bigram" ->
       """WITH w AS (
         |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ws

@@ -72,6 +72,23 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(full(30L) == 1L && full(11L) == 1L && full(20L) == 20L, s"$full")
   }
 
+  test("bpe train: hand-computed merges, within-word chaining, and pair exhaustion") {
+    // corpus: "abab" x3, "aaa" x2. Hand-derived rounds:
+    //  r1: (a,b) n=6 beats (b,a) 3 and (a,a) 4 → abab = [ab, ab]
+    //  r2: (a,a) n=4 beats (ab,ab) 3 → aaa = [aa, a]  ← non-overlap:
+    //     [a,a,a] has TWO (a,a) pairs but merges to [aa, a], not [aa, aa]
+    //  r3: (ab,ab) n=3 → [abab]   ← both word occurrences merged in one
+    //     pass ([a,b,a,b] → [ab, ab] at r1 is the same chaining property)
+    //  r4: (aa,a) n=2 → [aaa]
+    //  r5, r6: no pairs anywhere → NO rows (the exhaustion path)
+    val d = docsDir(Seq((0L, "abab abab abab aaa aaa")))
+    val r = graft.queries.Text.qBpeTrain(spark, d).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+      .toSeq
+    assert(r == Seq((1, "a", "b", 6L), (2, "a", "a", 4L),
+      (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $r")
+  }
+
   test("per-row CDC chunker is chunk-identical to the relational builder") {
     import spark.implicits._
     // shifted copies exercise boundary re-sync; the short doc ("one
