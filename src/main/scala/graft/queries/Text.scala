@@ -639,6 +639,46 @@ object Text {
       .orderBy(col("round"))
   }
 
+  /** APPLY the learned tokenizer — the compression report read after
+    * q_bpe_train: each document's character count vs its token count
+    * under the trained merge table (chars-per-token IS the metric a
+    * tokenizer is judged by). The merge table (BpeMerges rows) is
+    * collected driver-side and FOLDED into one per-row expression —
+    * the ordered chain of wrapped-separator REPLACEs, each applied
+    * exactly as during training — evaluated over the DISTINCT-word
+    * table (vocab-sized), then one word join carries per-word token
+    * counts back to the corpus stream. No per-round corpus pass:
+    * tokenizing is a broadcast-sized expression + one join. */
+  def qBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val sep = BpeSep
+    val trained = qBpeTrain(s, d).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wsInit = array_join(transform(
+      filter(split(col("word"), ""), c => c =!= ""),
+      c => concat(lit(sep), c, lit(sep))), "")
+    val wsFinal = trained.foldLeft(wsInit) { case (ws, (p1, p2)) =>
+      replace(ws, lit(s"$sep$p1$sep$sep$p2$sep"), lit(s"$sep$p1$p2$sep"))
+    }
+    val wordTok = docs(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "").distinct()
+      .select(col("word"),
+        size(filter(split(wsFinal, sep), x => x =!= "")).as("nt"))
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .join(wordTok, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("word"))).cast("long").as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum(col("nt")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixture resampling to target source weights — the corpus-blending
     * shape (hit a prescribed domain mixture from whatever the crawl
     * delivered). Globally COUPLED rates, unlike the per-stratum
@@ -840,6 +880,7 @@ object Text {
     "q_split_train_test" -> (qSplitTrainTest _),
     "q_text_bpe_pairs" -> (qTextBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_tokenize" -> (qBpeTokenize _),
     "q_sample_mixture" -> (qSampleMixture _),
     "q_text_perplexity" -> (qTextPerplexity _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -911,7 +952,10 @@ object Text {
     * REPLACE-based merge (the same left-to-right non-overlapping
     * semantics as Spark's replace — spec-asserted), then the union of
     * the round winners IS the merge table. */
-  private def bpeTrainOracle: String = {
+  /** The w0/v0..v$BpeMerges BPE round CTE chain, shared by the train
+    * and tokenize oracles; each v$r carries the post-merge symbol
+    * string per word, each b$r the round's winning pair. */
+  private def bpeRoundCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       val prev = s"v${r - 1}"
       s"""s$r AS (
@@ -924,30 +968,57 @@ object Text {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT p1, p2, n FROM p$r ORDER BY n DESC, p1, p2 LIMIT 1),
          |v$r AS (
-         |  SELECT freq, REPLACE(ws,
+         |  SELECT word, freq, REPLACE(ws,
          |    CHR(31) || b.p1 || CHR(31) || CHR(31) || b.p2 || CHR(31),
          |    CHR(31) || b.p1 || b.p2 || CHR(31)) AS ws
          |  FROM $prev CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges)
-      .map(r => s"SELECT $r AS round, p1, p2, n FROM b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
        |    FROM documents)
        |  WHERE word <> '' GROUP BY word),
        |v0 AS (
-       |  SELECT freq, ARRAY_TO_STRING(LIST_TRANSFORM(
+       |  SELECT word, freq, ARRAY_TO_STRING(LIST_TRANSFORM(
        |    STRING_SPLIT(word, ''), c -> CHR(31) || c || CHR(31)), '') AS ws
        |  FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeMerges)
+      .map(r => s"SELECT $r AS round, p1, p2, n FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeRoundCtes
        |$union
        |ORDER BY round""".stripMargin
   }
 
+  /** q_bpe_tokenize oracle: the shared round chain's FINAL vocab, one
+    * token count per distinct word, joined back to the per-doc word
+    * stream — the compression report of the learned tokenizer. */
+  private def bpeTokenizeOracle: String =
+    s"""WITH $bpeRoundCtes,
+       |tokc AS (
+       |  SELECT word,
+       |    LEN(LIST_FILTER(STRING_SPLIT(ws, CHR(31)), x -> x <> '')) AS nt
+       |  FROM v$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+       |  ROUND(CAST(SUM(LENGTH(word)) AS DOUBLE) / SUM(nt), 6)
+       |    AS chars_per_token
+       |FROM dw JOIN tokc USING (word)
+       |WHERE word <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_tokenize" -> bpeTokenizeOracle,
     "q_text_perplexity_bigram" ->
       """WITH w AS (
         |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\s+') AS ws

@@ -89,6 +89,17 @@ class Round11OperatorsSpec extends SparkSpec {
       (3, "ab", "ab", 3L), (4, "aa", "a", 2L)), s"got $r")
   }
 
+  test("bpe tokenize: the learned merges collapse the training words to single tokens") {
+    // the qBpeTrain fixture: after its 4 learned merges both "abab"
+    // and "aaa" tokenize to ONE symbol, so the doc's 5 words / 18
+    // chars compress to 5 tokens at 3.6 chars each
+    val d = docsDir(Seq((0L, "abab abab abab aaa aaa")))
+    val r = graft.queries.Text.qBpeTokenize(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4))).toSeq
+    assert(r == Seq((0L, 18L, 5L, 5L, 3.6)), s"got $r")
+  }
+
   test("per-row CDC chunker is chunk-identical to the relational builder") {
     import spark.implicits._
     // shifted copies exercise boundary re-sync; the short doc ("one
