@@ -258,17 +258,31 @@ object Dedup {
   /** (id, sz, band, bucket) rows of a shingle table — the LSH banding
     * shared by the self-join candidate path and the cross-set
     * (batch vs corpus) incremental path. */
-  def minhashBands(sh: DataFrame): DataFrame = {
-    val sig = minhashSigTable(sh)
+  def minhashBands(sh: DataFrame): DataFrame =
+    minhashBandsOfSig(minhashSigTable(sh), BandRows)
+
+  /** The banding of a signature table under an ARBITRARY geometry:
+    * `rowsPerBand` signature elements folded per band,
+    * NumHashes/rowsPerBand bands over the same 64-element signature.
+    * The (bands b, rows r) pair IS the LSH tuning dial — the candidate
+    * probability is 1−(1−s^r)^b, so shrinking r moves the S-curve
+    * threshold (1/b)^(1/r) down (more candidates, higher recall, more
+    * verify work) and growing it moves it up. The production geometry
+    * is (16, 4); q_minhash_band_sweep measures the alternatives from
+    * ONE shared signature table. */
+  def minhashBandsOfSig(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(NumHashes % rowsPerBand == 0,
+      s"rowsPerBand $rowsPerBand must divide NumHashes $NumHashes")
+    val nb = NumHashes / rowsPerBand
     // band bucket = polynomial fold of the band's signature rows mod p
     // (portable integer arithmetic; acc·1000003 + m < 2^52, ANSI-safe)
     def bucket(bnd: Int): Column =
-      (0 until BandRows).foldLeft(lit(bnd.toLong)) { (acc, r) =>
-        (acc * 1000003L + col(s"m${bnd * BandRows + r}")) % MinhashP
+      (0 until rowsPerBand).foldLeft(lit(bnd.toLong)) { (acc, r) =>
+        (acc * 1000003L + col(s"m${bnd * rowsPerBand + r}")) % MinhashP
       }
     sig.select(
       col("id"), col("sz"),
-      explode(array((0 until NumBands).map { bnd =>
+      explode(array((0 until nb).map { bnd =>
         struct(lit(bnd).as("band"), bucket(bnd).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("sz"),

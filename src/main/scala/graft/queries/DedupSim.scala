@@ -813,6 +813,85 @@ object DedupSim {
           .as("recall_vs_blocked"))
   }
 
+  /** Band geometries measured by q_minhash_band_sweep: rows-per-band
+    * 2 / 4 / 8 over the fixed 64-element signature, i.e. (bands, rows)
+    * = (32,2) / (16,4) / (8,8) with S-curve thresholds (1/b)^(1/r) ≈
+    * 0.18 / 0.50 / 0.77. (16,4) is the production geometry
+    * (Dedup.BandRows). */
+  val BandSweepRows: Seq[Int] = Seq(2, 4, 8)
+
+  /** LSH BAND-GEOMETRY TUNING CURVE — the third tuning-curve query
+    * (after q_dedup_threshold_sweep and q_ann_probe_sweep): candidate
+    * volume, verified near-dup pairs, and recall of the blocked
+    * exact-Jaccard truth at every band geometry in BandSweepRows, all
+    * from ONE signature table. This is the chart that picks the
+    * production (b, r): loosening to (32,2) buys recall at the price
+    * of candidate volume (verify work), tightening to (8,8) does the
+    * reverse — measured, not read off the 1−(1−s^r)^b formula.
+    *
+    * Shape: the signature table is computed once and checkpointed (64
+    * mins in one hash aggregate); each geometry re-folds the SAME
+    * signatures (vocab-free per-row arithmetic) and self-joins its
+    * buckets. The union of candidates across geometries is verified
+    * against exact Jaccard ONCE over the distinct pair set — a pair
+    * caught by all three geometries costs one intersection join, not
+    * three. All pairwise work stays inside LSH buckets; the truth
+    * subplan is the registered q_dedup_ngram_jaccard verbatim. */
+  def qMinhashBandSweep(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.minhashShingleRows(docsParallel(s, d), "doc_id", "text", 3)
+      .localCheckpoint()
+    val sig = Dedup.minhashSigTable(sh).localCheckpoint()
+    val truth = qDedupNgramJaccard(s, d).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val candU = BandSweepRows.map { r =>
+      val b = Dedup.minhashBandsOfSig(sig, r)
+      b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+        .distinct()
+        .withColumn("rows_per_band", lit(r))
+        .withColumn("n_bands", lit(Dedup.NumHashes / r))
+    }.reduce(_ unionByName _).localCheckpoint()
+    // one exact-Jaccard verify over the DISTINCT pair union (uncapped
+    // shingle sets — the minhash verify step, same as minhashDedup)
+    val ver = candU.select("id_a", "id_b", "sz_a", "sz_b").distinct()
+      .join(sh.select(col("id").as("id_a"), col("s_id").as("ha")), "id_a")
+      .join(sh.select(col("id").as("idb2"), col("s_id").as("hb")),
+        col("id_b") === col("idb2") && col("ha") === col("hb"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .where(round(col("n_inter").cast("double") /
+        greatest((col("sz_a") + col("sz_b") - col("n_inter")).cast("double"),
+          lit(1.0)), 6) >= 0.3)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val perCand = candU.groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val perVer = candU.join(ver, Seq("id_a", "id_b"))
+      .groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_verified"))
+    val perHit = candU.join(ver, Seq("id_a", "id_b"))
+      .join(truth, Seq("id_a", "id_b"))
+      .groupBy(col("rows_per_band"), col("n_bands"))
+      .agg(count(lit(1)).as("n_hit"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    perCand.join(perVer, Seq("rows_per_band", "n_bands"), "left")
+      .join(perHit, Seq("rows_per_band", "n_bands"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("rows_per_band"), col("n_bands"), col("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) /
+          greatest(col("n_truth"), lit(1L)), 6).as("recall_vs_blocked"),
+        round(coalesce(col("n_verified"), lit(0L)) /
+          greatest(col("n_candidates"), lit(1L)), 6).as("verified_frac"))
+      .orderBy(col("rows_per_band"))
+  }
+
   /** Recall@5 of each approximate ANN path (IVF, IVF-PQ, LSH, and the
     * 1-bit sign signature) against the
     * brute-force truth on the shared query set — the operator that
@@ -1020,6 +1099,7 @@ object DedupSim {
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_minhash_band_sweep" -> (qMinhashBandSweep _),
     "q_embed_project" -> (qEmbedProject _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_embedding_ivf" -> (qDedupEmbeddingIvf _),
@@ -1403,17 +1483,43 @@ object DedupSim {
   /** The shared sh/sids/sigs/bands CTE chain of the MinHash oracles —
     * generated from the same Scala constants the Spark pipeline uses
     * (Dedup.familyA/familyB/MinhashP), so the sides cannot drift. */
-  private def minhashBandsCtes: String = {
+  /** The 64 family-min signature columns, generated from the same
+    * Scala constants the Spark pipeline uses. */
+  private def mColsSql: String = {
     val p = Dedup.MinhashP
-    val mCols = (0 until Dedup.NumHashes).map { i =>
+    (0 until Dedup.NumHashes).map { i =>
       s"LIST_MIN(LIST_TRANSFORM(ids, h -> (${Dedup.familyA(i)} * (h % $p) + ${Dedup.familyB(i)}) % $p)) AS m$i"
     }.mkString(",\n    ")
-    val bandExprs = (0 until Dedup.NumBands).map { bnd =>
-      val e = (0 until Dedup.BandRows).foldLeft(s"$bnd") { (acc, r) =>
-        s"(($acc) * 1000003 + m${bnd * Dedup.BandRows + r}) % $p"
+  }
+
+  /** The band-bucket CASE expression for an arbitrary band geometry —
+    * the DuckDB twin of Dedup.minhashBandsOfSig's polynomial fold. */
+  private def bandCaseSql(rowsPerBand: Int): String = {
+    val p = Dedup.MinhashP
+    (0 until Dedup.NumHashes / rowsPerBand).map { bnd =>
+      val e = (0 until rowsPerBand).foldLeft(s"$bnd") { (acc, r) =>
+        s"(($acc) * 1000003 + m${bnd * rowsPerBand + r}) % $p"
       }
       s"WHEN ${bnd} THEN $e"
     }.mkString("\n      ")
+  }
+
+  /** One bands CTE (doc_id, sz, band, bucket) over a signature CTE,
+    * parameterized by geometry and CTE names so the production oracle
+    * chain and the band-sweep oracle share a single generator. */
+  private def bandsCteSql(
+      name: String, sigCte: String, rowsPerBand: Int): String =
+    s"""$name AS (
+       |  SELECT doc_id, sz, b.band,
+       |    CASE b.band
+       |      ${bandCaseSql(rowsPerBand)}
+       |    END AS bucket
+       |  FROM $sigCte CROSS JOIN
+       |    (SELECT UNNEST(GENERATE_SERIES(0, ${Dedup.NumHashes / rowsPerBand - 1})) AS band) b)""".stripMargin
+
+  private def minhashBandsCtes: String = {
+    val mCols = mColsSql
+    val bandExprs = bandCaseSql(Dedup.BandRows)
     s"""sh AS (
        |  SELECT doc_id,
        |    LIST_DISTINCT(CASE WHEN LEN(STRING_SPLIT_REGEX(text, '\\s+')) >= 3
@@ -1489,6 +1595,70 @@ object DedupSim {
        |FROM inter
        |WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of qMinhashBandSweep: the ShingleCte's per-doc
+    * shingle lists feed BOTH the blocked truth chain and a prefixed
+    * (msids/msigs) signature chain; each geometry's bands CTE comes
+    * from the same bandsCteSql generator as the production oracle, so
+    * all constants live in exactly one place. */
+  private def bandSweepOracle: String = {
+    val bandsCtes = BandSweepRows
+      .map(r => bandsCteSql(s"bands$r", "msigs", r)).mkString(",\n")
+    val candCtes = BandSweepRows.map { r =>
+      s"""cand$r AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.sz AS sz_a, y.sz AS sz_b
+         |  FROM bands$r x JOIN bands$r y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = BandSweepRows.map { r =>
+      s"SELECT $r AS rows_per_band, ${Dedup.NumHashes / r} AS n_bands, * FROM cand$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ShingleCte,
+       |$cappedPairCtes,
+       |truth AS (SELECT id_a, id_b FROM pairs),
+       |msids AS (
+       |  SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(sh, s ->
+       |    CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT))) AS ids
+       |  FROM sh WHERE LEN(sh) > 0),
+       |msigs AS (
+       |  SELECT doc_id, LEN(ids) AS sz,
+       |    $mColsSql
+       |  FROM msids),
+       |$bandsCtes,
+       |$candCtes,
+       |candu AS (
+       |  $unions),
+       |ver AS (
+       |  SELECT dp.id_a, dp.id_b
+       |  FROM (SELECT DISTINCT id_a, id_b, sz_a, sz_b FROM candu) dp
+       |  JOIN msids sa ON dp.id_a = sa.doc_id
+       |  JOIN msids sb ON dp.id_b = sb.doc_id
+       |  WHERE ROUND(LEN(LIST_INTERSECT(sa.ids, sb.ids)) * 1.0 /
+       |    GREATEST(dp.sz_a + dp.sz_b - LEN(LIST_INTERSECT(sa.ids, sb.ids)),
+       |      1), 6) >= 0.3),
+       |t AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |per AS (
+       |  SELECT rows_per_band, n_bands,
+       |    COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_verified,
+       |    SUM(CASE WHEN v.id_a IS NOT NULL AND tr.id_a IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS n_hit
+       |  FROM candu c
+       |  LEFT JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+       |  LEFT JOIN truth tr ON c.id_a = tr.id_a AND c.id_b = tr.id_b
+       |  GROUP BY 1, 2)
+       |SELECT rows_per_band, n_bands,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_verified AS BIGINT) AS n_verified,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  ROUND(n_hit / GREATEST(n_truth, 1), 6) AS recall_vs_blocked,
+       |  ROUND(n_verified / GREATEST(n_candidates, 1), 6) AS verified_frac
+       |FROM per CROSS JOIN t
+       |ORDER BY rows_per_band""".stripMargin
+  }
 
   /** Cross-source matrix twin: the full minhashOracle pair pipeline,
     * then the two documents joins and the triangular rollup. */
@@ -1856,6 +2026,7 @@ object DedupSim {
          |SELECT n_truth, n_minhash, n_hit,
          |  ROUND(n_hit / GREATEST(n_truth, 1), 6) AS recall_vs_blocked
          |FROM t CROSS JOIN m CROSS JOIN hit""".stripMargin,
+    "q_minhash_band_sweep" -> bandSweepOracle,
     // connected components over the same pair graph, as a transitive-
     // closure recursive CTE (independent of Spark's label propagation)
     "q_dedup_cluster" ->

@@ -479,6 +479,95 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Synchronous label-propagation rounds (Raghavan et al. 2007). The
+    * classic formulation breaks ties randomly and runs to convergence;
+    * both are replaced by DETERMINISTIC rules so two engines agree
+    * bit-for-bit: a fixed round count, and new-label = the neighbor
+    * label with the highest count, ties to the SMALLEST label. All
+    * arithmetic is integer counting — no floats anywhere, so the
+    * oracle needs no quantization contract. */
+  val LpaRounds = 4
+
+  /** The per-node community labels after LpaRounds synchronous rounds
+    * over the symmetrized part co-purchase graph — shared by
+    * q_graph_lpa and q_graph_modularity. Each round is one equi-join
+    * (edges × labels, shuffled on the label side's node key) and one
+    * count aggregate with map-side partials; the winner is a single
+    * min(struct(-cnt, label)) aggregate, NEVER a per-node window —
+    * a hub's neighbor-label counts combine in partials, so a degree-10⁶
+    * node costs its edge count, not a single-task sort. The edge list
+    * is checkpointed once and reused by all rounds. */
+  private def lpaLabels(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (edges, _) = edgeParts(s, d)
+    val e = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpaRounds) {
+      val counts = e
+        .join(lab.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      lab = counts.groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("w"))
+        .select(col("src").as("node"), col("w.l").as("label"))
+        // each round's labels feed exactly one consumer, but without a
+        // checkpoint the final plan nests 4 join-agg rounds and the
+        // edge scan re-executes per round under AQE re-planning
+        .localCheckpoint()
+    }
+    (e, lab)
+  }
+
+  /** Community detection by LABEL PROPAGATION — per-node community ids
+    * after LpaRounds deterministic synchronous rounds. Complements the
+    * dedup family's connected components (which merge anything
+    * touching) with the density-sensitive partition a curation
+    * pipeline uses for topic-ish grouping. */
+  def qGraphLpa(s: SparkSession, d: String): DataFrame = {
+    val (_, lab) = lpaLabels(s, d)
+    lab.select(col("node"), col("label").as("community"))
+      .orderBy(col("node"))
+  }
+
+  /** Newman MODULARITY of the LPA partition — the one-number quality
+    * score of a community structure: Q = Σc ec/m − (dc/2m)². Computed
+    * from EXACT integer sufficient statistics (intra-edge count,
+    * Σ per-community squared degree sums, m) with ONE double division
+    * at the end — no per-community float summation, so the result is
+    * order-independent and engine-portable: Q = (4m·Σec − Σdc²)/(4m²).
+    * The integer outputs are hash-checked alongside; all stay below
+    * 2^53 four orders past bench scale (m ~ 10⁶ → numerator ~ 10¹³). */
+  def qGraphModularity(s: SparkSession, d: String): DataFrame = {
+    val (e, lab) = lpaLabels(s, d)
+    // m = |undirected edges| = |symmetrized| / 2; intra counted on the
+    // symmetrized list and halved the same way
+    val labeled = e
+      .join(lab.select(col("node").as("src"), col("label").as("la")), "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("lb")), "dst")
+    val intra = labeled
+      .agg((count(lit(1)) / 2).cast("long").as("m_edges_x2_half"),
+        (sum(when(col("la") === col("lb"), 1L).otherwise(0L)) / 2)
+          .cast("long").as("n_intra"))
+    // dc = Σ degrees inside community c; Σc dc² via per-community sums
+    val dsq = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(lab.select(col("node").as("src"), col("label")), "src")
+      .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dc") * col("dc")).as("sum_dc_sq"))
+    intra.crossJoin(broadcast(dsq))
+      .select(col("n_communities"),
+        col("m_edges_x2_half").as("m_edges"), col("n_intra"),
+        col("sum_dc_sq"),
+        round((lit(4L) * col("m_edges_x2_half") * col("n_intra") -
+            col("sum_dc_sq")).cast("double") /
+          (lit(4L) * col("m_edges_x2_half") * col("m_edges_x2_half"))
+            .cast("double"), 6).as("modularity"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "q_graph_khop" -> (qGraphKhop _),
@@ -487,6 +576,8 @@ object Graph {
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_degree_hist" -> (qGraphDegreeHist _),
     "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_lpa" -> (qGraphLpa _),
+    "q_graph_modularity" -> (qGraphModularity _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_graph_clustering" -> (qGraphClustering _),
     "q_graph_common_neighbors" -> (qGraphCommonNeighbors _))
@@ -529,6 +620,60 @@ object Graph {
        |        FROM r$iters)
        |SELECT node, deg, rank FROM fin ORDER BY node""".stripMargin
   }
+
+  /** The shared CTE chain of the LPA oracles: symmetrized co-purchase
+    * edges, identity labels, and one (count → max → min-label) block
+    * per round — the same deterministic tie-break as the Spark side's
+    * min(struct(-cnt, label)) aggregate, unrolled from the same
+    * LpaRounds constant. Pure integer arithmetic: no quantization
+    * contract needed anywhere. */
+  private def lpaCtes: String = {
+    def roundBlock(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.src AS node, p.label, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} p ON e.dst = p.node GROUP BY 1, 2),
+         |mx$i AS (SELECT node, MAX(cnt) AS mx FROM c$i GROUP BY 1),
+         |l$i AS (
+         |  SELECT c.node, MIN(c.label) AS label
+         |  FROM c$i c JOIN mx$i m ON c.node = m.node AND c.cnt = m.mx
+         |  GROUP BY 1)""".stripMargin
+    val blocks = (1 to LpaRounds).map(roundBlock).mkString(",\n")
+    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS (SELECT pa AS src, pb AS dst FROM e0
+       |      UNION ALL SELECT pb, pa FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$blocks""".stripMargin
+  }
+
+  private def lpaOracle: String =
+    s"""WITH $lpaCtes
+       |SELECT node, label AS community FROM l$LpaRounds ORDER BY node""".stripMargin
+
+  private def modularityOracle: String =
+    s"""WITH $lpaCtes,
+       |lab AS (SELECT node, label FROM l$LpaRounds),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m_edges,
+       |    CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) / 2
+       |      AS BIGINT) AS n_intra
+       |  FROM e JOIN lab la ON e.src = la.node
+       |  JOIN lab lb ON e.dst = lb.node),
+       |dsq AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |    CAST(SUM(dc * dc) AS BIGINT) AS sum_dc_sq
+       |  FROM (
+       |    SELECT l.label, SUM(dg.deg) AS dc
+       |    FROM (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1) dg
+       |    JOIN lab l ON dg.src = l.node
+       |    GROUP BY 1))
+       |SELECT n_communities, m_edges, n_intra, sum_dc_sq,
+       |  ROUND(CAST(4 * m_edges * n_intra - sum_dc_sq AS DOUBLE) /
+       |    CAST(4 * m_edges * m_edges AS DOUBLE), 6) AS modularity
+       |FROM stats CROSS JOIN dsq""".stripMargin
 
   /** DuckDB twin of qGraphTriangles — same orientation rule, same
     * (deg, id) wedge ordering, so the census is count-exact. */
@@ -815,6 +960,8 @@ object Graph {
         |  MIN(deg) AS min_deg, MAX(deg) AS max_deg
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_lpa" -> lpaOracle,
+    "q_graph_modularity" -> modularityOracle,
     "q_graph_triangles" -> trianglesOracle,
     "q_graph_clustering" -> clusteringOracle,
     "q_graph_common_neighbors" -> commonNeighborsOracle)

@@ -182,4 +182,62 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(Seq(1, 2, 4, 8).forall(p => pq(p) <= ivf(p)),
       s"pq $pq must not exceed exact ivf $ivf")
   }
+
+  test("band sweep: the (16,4) row reproduces the production minhash path exactly") {
+    val sweep = graft.queries.DedupSim.qMinhashBandSweep(spark, sf).collect()
+      .map(x => x.getInt(0) ->
+        ((x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))))
+      .toMap
+    assert(sweep.keySet == Set(2, 4, 8), s"geometry ladder: $sweep")
+    assert(sweep(2)._1 == 32 && sweep(4)._1 == 16 && sweep(8)._1 == 8,
+      s"n_bands must be 64/rows_per_band: $sweep")
+    // verified pairs can never exceed candidates; hits never exceed
+    // verified or truth
+    assert(sweep.values.forall(v => v._3 <= v._2 && v._5 <= v._3
+      && v._5 <= v._4), s"count sanity: $sweep")
+    // rows_per_band = 4 IS the production geometry (Dedup.BandRows):
+    // its verified count must equal q_dedup_minhash's pair count, and
+    // its truth/hit numbers must equal q_minhash_recall's
+    val mh = graft.queries.DedupSim.qDedupMinhash(spark, sf).count()
+    val rec = graft.queries.DedupSim.qMinhashRecall(spark, sf).collect()(0)
+    assert(sweep(4)._3 == mh, s"verified ${sweep(4)._3} vs minhash $mh")
+    assert(sweep(4)._4 == rec.getLong(0) && sweep(4)._5 == rec.getLong(2),
+      s"truth/hit ${sweep(4)} vs recall $rec")
+  }
+
+  test("lpa: two planted cliques resolve to two communities across the bridge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r11_li").toString
+    // order 1 = clique {1,2,3,4}; order 2 = clique {10,11,12,13};
+    // order 3 = the bridge edge 4-10
+    ((1L to 4L).map((1L, _)) ++ (10L to 13L).map((2L, _)) ++
+      Seq((3L, 4L), (3L, 10L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Graph.qGraphLpa(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 8, s"node count: $r")
+    val a = (1L to 4L).map(r).toSet
+    val b = (10L to 13L).map(r).toSet
+    assert(a.size == 1 && b.size == 1 && a != b,
+      s"cliques must converge to two distinct communities: $r")
+  }
+
+  test("modularity: hand-computed Q on the two-clique bridge graph") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_r11_li2").toString
+    ((1L to 4L).map((1L, _)) ++ (10L to 13L).map((2L, _)) ++
+      Seq((3L, 4L), (3L, 10L)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.queries.Graph.qGraphModularity(spark, dir).collect()(0)
+    // m = 13 (6+6 clique edges + bridge), intra = 12, both community
+    // degree sums = 13 → Σdc² = 338;
+    // Q = (4·13·12 − 338) / (4·13²) = 286/676 = 0.423077
+    assert(r.getLong(0) == 2L, s"n_communities: $r")
+    assert(r.getLong(1) == 13L, s"m_edges: $r")
+    assert(r.getLong(2) == 12L, s"n_intra: $r")
+    assert(r.getLong(3) == 338L, s"sum_dc_sq: $r")
+    assert(math.abs(r.getDouble(4) - 0.423077) < 1e-9, s"modularity: $r")
+  }
 }
