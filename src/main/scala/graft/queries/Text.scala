@@ -123,11 +123,13 @@ object Text {
           lit(0))).cast("double"), lit(1.0)), 6).as("chars_per_bpe_token"))
       .orderBy(col("doc_id"))
 
-  /** Composite quality score + keep/drop flag, from the backbone
-    * counts. `keep` references the aggregated score columns — even
-    * after CollapseProject re-inlines it, the expansion is a handful
-    * of codegen'd int/double ops, not a re-tokenization. */
-  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, quality, n_toks) — the composite-quality curation
+    * backbone shared by q_text_quality, q_quality_sweep, and
+    * q_token_budget. The score references the aggregated count
+    * columns — even after CollapseProject re-inlines it, the
+    * expansion is a handful of codegen'd int/double ops, not a
+    * re-tokenization. */
+  private[queries] def scoredDocs(s: SparkSession, d: String): DataFrame = {
     val lenScore = least(col("n_toks").cast("double") / lit(64.0), lit(1.0))
     val punctScore = lit(1.0) - least(
       (col("n_chars") - col("n_nopunct")).cast("double") /
@@ -135,12 +137,104 @@ object Text {
     val swScore = least(
       col("n_sw").cast("double") /
         greatest(col("n_toks").cast("double"), lit(1.0)) * 5.0, lit(1.0))
-    val quality = round((lenScore + punctScore + swScore) / 3.0, 6)
     tokenAgg(s, d).select(
       col("doc_id"),
-      quality.as("quality"),
-      (quality >= 0.5).as("keep"))
+      round((lenScore + punctScore + swScore) / 3.0, 6).as("quality"),
+      col("n_toks"))
+  }
+
+  /** Composite quality score + keep/drop flag, from the backbone
+    * counts. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame =
+    scoredDocs(s, d).select(
+      col("doc_id"), col("quality"), (col("quality") >= 0.5).as("keep"))
       .orderBy(col("doc_id"))
+
+  /** Thresholds measured by q_quality_sweep — at or around the
+    * production 0.5 cutoff q_text_quality ships. */
+  val QualitySweepThresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
+  /** CURATION-THRESHOLD TUNING CURVE (the q_dedup_threshold_sweep mold
+    * for quality filtering): documents and tokens retained at a ladder
+    * of quality cutoffs, as counts and corpus fractions — the chart
+    * that picks the production threshold by answering "how much of the
+    * training budget does tightening to 0.6 actually cost?". ONE pass
+    * over the scored backbone; the ladder is conditional sums in a
+    * single aggregate, stacked to rows. */
+  def qQualitySweep(s: SparkSession, d: String): DataFrame = {
+    val ths = QualitySweepThresholds
+    val aggs =
+      Seq(count(lit(1)).as("t_docs"), sum(col("n_toks")).as("t_toks")) ++
+      ths.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("quality") >= t, 1L).otherwise(0L)).as(s"d$i"),
+        sum(when(col("quality") >= t, col("n_toks")).otherwise(0L))
+          .as(s"k$i"))
+      }
+    val stackArgs = ths.zipWithIndex
+      .map { case (t, i) => s"${t}D, d$i, k$i" }.mkString(", ")
+    scoredDocs(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${ths.size}, $stackArgs) AS (threshold, n_docs, n_tokens)"),
+        col("t_docs"), col("t_toks"))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / greatest(col("t_docs"), lit(1L)), 6)
+          .as("frac_docs"),
+        round(col("n_tokens") / greatest(col("t_toks"), lit(1L)), 6)
+          .as("frac_tokens"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Coarse quality buckets for the token-budget selection — 1/20
+    * quality-score bands. */
+  val TokenBudgetBuckets = 20
+
+  /** TRAINING-TOKEN BUDGET FILL — select the highest-quality documents
+    * (quality DESC, doc_id ASC) until half the corpus's tokens are
+    * spent: the "fill the budget with the best data" selection every
+    * curation pipeline ends with. The obvious implementation is a
+    * global running sum over the quality ordering — an unpartitioned
+    * window, one task at 100 TB. Instead the global prefix sum is
+    * DECOMPOSED: bucket docs into 1/20 quality bands, take per-bucket
+    * token totals (a ≤21-row table; running totals over it via a
+    * bounded triangular self-join, not a window), broadcast the bucket
+    * verdicts back, and run the exact within-bucket running sum ONLY
+    * inside the single boundary bucket that straddles the budget —
+    * partitioned by bucket, ≤ ~1/20 of the corpus (production refines
+    * the boundary bucket recursively for a tighter bound). Bucketing
+    * is monotone in quality and ties share a bucket, so the
+    * decomposed verdict equals the global prefix sum's exactly
+    * (brute-force-equivalence spec). */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = scoredDocs(s, d).localCheckpoint()
+    val withB = sc.withColumn("qb",
+      floor(col("quality") * TokenBudgetBuckets).cast("int"))
+    val bt = withB.groupBy(col("qb")).agg(sum(col("n_toks")).as("bt"))
+    // integer-exact half-the-corpus budget (DIV, not a double divide)
+    val tot = sc.agg(expr("CAST(SUM(n_toks) DIV 2 AS BIGINT)").as("budget"))
+    val cumAbove = bt.as("x")
+      .join(bt.as("y"), col("y.qb") > col("x.qb"), "left")
+      .groupBy(col("x.qb").as("qb"), col("x.bt").as("bt"))
+      .agg(coalesce(sum(col("y.bt")), lit(0L)).as("cum_above"))
+    val status = cumAbove.crossJoin(broadcast(tot)).select(
+      col("qb"), col("cum_above"), col("budget"),
+      (col("cum_above") + col("bt") <= col("budget")).as("full_keep"),
+      // ≤ not <: a zero-token doc at exactly-exhausted budget still
+      // keeps under the global rule cum ≤ B
+      (col("cum_above") + col("bt") > col("budget") &&
+        col("cum_above") <= col("budget")).as("boundary"))
+    val joined = withB.join(broadcast(status), "qb")
+    val decided = joined.where(!col("boundary"))
+      .select(col("doc_id"), col("quality"), col("n_toks"),
+        col("full_keep").as("keep"))
+    val wb = Window.partitionBy(col("qb"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val onBoundary = joined.where(col("boundary"))
+      .withColumn("wcum", sum(col("n_toks")).over(wb))
+      .select(col("doc_id"), col("quality"), col("n_toks"),
+        (col("cum_above") + col("wcum") <= col("budget")).as("keep"))
+    decided.unionByName(onBoundary).orderBy(col("doc_id"))
   }
 
   /** Marker-word language ID (NOT the `lang` label — the heuristic).
@@ -898,6 +992,8 @@ object Text {
     "q_text_gopher" -> (qTextGopher _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_quality" -> (qTextQuality _),
+    "q_quality_sweep" -> (qQualitySweep _),
+    "q_token_budget" -> (qTokenBudget _),
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -1015,6 +1111,54 @@ object Text {
        |FROM dw JOIN tokc USING (word)
        |WHERE word <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The composite-quality scored-docs CTE chain (qscored → qsc):
+    * DuckDB twin of scoredDocs, shared by the q_text_quality,
+    * q_quality_sweep, and q_token_budget oracles so the score formula
+    * lives in exactly one SQL body. */
+  private def scoredQualityCte: String =
+    """qscored AS (
+      |  SELECT doc_id,
+      |    LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |      t -> t <> '')) / 64.0, 1.0) AS len_score,
+      |    1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+      |      / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) AS punct_score,
+      |    LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+      |      / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |        t -> t <> '')), 1)) * 5.0, 1.0) AS sw_score,
+      |    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+      |      t -> t <> '')) AS n_toks
+      |  FROM documents),
+      |qsc AS (
+      |  SELECT doc_id,
+      |    ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
+      |    n_toks
+      |  FROM qscored)""".stripMargin
+
+  /** DuckDB twin of qQualitySweep — the threshold ladder and column
+    * layout are generated from the same QualitySweepThresholds
+    * constant as the Spark side. */
+  private def qualitySweepOracle: String = {
+    val ths = QualitySweepThresholds
+    val condSums = ths.zipWithIndex.map { case (t, i) =>
+      s"""SUM(CASE WHEN quality >= $t THEN 1 ELSE 0 END) AS d$i,
+         |    SUM(CASE WHEN quality >= $t THEN n_toks ELSE 0 END) AS k$i""".stripMargin
+    }.mkString(",\n    ")
+    val rows = ths.zipWithIndex.map { case (t, i) =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST(d$i AS BIGINT) AS n_docs, CAST(k$i AS BIGINT) AS n_tokens,
+         |  ROUND(d$i / GREATEST(t_docs, 1), 6) AS frac_docs,
+         |  ROUND(k$i / GREATEST(t_toks, 1), 6) AS frac_tokens FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $scoredQualityCte,
+       |a AS (
+       |  SELECT COUNT(*) AS t_docs, SUM(n_toks) AS t_toks,
+       |    $condSums
+       |  FROM qsc)
+       |$rows
+       |ORDER BY threshold""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle,
@@ -1418,21 +1562,20 @@ object Text {
          |    AS pass
          |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id,
-         |    LEAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
-         |      t -> t <> '')) / 64.0, 1.0) AS len_score,
-         |    1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
-         |      / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) AS punct_score,
-         |    LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
-         |      t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
-         |      / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
-         |        t -> t <> '')), 1)) * 5.0, 1.0) AS sw_score
-         |  FROM documents)
-         |SELECT doc_id,
-         |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
-         |  ROUND((len_score + punct_score + sw_score) / 3.0, 6) >= 0.5 AS keep
-         |FROM scored ORDER BY doc_id""".stripMargin,
+      s"""WITH $scoredQualityCte
+         |SELECT doc_id, quality, quality >= 0.5 AS keep
+         |FROM qsc ORDER BY doc_id""".stripMargin,
+    "q_quality_sweep" -> qualitySweepOracle,
+    "q_token_budget" ->
+      s"""WITH $scoredQualityCte,
+         |tot AS (SELECT SUM(n_toks) // 2 AS budget FROM qsc),
+         |c AS (
+         |  SELECT doc_id, quality, n_toks,
+         |    SUM(n_toks) OVER (ORDER BY quality DESC, doc_id) AS cum
+         |  FROM qsc)
+         |SELECT doc_id, quality, CAST(n_toks AS BIGINT) AS n_toks,
+         |  cum <= (SELECT budget FROM tot) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_langid_confusion" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang,

@@ -205,6 +205,36 @@ class Round11OperatorsSpec extends SparkSpec {
       s"truth/hit ${sweep(4)} vs recall $rec")
   }
 
+  test("quality sweep: counts shrink as the cutoff tightens; 0.5 row matches q_text_quality") {
+    val sweep = graft.queries.Text.qQualitySweep(spark, sf).collect()
+      .map(x => x.getDouble(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(sweep.keySet == Set(0.3, 0.4, 0.5, 0.6, 0.7), s"ladder: $sweep")
+    val ordered = Seq(0.3, 0.4, 0.5, 0.6, 0.7).map(sweep)
+    assert(ordered.sliding(2).forall(p => p(0)._1 >= p(1)._1
+      && p(0)._2 >= p(1)._2), s"monotone retention: $sweep")
+    val kept = graft.queries.Text.qTextQuality(spark, sf)
+      .where(col("keep")).count()
+    assert(sweep(0.5)._1 == kept,
+      s"0.5 row ${sweep(0.5)._1} vs q_text_quality keep count $kept")
+  }
+
+  test("token budget: bucket decomposition equals the brute-force global prefix sum") {
+    val r = graft.queries.Text.qTokenBudget(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2), x.getBoolean(3)))
+    // brute force: sort by (quality DESC, doc_id), global cumsum,
+    // keep while cum <= half the corpus tokens
+    val budget = r.map(_._3).sum / 2
+    var cum = 0L
+    val expected = r.sortBy(x => (-x._2, x._1)).map { x =>
+      cum += x._3; x._1 -> (cum <= budget)
+    }.toMap
+    assert(r.forall(x => x._4 == expected(x._1)),
+      s"divergent verdicts: ${r.filter(x => x._4 != expected(x._1)).take(5).toSeq}")
+    val nKept = r.count(_._4)
+    assert(nKept > 0 && nKept < r.length,
+      s"budget selection must be a strict subset: $nKept of ${r.length}")
+  }
+
   test("lpa: two planted cliques resolve to two communities across the bridge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_r11_li").toString
