@@ -1067,6 +1067,40 @@ object DedupSim {
   private val KmeansCells = 16
   private val KmeansIters = 2
 
+  /** Cell counts measured by q_ann_kmeans_elbow — a k-doubling ladder
+    * ending at the production KmeansCells. */
+  val KmeansElbowKs: Seq[Int] = Seq(4, 8, 16)
+
+  /** K-MEANS ELBOW CURVE (the tuning sweep for the clustering family,
+    * completing the ladder: jaccard threshold → LSH geometry → IVF
+    * probes → quality cutoff → k): mean assigned-centroid cosine at
+    * k = 4/8/16, each a full seed→refine→assign chain over the SAME
+    * checkpointed embedding scan — the marginal-fit-per-k-doubling
+    * chart that picks the cell count (diminishing avg_sim gains = the
+    * elbow). Every chain is the registered q_ann_kmeans machinery
+    * verbatim (quantized-BIGINT means, broadcast argmax assignment —
+    * no n·k candidate rows); n_cells_used exposes empty-cell collapse
+    * at small k. */
+  def qAnnKmeansElbow(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d).localCheckpoint()
+    KmeansElbowKs.map { k =>
+      val cent = Similarity.kmeansRefine(emb, k = k, iters = KmeansIters,
+        cosineFn = Similarity.cosineIn(s))
+      val best = array_max(Similarity.scoredCells(
+        col("embedding"), col("_cents"), Similarity.cosineIn(s)))
+      emb.crossJoin(broadcast(Similarity.packCentroids(cent)))
+        .select(best.getField("cell_id").as("cell_id"),
+          best.getField("_sim").as("_sim"))
+        .agg(countDistinct(col("cell_id")).as("n_cells_used"),
+          count(lit(1)).as("n_members"),
+          sum(col("_sim").cast("decimal(18,6)")).cast("double")
+            .as("sum_sim"))
+        .select(lit(k).as("k"), col("n_cells_used"), col("n_members"),
+          col("sum_sim"),
+          round(col("sum_sim") / col("n_members"), 6).as("avg_sim"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -1095,6 +1129,7 @@ object DedupSim {
     "q_ann_pq_probe_sweep" -> (qAnnPqProbeSweep _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_kmeans" -> (qAnnKmeans _),
+    "q_ann_kmeans_elbow" -> (qAnnKmeansElbow _),
     "q_ann_ivf_stats" -> (qAnnIvfStats _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_ann_recall" -> (qAnnRecall _),
@@ -1362,54 +1397,81 @@ object DedupSim {
        |ORDER BY a.vec_id""".stripMargin
   }
 
-  private def kmeansOracle: String = {
+  /** The k-parameterized Lloyd chain (seed pick → KmeansIters unrolled
+    * refinements → final assignment asgF$suf with per-vector best sim)
+    * — shared by the production kmeansOracle (suf = "") and the elbow
+    * sweep's per-k chains, so the quantized-mean arithmetic lives in
+    * exactly one generator. Expects a `v` CTE (vec_id, ve) upstream. */
+  private def kmeansChainCtes(k: Int, suf: String): String = {
     val Q = "16777216.0"
     def iterBlock(i: Int, prev: String): String = s"""
-      |sims$i AS (
+      |sims$i$suf AS (
       |  SELECT v.vec_id, v.ve, c.cell_id,
       |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
       |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
       |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
       |  FROM v CROSS JOIN $prev c),
-      |asg$i AS (
+      |asg$i$suf AS (
       |  SELECT vec_id, ve, cell_id FROM (
       |    SELECT vec_id, ve, cell_id,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
-      |    FROM sims$i) t WHERE crk = 1),
-      |comp$i AS (
+      |    FROM sims$i$suf) t WHERE crk = 1),
+      |comp$i$suf AS (
       |  SELECT cell_id, generate_subscripts(ve, 1) AS pos, unnest(ve) AS x
-      |  FROM asg$i),
-      |m$i AS (
+      |  FROM asg$i$suf),
+      |m$i$suf AS (
       |  SELECT cell_id, pos,
       |    CAST(SUM(CAST(ROUND(x * $Q) AS BIGINT)) AS DOUBLE) / ($Q * COUNT(*)) AS m
-      |  FROM comp$i GROUP BY cell_id, pos),
-      |cent$i AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cell_id),""".stripMargin
+      |  FROM comp$i$suf GROUP BY cell_id, pos),
+      |cent$i$suf AS (SELECT cell_id, list(m ORDER BY pos) AS cv FROM m$i$suf GROUP BY cell_id),""".stripMargin
     val iters = (1 to KmeansIters)
-      .map(i => iterBlock(i, if (i == 1) "cent0" else s"cent${i - 1}"))
+      .map(i => iterBlock(i, if (i == 1) s"cent0$suf" else s"cent${i - 1}$suf"))
       .mkString("\n")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
-       |picked AS (
+    s"""picked$suf AS (
        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY
        |      CAST(CONCAT('0x', SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 6))
        |        AS INTEGER) / $Q,
        |      vec_id) AS cell_id
-       |  FROM v QUALIFY cell_id <= $KmeansCells),
-       |cent0 AS (SELECT p.cell_id, v.ve AS cv FROM picked p JOIN v ON p.vec_id = v.vec_id),
+       |  FROM v QUALIFY cell_id <= $k),
+       |cent0$suf AS (SELECT p.cell_id, v.ve AS cv FROM picked$suf p JOIN v ON p.vec_id = v.vec_id),
        |$iters
-       |simsF AS (
+       |simsF$suf AS (
        |  SELECT v.vec_id, c.cell_id,
        |    ROUND(LIST_DOT_PRODUCT(v.ve, c.cv) /
        |      GREATEST(SQRT(LIST_DOT_PRODUCT(v.ve, v.ve)) *
        |        SQRT(LIST_DOT_PRODUCT(c.cv, c.cv)), 1e-12), 6) AS s
-       |  FROM v CROSS JOIN cent$KmeansIters c),
-       |asgF AS (
+       |  FROM v CROSS JOIN cent$KmeansIters$suf c),
+       |asgF$suf AS (
        |  SELECT vec_id, cell_id, s FROM (
        |    SELECT vec_id, cell_id, s,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id) AS crk
-       |    FROM simsF) t WHERE crk = 1)
+       |    FROM simsF$suf) t WHERE crk = 1)""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       |${kmeansChainCtes(KmeansCells, "")}
        |SELECT cell_id, COUNT(*) AS n_members,
        |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim
        |FROM asgF GROUP BY cell_id ORDER BY cell_id""".stripMargin
+
+  /** DuckDB twin of qAnnKmeansElbow: one per-k Lloyd chain from the
+    * shared generator, aggregated to one row per k. */
+  private def kmeansElbowOracle: String = {
+    val chains = KmeansElbowKs
+      .map(k => kmeansChainCtes(k, s"_e$k")).mkString(",\n")
+    val rows = KmeansElbowKs.map { k =>
+      s"""SELECT $k AS k, CAST(COUNT(DISTINCT cell_id) AS BIGINT) AS n_cells_used,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS sum_sim,
+         |  ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_sim
+         |FROM asgF_e$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       |$chains
+       |$rows
+       |ORDER BY k""".stripMargin
   }
 
   /** Shared DuckDB CTE: distinct word-3-gram shingles per document.
@@ -2305,7 +2367,8 @@ object DedupSim {
          |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
          |FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot
          |ORDER BY m.method""".stripMargin,
-    "q_ann_kmeans" -> kmeansOracle)
+    "q_ann_kmeans" -> kmeansOracle,
+    "q_ann_kmeans_elbow" -> kmeansElbowOracle)
 
   /** LSH top-5 oracle, parameterized on the (planes, tables) geometry
     * so the lean baseline and the OR-amplified variant share one

@@ -205,6 +205,27 @@ class Round11OperatorsSpec extends SparkSpec {
       s"truth/hit ${sweep(4)} vs recall $rec")
   }
 
+  test("kmeans elbow: k=16 row reproduces q_ann_kmeans's totals; fit never degrades up the ladder") {
+    val elbow = graft.queries.DedupSim.qAnnKmeansElbow(spark, sf).collect()
+      .map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(elbow.keySet == Set(4, 8, 16), s"k ladder: $elbow")
+    assert(elbow.forall { case (k, v) => v._1 <= k && v._1 >= 1 },
+      s"cells used must stay within k: $elbow")
+    // one row per vector in every chain
+    assert(elbow.values.map(_._2).toSet.size == 1, s"member counts: $elbow")
+    // k=16 IS q_ann_kmeans's geometry: totals must match its cell table
+    val km = graft.queries.DedupSim.qAnnKmeans(spark, sf).collect()
+    assert(elbow(16)._2 == km.map(_.getLong(1)).sum,
+      s"members ${elbow(16)._2} vs kmeans ${km.map(_.getLong(1)).sum}")
+    assert(math.abs(elbow(16)._3 - km.map(_.getDouble(2)).sum) < 1e-6,
+      s"sum_sim ${elbow(16)._3} vs kmeans ${km.map(_.getDouble(2)).sum}")
+    // measured on the deterministic corpus: finer quantization fits
+    // at least as well at every doubling (the elbow's premise)
+    assert(elbow(4)._4 <= elbow(8)._4 && elbow(8)._4 <= elbow(16)._4,
+      s"avg_sim must not degrade with k: $elbow")
+  }
+
   test("quality sweep: counts shrink as the cutoff tightens; 0.5 row matches q_text_quality") {
     val sweep = graft.queries.Text.qQualitySweep(spark, sf).collect()
       .map(x => x.getDouble(0) -> ((x.getLong(1), x.getLong(2)))).toMap
