@@ -212,10 +212,17 @@ object Text {
     val bt = withB.groupBy(col("qb")).agg(sum(col("n_toks")).as("bt"))
     // integer-exact half-the-corpus budget (DIV, not a double divide)
     val tot = sc.agg(expr("CAST(SUM(n_toks) DIV 2 AS BIGINT)").as("budget"))
-    val cumAbove = bt.as("x")
+    // running totals over the bucket dimension: the dimension is the
+    // STATIC literal range 0..TokenBudgetBuckets (maxRows provably
+    // ≤ 21), so the theta-join is a bounded broadcast nested loop —
+    // never a quadratic join and never an unpartitioned window
+    val dim = s.range(0L, TokenBudgetBuckets + 1L)
+      .select(col("id").cast("int").as("qb"))
+    val cumAbove = dim.as("x")
       .join(bt.as("y"), col("y.qb") > col("x.qb"), "left")
-      .groupBy(col("x.qb").as("qb"), col("x.bt").as("bt"))
+      .groupBy(col("x.qb").as("qb"))
       .agg(coalesce(sum(col("y.bt")), lit(0L)).as("cum_above"))
+      .join(bt, Seq("qb"))
     val status = cumAbove.crossJoin(broadcast(tot)).select(
       col("qb"), col("cum_above"), col("budget"),
       (col("cum_above") + col("bt") <= col("budget")).as("full_keep"),
