@@ -496,6 +496,38 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** PIPELINE FUNNEL — the stage-survival report over the curation
+    * chain (raw → quality filter → exact-dedup canonical → stratified
+    * sample): docs and tokens alive after each stage, one row per
+    * stage. This is the report every curation run publishes ("dedup
+    * cost 12% of tokens, the quality gate 31%"); the stages are the
+    * registered q_pipeline_curate chain verbatim, so the funnel
+    * measures the SAME pipeline the curate query ships. Each stage
+    * prefix is checkpointed once and read by its own count and every
+    * downstream stage — four bounded aggregate rows, never four
+    * re-runs of the chain. */
+  def qPipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("n_toks", size(split(col("text"), "\\s+")).cast("long"))
+      .localCheckpoint()
+    val kept = scored.where(col("quality") >= 0.5)
+    val canon = graft.dedup.Dedup.exactDedup(kept, "doc_id", "text")
+      .where(col("is_canonical")).localCheckpoint()
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      canon, keyCol = "doc_id", strataCol = "lang",
+      rates = Map("en" -> 0.5), defaultRate = 1.0)
+    Seq((0, "raw", scored), (1, "quality_kept", kept),
+        (2, "dedup_canonical", canon), (3, "sampled", sampled))
+      .map { case (i, nm, df) =>
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+          .select(lit(i).as("stage"), lit(nm).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      }
+      .reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
   /** Sequence packing: assign docs to 2048-token training bins by
     * contiguous fill — each doc's bin is where the per-language
     * running token total stood when it started (exclusive prefix sum
@@ -989,6 +1021,7 @@ object Text {
     "q_text_bm25" -> (qTextBm25 _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_pipeline_curate" -> (qPipelineCurate _),
+    "q_pipeline_funnel" -> (qPipelineFunnel _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_sample_pergroup" -> (qSamplePergroup _),
@@ -1142,6 +1175,33 @@ object Text {
       |    ROUND((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
       |    n_toks
       |  FROM qscored)""".stripMargin
+
+  /** The curation-chain CTEs (scored → kept → canon, with per-doc
+    * token counts carried through) shared by the q_pipeline_curate and
+    * q_pipeline_funnel oracles — one SQL body for the chain both
+    * queries measure. NOTE: q_pipeline_curate's quality formula
+    * (qualityScore over raw split counts) is deliberately the
+    * PER-ROW-expression variant, not the token-backbone variant the
+    * q_text_quality family uses. */
+  private def curateCtes: String =
+    """scored AS (
+      |  SELECT doc_id, lang, text,
+      |    ROUND((LEAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) / 64.0, 1.0) +
+      |      1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+      |        / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) +
+      |      LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+      |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
+      |        / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\s+')), 1)) * 5.0, 1.0)) / 3.0, 6) AS quality,
+      |    LEN(STRING_SPLIT_REGEX(text, '\s+')) AS n_toks
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, lang, quality, n_toks,
+      |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g')) AS h
+      |  FROM scored WHERE quality >= 0.5),
+      |canon AS (
+      |  SELECT doc_id, lang, quality, n_toks,
+      |    MIN(doc_id) OVER (PARTITION BY h) AS cid
+      |  FROM kept)""".stripMargin
 
   /** DuckDB twin of qQualitySweep — the threshold ladder and column
     * layout are generated from the same QualitySweepThresholds
@@ -1391,29 +1451,31 @@ object Text {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "q_pipeline_curate" ->
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, text,
-         |    ROUND((LEAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) / 64.0, 1.0) +
-         |      1.0 - LEAST(((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0
-         |        / GREATEST(LENGTH(text), 1)) * 10.0, 1.0) +
-         |      LEAST((LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
-         |        t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0
-         |        / GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 1)) * 5.0, 1.0)) / 3.0, 6) AS quality
-         |  FROM documents),
-         |kept AS (
-         |  SELECT doc_id, lang, quality,
-         |    MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS h
-         |  FROM scored WHERE quality >= 0.5),
-         |canon AS (
-         |  SELECT doc_id, lang, quality,
-         |    MIN(doc_id) OVER (PARTITION BY h) AS cid
-         |  FROM kept)
+      s"""WITH $curateCtes
          |SELECT doc_id, lang, quality FROM canon
          |WHERE doc_id = cid
          |  AND CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
          |    AS INTEGER) / 16777216.0
          |    < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END
          |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_funnel" ->
+      s"""WITH $curateCtes,
+         |c2 AS (SELECT doc_id, lang, n_toks FROM canon WHERE doc_id = cid),
+         |s2 AS (
+         |  SELECT doc_id, n_toks FROM c2
+         |  WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))
+         |    AS INTEGER) / 16777216.0
+         |    < CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END)
+         |SELECT 0 AS stage, 'raw' AS stage_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM scored
+         |UNION ALL SELECT 1, 'quality_kept', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept
+         |UNION ALL SELECT 2, 'dedup_canonical', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM c2
+         |UNION ALL SELECT 3, 'sampled', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+         |ORDER BY stage""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6))

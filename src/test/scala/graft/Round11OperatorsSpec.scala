@@ -205,6 +205,20 @@ class Round11OperatorsSpec extends SparkSpec {
       s"truth/hit ${sweep(4)} vs recall $rec")
   }
 
+  test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
+    val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
+      .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(f.keySet == Set(0, 1, 2, 3), s"stages: $f")
+    assert(Seq(0, 1, 2).forall(i => f(i)._2 >= f(i + 1)._2
+      && f(i)._3 >= f(i + 1)._3), s"funnel must only shrink: $f")
+    val raw = graft.Tables.documents(spark, sf).count()
+    assert(f(0)._2 == raw, s"raw stage ${f(0)._2} vs documents $raw")
+    val curated = graft.queries.Text.qPipelineCurate(spark, sf).count()
+    assert(f(3)._2 == curated,
+      s"sampled stage ${f(3)._2} vs q_pipeline_curate $curated")
+  }
+
   test("kmeans elbow: k=16 row reproduces q_ann_kmeans's totals; fit never degrades up the ladder") {
     val elbow = graft.queries.DedupSim.qAnnKmeansElbow(spark, sf).collect()
       .map(x => x.getInt(0) ->
