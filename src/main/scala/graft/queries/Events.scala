@@ -1458,7 +1458,40 @@ object Events {
       .limit(20)
   }
 
+  /** Attribution lookback: a click within 72 h before the purchase
+    * can claim it. */
+  val AttrWindowUs: Long = 72L * 3600L * 1000000L
+
+  /** MARKETING ATTRIBUTION (first-touch / last-touch): every purchase
+    * tagged with the first and last 'click' in its user's trailing
+    * 72-hour lookback, plus the click count — the table a
+    * multi-touch-attribution model trains on. ONE user-partitioned
+    * RANGE window over event time does all three measures (min / max /
+    * count of the click timestamps inside [t−72h, t]); range frames
+    * include timestamp peers on both engines, and min/max/count are
+    * order-insensitive within the frame, so ties cost nothing. The
+    * purchase filter happens AFTER the window but the window is
+    * computed over every event row once — at 100 TB this is the
+    * sessionize shuffle shape (hash by user_id, sort by time), no
+    * joins, no self-join lookback; NULL first/last = organic purchase
+    * (no click in window). */
+  def qEventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val look = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-AttrWindowUs, Window.currentRow)
+    val clickTs = when(col("event_type") === "click", col("ts_us"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("first_click_us", min(clickTs).over(look))
+      .withColumn("last_click_us", max(clickTs).over(look))
+      .withColumn("n_clicks_win", count(clickTs).over(look))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("first_click_us"), col("last_click_us"), col("n_clicks_win"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_attribution" -> (qEventsAttribution _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
     "q_events_hist_quantiles" -> (qEventsHistQuantiles _),
@@ -1535,6 +1568,25 @@ object Events {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_events_attribution" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |w AS (
+         |  SELECT *,
+         |    MIN(CASE WHEN event_type = 'click' THEN ts_us END)
+         |      OVER look AS first_click_us,
+         |    MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+         |      OVER look AS last_click_us,
+         |    COUNT(CASE WHEN event_type = 'click' THEN ts_us END)
+         |      OVER look AS n_clicks_win
+         |  FROM e
+         |  WINDOW look AS (PARTITION BY user_id ORDER BY ts_us
+         |    RANGE BETWEEN $AttrWindowUs PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, ts_us,
+         |  first_click_us, last_click_us, n_clicks_win
+         |FROM w WHERE event_type = 'purchase'
+         |ORDER BY event_id""".stripMargin,
     "q_events_drift" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events

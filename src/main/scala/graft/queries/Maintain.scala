@@ -69,6 +69,134 @@ object Maintain {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_type"))
   }
 
+  /** Retention windows measured by q_vacuum_sweep, in hours. */
+  val VacuumRetentionHours: Seq[Long] = Seq(1L, 6L, 24L, 72L)
+
+  /** VACUUM-RETENTION TUNING CURVE (the table-maintenance tuning
+    * sweep): how many closed SCD2 version rows become vacuumable at a
+    * ladder of retention windows behind the table's max timestamp —
+    * the chart that prices a time-travel guarantee ("72 h of history
+    * costs keeping 38% of closed versions"). ONE pass over the
+    * registered q_scd2_history plan's closed rows; the anchor is a
+    * 1-row broadcast max; the ladder is conditional sums in a single
+    * aggregate, stacked to rows — nothing rescans per window. */
+  def qVacuumSweep(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2History(Tables.events(s, d))
+      .where(col("valid_to_us").isNotNull)
+    val anchor = Tables.events(s, d)
+      .agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    val aggs = count(lit(1)).as("n_closed") +:
+      VacuumRetentionHours.zipWithIndex.map { case (h, i) =>
+        sum(when(col("valid_to_us") < col("anchor_us") -
+          lit(h * 3600000000L), 1L).otherwise(0L)).as(s"v$i")
+      }
+    val stackArgs = VacuumRetentionHours.zipWithIndex
+      .map { case (h, i) => s"${h}L, v$i" }.mkString(", ")
+    hist.crossJoin(broadcast(anchor))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${VacuumRetentionHours.size}, $stackArgs)" +
+          " AS (retention_hours, n_vacuumable)"),
+        col("n_closed"))
+      .select(col("retention_hours"), col("n_closed"), col("n_vacuumable"),
+        round(col("n_vacuumable") / greatest(col("n_closed"), lit(1L)), 6)
+          .as("frac_vacuumable"))
+      .orderBy(col("retention_hours"))
+  }
+
+  /** Compaction target in rows (production: bytes, e.g. 512 MB). */
+  val CompactTargetRows: Long = 2000L
+
+  /** Synthetic file inventory: rows land in one of 97 files per month
+    * partition (ingest writers hash-route by order key). */
+  val CompactFileMod: Long = 97L
+
+  /** SMALL-FILE COMPACTION PLANNER: the nightly job that turns a
+    * many-tiny-files partition back into target-sized files. The file
+    * inventory is simulated from lineitem (month partition × 97
+    * hash-routed writer files — the shape streaming ingest leaves
+    * behind); the plan greedily packs files in file-id order, cutting
+    * an output file every CompactTargetRows rows (exclusive running
+    * sum DIV target — a file larger than the target stands alone).
+    * SCALE: after the one inventory aggregate, everything runs on the
+    * MANIFEST (files, not rows — at 100 TB this input comes from the
+    * metastore listing for free); the running sum is a window
+    * partitioned by the table partition, and files-per-partition is
+    * bounded by the writer count, so no task ever sees more than one
+    * partition's file list. Output: per-partition before/after file
+    * counts and the largest planned file — integer-only columns. */
+  def qCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val files = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part_month"),
+        expr(s"l_orderkey % $CompactFileMod").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"))
+    val packOrder = Window.partitionBy(col("part_month"))
+      .orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before",
+        coalesce(sum(col("n_rows")).over(packOrder), lit(0L)))
+      .withColumn("out_file", expr(s"cum_before div $CompactTargetRows"))
+      .groupBy(col("part_month"), col("out_file"))
+      .agg(sum(col("n_rows")).as("out_rows"), count(lit(1)).as("n_in"))
+      .groupBy(col("part_month"))
+      .agg(sum(col("n_in")).as("n_files"),
+        count(lit(1)).as("n_out_files"),
+        sum(col("out_rows")).as("n_rows"),
+        max(col("out_rows")).as("max_out_rows"))
+      .orderBy(col("part_month"))
+  }
+
+  /** Insertion-order file size for the zone-map audit, in orderkeys. */
+  val ZmapFileKeys: Long = 256L
+
+  /** Predicate ladder for the zone-map audit: `l_shipdate >= cutoff`
+    * at four points across the table's 1995–2001 span. */
+  val ZmapCutoffs: Seq[String] =
+    Seq("1996-01-01", "1998-01-01", "2000-01-01", "2001-07-01")
+
+  /** ZONE-MAP PRUNING AUDIT — the layout-decision chart: for each of
+    * two physical layouts (INSERTION order: files of ZmapFileKeys
+    * consecutive orderkeys, uncorrelated with ship date; DATE
+    * layout: one file per (year, quarter) of l_shipdate) and a ladder
+    * of `l_shipdate >= cutoff` predicates, how many files and rows the
+    * per-file max(l_shipdate) zone map lets the scan SKIP entirely
+    * (skippable ⟺ file max < cutoff). On this data the insertion
+    * layout skips ~nothing at every cutoff while the date layout
+    * skips proportionally — the measured case for date-partitioning a
+    * fact table, and the read-side complement of q_zorder's write-side
+    * boxes. ONE row-level pass per layout builds the file-stats
+    * manifest; the ladder is conditional sums in one aggregate over
+    * the manifest, stacked to rows. Integer-only outputs. */
+  def qZonemapPrune(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    def fileStats(layout: String, fileId: Column): DataFrame =
+      li.groupBy(fileId.as("file_id"))
+        .agg(count(lit(1)).as("n_rows"), max(col("l_shipdate")).as("max_ship"))
+        .select(lit(layout).as("layout"), col("n_rows"), col("max_ship"))
+    val files = fileStats("insertion", expr(s"l_orderkey div $ZmapFileKeys"))
+      .unionByName(fileStats("date",
+        year(col("l_shipdate")) * lit(4) + quarter(col("l_shipdate"))))
+    val aggs = count(lit(1)).as("n_files") +:
+      sum(col("n_rows")).as("rows_total") +:
+      ZmapCutoffs.zipWithIndex.flatMap { case (c, i) =>
+        val skip = col("max_ship") < lit(c).cast("timestamp")
+        Seq(sum(when(skip, 1L).otherwise(0L)).as(s"f$i"),
+          sum(when(skip, col("n_rows")).otherwise(0L)).as(s"r$i"))
+      }
+    val stackArgs = ZmapCutoffs.zipWithIndex
+      .map { case (c, i) => s"'$c', f$i, r$i" }.mkString(", ")
+    files.groupBy(col("layout")).agg(aggs.head, aggs.tail: _*)
+      .select(col("layout"),
+        expr(s"stack(${ZmapCutoffs.size}, $stackArgs)" +
+          " AS (cutoff, n_skip_files, n_skip_rows)"),
+        col("n_files"), col("rows_total"))
+      .select(col("layout"), col("cutoff"), col("n_files"),
+        col("n_skip_files"), col("rows_total"), col("n_skip_rows"))
+      .orderBy(col("layout"), col("cutoff"))
+  }
+
   /** Z-order layout audit over lineitem's (l_partkey, l_suppkey):
     * Morton-interleave both keys (ZOrder.zorderValue — pure codegen'd
     * shift/mask arithmetic), bucket rows by the top interleaved bits,
@@ -470,6 +598,9 @@ object Maintain {
     "q_profile" -> (qProfile _),
     "q_merge_upsert" -> (qMergeUpsert _),
     "q_scd2_history" -> (qScd2History _),
+    "q_vacuum_sweep" -> (qVacuumSweep _),
+    "q_compaction_plan" -> (qCompactionPlan _),
+    "q_zonemap_prune" -> (qZonemapPrune _),
     "q_zorder" -> (qZorder _),
     "q_scd2_incremental" -> (qScd2Incremental _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -478,20 +609,85 @@ object Maintain {
 
   /** Full-rebuild SQL — q_scd2_history's oracle, and by the
     * incremental-equals-rebuild invariant also q_scd2_incremental's. */
-  private val Scd2RebuildSql =
-    """WITH lagged AS (
+  /** The SCD2 rebuild CTE chain (lagged → chg → hist) shared by the
+    * q_scd2_history oracle and the vacuum sweep. */
+  private val Scd2Ctes =
+    """lagged AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
       |    LAG(event_type, 1) OVER (PARTITION BY user_id
       |      ORDER BY epoch_us(ts), event_id) AS prev_type
       |  FROM events),
       |chg AS (
       |  SELECT user_id, event_type, ts_us, event_id FROM lagged
-      |  WHERE prev_type IS NULL OR prev_type <> event_type)
-      |SELECT user_id, event_type, ts_us AS valid_from_us,
-      |  LEAD(ts_us, 1) OVER (PARTITION BY user_id
-      |    ORDER BY ts_us, event_id) AS valid_to_us
-      |FROM chg
-      |ORDER BY user_id, valid_from_us, event_type""".stripMargin
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |hist AS (
+      |  SELECT user_id, event_type, ts_us AS valid_from_us,
+      |    LEAD(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS valid_to_us
+      |  FROM chg)""".stripMargin
+
+  private val Scd2RebuildSql =
+    s"""WITH $Scd2Ctes
+       |SELECT user_id, event_type, valid_from_us, valid_to_us
+       |FROM hist
+       |ORDER BY user_id, valid_from_us, event_type""".stripMargin
+
+  /** DuckDB twin of qVacuumSweep — ladder generated from the same
+    * VacuumRetentionHours constant. */
+  private def vacuumSweepOracle: String = {
+    val conds = VacuumRetentionHours.zipWithIndex.map { case (h, i) =>
+      s"SUM(CASE WHEN valid_to_us < anchor_us - ${h * 3600000000L} THEN 1 ELSE 0 END) AS v$i"
+    }.mkString(",\n    ")
+    val rows = VacuumRetentionHours.zipWithIndex.map { case (h, i) =>
+      s"""SELECT CAST($h AS BIGINT) AS retention_hours,
+         |  CAST(n_closed AS BIGINT) AS n_closed,
+         |  CAST(v$i AS BIGINT) AS n_vacuumable,
+         |  ROUND(v$i / GREATEST(n_closed, 1), 6) AS frac_vacuumable
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $Scd2Ctes,
+       |closed AS (SELECT valid_to_us FROM hist WHERE valid_to_us IS NOT NULL),
+       |a AS (SELECT MAX(epoch_us(ts)) AS anchor_us FROM events),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_closed,
+       |    $conds
+       |  FROM closed CROSS JOIN a)
+       |$rows
+       |ORDER BY retention_hours""".stripMargin
+  }
+
+  /** DuckDB twin of qZonemapPrune — layouts and ladder generated from
+    * the same ZmapFileKeys / ZmapCutoffs constants. */
+  private def zonemapPruneOracle: String = {
+    val conds = ZmapCutoffs.zipWithIndex.map { case (c, i) =>
+      s"""CAST(SUM(CASE WHEN max_ship < TIMESTAMP '$c' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS f$i,
+         |    CAST(SUM(CASE WHEN max_ship < TIMESTAMP '$c' THEN n_rows
+         |      ELSE 0 END) AS BIGINT) AS r$i""".stripMargin
+    }.mkString(",\n    ")
+    val rows = ZmapCutoffs.zipWithIndex.map { case (c, i) =>
+      s"""SELECT layout, '$c' AS cutoff, n_files, f$i AS n_skip_files,
+         |  rows_total, r$i AS n_skip_rows FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+       |f1 AS (
+       |  SELECT 'insertion' AS layout, l_orderkey // $ZmapFileKeys AS file_id,
+       |    COUNT(*) AS n_rows, MAX(l_shipdate) AS max_ship
+       |  FROM li GROUP BY 1, 2),
+       |f2 AS (
+       |  SELECT 'date' AS layout,
+       |    year(l_shipdate) * 4 + quarter(l_shipdate) AS file_id,
+       |    COUNT(*) AS n_rows, MAX(l_shipdate) AS max_ship
+       |  FROM li GROUP BY 1, 2),
+       |files AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+       |agg AS (
+       |  SELECT layout, COUNT(*) AS n_files,
+       |    CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       |    $conds
+       |  FROM files GROUP BY 1)
+       |$rows
+       |ORDER BY layout, cutoff""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_skew_report" -> {
@@ -605,6 +801,27 @@ object Maintain {
         |FROM ranked WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
     "q_scd2_history" -> Scd2RebuildSql,
+    "q_vacuum_sweep" -> vacuumSweepOracle,
+    "q_compaction_plan" ->
+      s"""WITH files AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+         |    l_orderkey % $CompactFileMod AS file_id, COUNT(*) AS n_rows
+         |  FROM lineitem GROUP BY 1, 2),
+         |planned AS (
+         |  SELECT *, COALESCE(SUM(n_rows) OVER (PARTITION BY part_month
+         |    ORDER BY file_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS cum_before
+         |  FROM files),
+         |outf AS (
+         |  SELECT part_month, cum_before // $CompactTargetRows AS out_file,
+         |    SUM(n_rows) AS out_rows, COUNT(*) AS n_in
+         |  FROM planned GROUP BY 1, 2)
+         |SELECT part_month, CAST(SUM(n_in) AS BIGINT) AS n_files,
+         |  COUNT(*) AS n_out_files, CAST(SUM(out_rows) AS BIGINT) AS n_rows,
+         |  CAST(MAX(out_rows) AS BIGINT) AS max_out_rows
+         |FROM outf GROUP BY 1 ORDER BY part_month""".stripMargin,
+    "q_zonemap_prune" -> zonemapPruneOracle,
     // the incremental apply must reproduce the full rebuild exactly —
     // the oracle IS the rebuild, checking the maintenance algebra
     "q_scd2_incremental" -> Scd2RebuildSql,

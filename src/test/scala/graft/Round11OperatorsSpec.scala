@@ -205,6 +205,90 @@ class Round11OperatorsSpec extends SparkSpec {
       s"truth/hit ${sweep(4)} vs recall $rec")
   }
 
+  test("vacuum sweep: longer retention keeps more; counts tie to q_scd2_history") {
+    val sw = graft.queries.Maintain.qVacuumSweep(spark, sf).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(sw.keySet == Set(1L, 6L, 24L, 72L), s"ladder: $sw")
+    // one closed-version universe across all windows
+    assert(sw.values.map(_._1).toSet.size == 1, s"n_closed must agree: $sw")
+    val closed = graft.queries.Maintain.qScd2History(spark, sf)
+      .where(col("valid_to_us").isNotNull).count()
+    assert(sw(1L)._1 == closed, s"${sw(1L)._1} vs scd2 closed $closed")
+    // a longer retention window can only keep MORE versions
+    assert(sw(1L)._2 >= sw(6L)._2 && sw(6L)._2 >= sw(24L)._2
+      && sw(24L)._2 >= sw(72L)._2, s"monotone retention: $sw")
+    assert(sw.values.forall(v => v._2 <= v._1), s"vacuumable ≤ closed: $sw")
+  }
+
+  test("attribution: range window agrees with a brute-force click join") {
+    val at = graft.queries.Events.qEventsAttribution(spark, sf)
+    // brute force: purchases × clicks on user with the 72 h residual,
+    // aggregated per purchase — must match the window form exactly
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts_us").as("c_ts"))
+    val win = graft.queries.Events.AttrWindowUs
+    val brute = p.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts") <= col("ts_us") &&
+        col("c_ts") >= col("ts_us") - lit(win), "left")
+      .groupBy(col("event_id"))
+      .agg(min(col("c_ts")).as("first_click_us"),
+        max(col("c_ts")).as("last_click_us"),
+        count(col("c_ts")).as("n_clicks_win"))
+    val joined = at.alias("a").join(brute.alias("b"), "event_id")
+    assert(joined.count() == at.count())
+    val mismatch = joined.where(
+      !(col("a.first_click_us") <=> col("b.first_click_us")) ||
+      !(col("a.last_click_us") <=> col("b.last_click_us")) ||
+      col("a.n_clicks_win") =!= col("b.n_clicks_win")).count()
+    assert(mismatch == 0, s"$mismatch purchases disagree with brute force")
+  }
+
+  test("compaction plan: conserves rows and collapses small months to one file") {
+    val plan = graft.queries.Maintain.qCompactionPlan(spark, sf).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val truth = Tables.lineitem(spark, sf)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(plan.keySet == truth.keySet)
+    val target = graft.queries.Maintain.CompactTargetRows
+    plan.foreach { case (m, (nFiles, nOut, nRows, maxOut)) =>
+      assert(nRows == truth(m), s"$m: rows $nRows vs ${truth(m)}")
+      assert(nOut <= nFiles, s"$m: plan must never add files")
+      assert(maxOut <= nRows)
+      if (nRows <= target)
+        assert(nOut == 1L, s"$m: $nRows rows (≤ $target) must pack to 1 file")
+    }
+  }
+
+  test("zonemap: date layout skips exactly the pre-cutoff rows; insertion skips ~nothing") {
+    val zm = graft.queries.Maintain.qZonemapPrune(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    graft.queries.Maintain.ZmapCutoffs.foreach { cut =>
+      val before = li.where(col("l_shipdate") < lit(cut).cast("timestamp"))
+        .count()
+      val (_, _, dTot, dSkip) = zm(("date", cut))
+      // cutoffs sit on quarter boundaries, so the quarter layout's
+      // zone maps are EXACT: skipped rows == rows before the cutoff
+      assert(dTot == total && dSkip == before,
+        s"date@$cut: skip $dSkip vs exact $before")
+      val (_, iSkipF, _, iSkip) = zm(("insertion", cut))
+      // orderkey order is uncorrelated with ship date — pruning ~zero
+      assert(iSkip <= dSkip, s"insertion@$cut must not out-skip date layout")
+      if (cut != graft.queries.Maintain.ZmapCutoffs.last)
+        assert(iSkipF == 0L,
+          s"insertion@$cut: uncorrelated layout should skip no full file")
+    }
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
