@@ -78,6 +78,44 @@ object Multimodal {
     }
   }
 
+  case class MediaHash(
+      media_id: Long,
+      modality: String,
+      n_bytes: Int,
+      phash: Long)
+
+  /** AVERAGE-HASH perceptual fingerprint (the aHash family: bit i set
+    * iff component i sits strictly above the mean) over the stub
+    * decoder's 8-bin byte histogram — the real algorithm on the stub
+    * feature, so the hash survives byte-order-preserving perturbations
+    * (any permutation of the payload hashes identically, the stand-in
+    * for "same image, different encoder run"). INTEGER-EXACT: bit i is
+    * `8·h[i] > n` — no float mean, so the oracle reproduces every bit
+    * from character counts alone. */
+  def phashStub(rec: MediaRecord): MediaHash = {
+    val bytes = rec.payload
+    val hist = new Array[Int](8)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) % 8) += 1
+      i += 1
+    }
+    var ph = 0L
+    var b = 0
+    while (b < 8) {
+      if (8L * hist(b) > bytes.length) ph |= (1L << b)
+      b += 1
+    }
+    MediaHash(rec.media_id, rec.modality, bytes.length, ph)
+  }
+
+  /** Perceptual hashing as the same typed per-partition pipeline shape
+    * as extractFeatures. */
+  def perceptualHash(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map(phashStub))
+  }
+
   /** STUB resize: a real pipeline decodes + bilinear-resamples the
     * image here. The stub scales the metadata and re-tags the codec —
     * deterministic, so the plumbing (schema in = schema out, per-

@@ -72,12 +72,68 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** PERCEPTUAL-HASH near-dup — the aHash shape real image dedup runs
+    * (exact-match on a content-derived fingerprint, NOT pairwise
+    * similarity): each record's average-hash over the stub decoder's
+    * byte histogram, grouped per (modality, phash). Unlike the exact
+    * dedup's md5 groups, a phash bucket is NOT bounded (every solid-
+    * color image shares one hash — the boilerplate-chunk problem), so
+    * the canonical pick is a min AGGREGATE + join-back (map-side
+    * partials, no per-group sort task), never a window over the hash.
+    * Only (id, modality, 8-byte hash) shuffles; payload bytes stay at
+    * the scan. Superset property spec-asserted: byte-identical
+    * payloads always share a phash group. */
+  def qMediaPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val hashes = Multimodal.perceptualHash(s, media).toDF()
+    val canon = hashes.groupBy(col("modality"), col("phash"))
+      .agg(min(col("media_id")).as("canonical_id"),
+        count(lit(1)).as("n_members"))
+    hashes.join(canon, Seq("modality", "phash"))
+      .select(col("media_id"), col("modality"),
+        col("n_bytes").cast("long").as("n_bytes"), col("phash"),
+        col("canonical_id"),
+        (col("media_id") === col("canonical_id")).as("is_canonical"),
+        col("n_members"))
+      .orderBy(col("media_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_pipeline" -> (qMultimodalPipeline _),
-    "q_multimodal_dedup" -> (qMultimodalDedup _))
+    "q_multimodal_dedup" -> (qMultimodalDedup _),
+    "q_media_phash_dedup" -> (qMediaPhashDedup _))
 
   def oracles: Map[String, String] = Map(
+    // the corpus is pure ASCII, so char counts == byte counts and the
+    // 8-bin histogram rebuilds from UNICODE(ch) % 8; bit i of the
+    // average hash is the integer test 8·h_i > n_bytes
+    "q_media_phash_dedup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, UNICODE(ch) % 8 AS b, COUNT(*) AS h
+        |  FROM chars GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT d.doc_id AS media_id,
+        |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+        |      WHEN d.doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS modality,
+        |    CAST(LENGTH(d.text) AS BIGINT) AS n_bytes,
+        |    CAST(COALESCE(SUM(CASE WHEN 8 * h.h > LENGTH(d.text)
+        |      THEN 1 << h.b END), 0) AS BIGINT) AS phash
+        |  FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
+        |  GROUP BY 1, 2, 3),
+        |canon AS (
+        |  SELECT modality, phash, MIN(media_id) AS canonical_id,
+        |    COUNT(*) AS n_members
+        |  FROM ph GROUP BY 1, 2)
+        |SELECT p.media_id, p.modality, p.n_bytes, p.phash,
+        |  c.canonical_id, p.media_id = c.canonical_id AS is_canonical,
+        |  c.n_members
+        |FROM ph p JOIN canon c USING (modality, phash)
+        |ORDER BY p.media_id""".stripMargin,
     // payload = the utf-8 text bytes, so MD5(text) IS the payload hash
     "q_multimodal_dedup" ->
       """WITH m AS (

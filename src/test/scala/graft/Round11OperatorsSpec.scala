@@ -289,6 +289,32 @@ class Round11OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("phash dedup: payload permutations collide, distributions differ, exact dups never split") {
+    // ids 0/3 are both 'image' (id % 3): "aabb" and its permutation
+    // "bbaa" have identical byte histograms — same average hash, one
+    // near-dup group; "zzzz" has a different distribution — its own
+    val d = docsDir(Seq((0L, "aabb"), (3L, "bbaa"), (6L, "zzzz")))
+    val r = graft.queries.Media.qMediaPhashDedup(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4), x.getLong(6))))
+      .toMap
+    assert(r(0L)._1 == r(3L)._1 && r(0L)._2 == 0L && r(3L)._2 == 0L,
+      s"permutation must collide: $r")
+    assert(r(3L)._3 == 2L, s"group size: $r")
+    assert(r(6L)._1 != r(0L)._1 && r(6L)._2 == 6L,
+      s"different distribution must not collide: $r")
+    // sf corpus: a phash group can only MERGE exact-dup groups, never
+    // split one (phash is a pure function of the payload)
+    val full = graft.queries.Media.qMediaPhashDedup(spark, sf)
+      .select(col("media_id"), col("modality"), col("phash"))
+    val exact = graft.queries.Media.qMultimodalDedup(spark, sf)
+      .select(col("media_id"), col("canonical_id").as("md5_canon"))
+    val split = full.alias("f").join(exact, "media_id")
+      .groupBy(col("md5_canon"))
+      .agg(countDistinct(col("modality"), col("phash")).as("k"))
+      .where(col("k") > 1).count()
+    assert(split == 0, s"$split exact-dup groups split across phash groups")
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
