@@ -1475,19 +1475,25 @@ object Events {
     * sessionize shuffle shape (hash by user_id, sort by time), no
     * joins, no self-join lookback; NULL first/last = organic purchase
     * (no click in window). */
-  def qEventsAttribution(s: SparkSession, d: String): DataFrame = {
+  def qEventsAttribution(s: SparkSession, d: String): DataFrame =
+    attributionOver(
+      Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))))
+      .orderBy(col("event_id"))
+
+  /** The attribution core over any frame with (event_id, user_id,
+    * event_type, ts_us) — split out so the streaming twin's
+    * equivalence spec can run it on a planted frame. */
+  def attributionOver(ev: DataFrame): DataFrame = {
     val look = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-AttrWindowUs, Window.currentRow)
     val clickTs = when(col("event_type") === "click", col("ts_us"))
-    Tables.events(s, d)
-      .withColumn("ts_us", unix_micros(col("ts")))
+    ev
       .withColumn("first_click_us", min(clickTs).over(look))
       .withColumn("last_click_us", max(clickTs).over(look))
       .withColumn("n_clicks_win", count(clickTs).over(look))
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("first_click_us"), col("last_click_us"), col("n_clicks_win"))
-      .orderBy(col("event_id"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

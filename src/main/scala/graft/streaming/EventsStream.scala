@@ -56,6 +56,12 @@ case class FunnelRow(
   * (acceptable here: CUSUM state rebuilds from one window of events;
   * a schema-evolution-tolerant encoder would be the alternative if
   * the state ever becomes expensive to rebuild). */
+case class AttrState(
+    pending: Seq[(Long, Long, String)], clicks: Seq[Long])
+case class AttrRow(
+    event_id: Long, user_id: Long, ts_us: Long,
+    first_click_us: Option[Long], last_click_us: Option[Long],
+    n_clicks_win: Long)
 case class CusumCarry(
     pending: Seq[(Long, Long)], open: Map[Long, Long], c: Long,
     lastEmitted: Long, nLate: Long)
@@ -756,6 +762,64 @@ object EventsStream {
               pair
           }
           state.update(TransState(hold, last))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of queries.Events.qEventsAttribution: each
+    * finalized purchase emitted with the first/last click and click
+    * count in its user's trailing AttrWindowUs lookback — attribution
+    * computed AT INGEST, the production shape (the batch RANGE window
+    * needs the whole day's partition; this needs one user's recent
+    * clicks). Same watermark-buffer discipline as transitionsStream,
+    * with one extra care: the batch frame is a RANGE window, so a
+    * click at EXACTLY the purchase's timestamp is a frame peer
+    * regardless of event-id order — the fold absorbs all of a
+    * timestamp's clicks before attributing any of its purchases.
+    * State = pending rows (watermark-bounded) + the click times still
+    * inside any future purchase's lookback (clicks older than
+    * watermark − window can never be claimed again and are pruned) —
+    * a 72 h sliding click buffer per user, the honest production
+    * bound. Emissions are final (append mode, no changelog). */
+  def attributionStream(
+      events: Dataset[TransEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[AttrRow] = {
+    import events.sparkSession.implicits._
+    val win = graft.queries.Events.AttrWindowUs
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[AttrState]) =>
+          val prev = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val pending = prev.pending ++
+            rows.map(r => (r.ts.getTime * 1000L, r.event_id, r.event_type))
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = pending.partition(_._1 <= horizonUs)
+          var clicks = prev.clicks // ascending finalized click times
+          val out = scala.collection.mutable.ListBuffer.empty[AttrRow]
+          ripe.groupBy(_._1).toSeq.sortBy(_._1).foreach {
+            case (ts, group) =>
+              // all of this timestamp's clicks enter the buffer first:
+              // RANGE-frame peers of any purchase at the same instant
+              clicks = clicks ++ group.filter(_._3 == "click").map(_._1)
+              group.sortBy(_._2).foreach { case (_, eid, typ) =>
+                if (typ == "purchase") {
+                  val inWin = clicks.dropWhile(_ < ts - win)
+                  clicks = inWin // older clicks are dead for later rows too
+                  out += AttrRow(eid, uid, ts,
+                    inWin.headOption, inWin.lastOption, inWin.size.toLong)
+                }
+              }
+          }
+          clicks = clicks.dropWhile(_ < horizonUs - win)
+          state.update(AttrState(hold, clicks))
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(hold.map(_._1).min / 1000L + 1L,

@@ -1163,6 +1163,67 @@ class StreamingSpec extends SparkSpec {
       s"states: $streamed")
   }
 
+  test("streaming attribution equals the batch range window under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{AttrRow, TransEvent}
+    def ev(id: Long, uid: Long, t: String, typ: String) =
+      TransEvent(uid, id, Timestamp.valueOf(t), typ)
+    // user 7: purchase at 10:20 ARRIVES before the 10:00 click that
+    // must claim it; the 10:30 click is after the purchase and must
+    // not. A second purchase at 11:00 sees both clicks. user 8's
+    // purchase at 09:40 shares its exact timestamp with a click whose
+    // event_id is HIGHER — a RANGE-frame peer the stream must absorb
+    // before attributing. user 9 is organic (no clicks).
+    val rows = Seq(
+      ev(1L, 7L, "2024-03-01 10:20:00", "purchase"),
+      ev(2L, 7L, "2024-03-01 10:00:00", "click"),
+      ev(3L, 7L, "2024-03-01 10:30:00", "click"),
+      ev(4L, 7L, "2024-03-01 11:00:00", "purchase"),
+      ev(5L, 8L, "2024-03-01 09:40:00", "purchase"),
+      ev(6L, 8L, "2024-03-01 09:40:00", "click"),
+      ev(7L, 9L, "2024-03-01 10:10:00", "purchase"),
+      ev(8L, 9L, "2024-03-02 10:09:00", "view"))
+    val stream = MemoryStream[TransEvent]
+    val q = EventsStream.attributionStream(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // users 8/9 ride in the first batch (their timestamps sit below
+      // the watermark the 10:30 click establishes, and rows behind the
+      // watermark are late-dropped by contract); the next-day view is
+      // the final watermark pusher that finalizes the 11:00 purchase
+      stream.addData(rows.take(3) ++ rows.slice(4, 7): _*)
+      q.processAllAvailable()
+      stream.addData(rows(3)); q.processAllAvailable()
+      stream.addData(rows(7)); q.processAllAvailable()
+      stream.addData(Seq.empty[TransEvent]); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr_out").as[AttrRow].collect()
+      .map(r => r.event_id ->
+        ((r.first_click_us, r.last_click_us, r.n_clicks_win))).toMap
+    // the batch core over the same planted frame is the oracle
+    val batch = graft.queries.Events.attributionOver(
+      rows.toDS().toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    assert(streamed(1L) ==
+      ((Some(us("2024-03-01 10:00:00")), Some(us("2024-03-01 10:00:00")), 1L)))
+    assert(streamed(4L) ==
+      ((Some(us("2024-03-01 10:00:00")), Some(us("2024-03-01 10:30:00")), 2L)))
+    assert(streamed(5L) ==
+      ((Some(us("2024-03-01 09:40:00")), Some(us("2024-03-01 09:40:00")), 1L)),
+      s"same-instant click is a RANGE peer: ${streamed(5L)}")
+    assert(streamed(7L) == ((None, None, 0L)), "organic purchase")
+  }
+
   test("streaming funnel folds out-of-order stages to the batch triple") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
