@@ -351,6 +351,41 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** ERROR-CONTEXT BAND JOIN — what else was happening within ±60 s
+    * of each error, across ALL users and types (incident blast-radius
+    * triage). Deliberately written as the naive theta-join
+    * `abs(e_ts − ts_us) <= radius` with NO equi key: Catalyst alone
+    * would plan BroadcastNestedLoopJoin — O(|errors|·|events|) — and
+    * the registered BandedRangeJoinRule (plans/BandedRangeJoinRule)
+    * rewrites it into the exact banded equi-join (width-radius bins,
+    * 3-bin left expansion, predicate re-checked), so the physical plan
+    * is an ordinary shuffled join. This query is the end-to-end
+    * production use of the rule; PlanSpec asserts no nested-loop join
+    * survives. Self-pair excluded; errors with an empty neighborhood
+    * come back as zeros via the equi join-back. */
+  def qEventsErrorContext(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val err = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts_us").as("e_ts"))
+    val near = err.join(ev,
+        abs(col("e_ts") - col("ts_us")) <= lit(ErrCtxRadiusUs) &&
+          col("event_id") =!= col("e_id"))
+      .groupBy(col("e_id"))
+      .agg(count(lit(1)).as("n_nearby"),
+        countDistinct(col("user_id")).as("n_users"))
+    err.select(col("e_id"))
+      .join(near, Seq("e_id"), "left")
+      .select(col("e_id").as("event_id"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The error-context neighborhood radius: ±60 s in epoch micros. */
+  val ErrCtxRadiusUs: Long = 60000000L
+
   /** Per-user top-3 events by value — window rank + filter. */
   def qEventsTopnUser(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -1498,6 +1533,7 @@ object Events {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_events_error_context" -> (qEventsErrorContext _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
     "q_events_hist_quantiles" -> (qEventsHistQuantiles _),
@@ -1592,6 +1628,25 @@ object Events {
          |SELECT event_id, user_id, ts_us,
          |  first_click_us, last_click_us, n_clicks_win
          |FROM w WHERE event_type = 'purchase'
+         |ORDER BY event_id""".stripMargin,
+    "q_events_error_context" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events),
+         |err AS (
+         |  SELECT event_id AS e_id, ts_us AS e_ts FROM ev
+         |  WHERE event_type = 'error'),
+         |agg AS (
+         |  SELECT e.e_id, COUNT(*) AS n_nearby,
+         |    COUNT(DISTINCT v.user_id) AS n_users
+         |  FROM err e JOIN ev v
+         |    ON ABS(e.e_ts - v.ts_us) <= $ErrCtxRadiusUs
+         |    AND v.event_id <> e.e_id
+         |  GROUP BY 1)
+         |SELECT e.e_id AS event_id,
+         |  COALESCE(a.n_nearby, 0) AS n_nearby,
+         |  COALESCE(a.n_users, 0) AS n_users
+         |FROM err e LEFT JOIN agg a USING (e_id)
          |ORDER BY event_id""".stripMargin,
     "q_events_drift" ->
       """WITH ev AS (

@@ -339,6 +339,45 @@ object Maintain {
         col("sv").cast("double").as("sum_value"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Incremental HISTOGRAM maintenance — the distribution-shaped third
+    * member of the IVM family (q_scd2_incremental: interval algebra;
+    * q_incremental_agg: sums; this: bucket counts). The maintained
+    * view is the long-form (event_type, bucket, n) value histogram on
+    * q_events_hist_quantiles' fixed [0,500)/25 grid — integer counts
+    * are a commutative monoid, so state ⊕ batch-partial ≡ full rebuild
+    * at ANY cutoff, and every percentile/drift consumer downstream
+    * reads the maintained view instead of rescanning the corpus.
+    * Oracle IS the full rebuild; cutoff-sweep + associativity spec. */
+  def qIncrementalHist(s: SparkSession, d: String): DataFrame = {
+    val cutoff = expr(s"timestamp'$Scd2Cutoff'")
+    val ev = Tables.events(s, d)
+    histViewMerge(
+      valueHist(ev.where(col("ts") < cutoff)),
+      valueHist(ev.where(col("ts") >= cutoff)))
+  }
+
+  /** The maintained view: per-(type, bucket) counts on the shared
+    * Events.HistLo/HistHi/HistBuckets grid, out-of-range values
+    * clamped into the end buckets. */
+  def valueHist(events: DataFrame): DataFrame = {
+    val w = (graft.queries.Events.HistHi - graft.queries.Events.HistLo) /
+      graft.queries.Events.HistBuckets
+    events.where(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        least(greatest(
+          floor((col("value") - lit(graft.queries.Events.HistLo)) / lit(w))
+            .cast("long"), lit(0L)),
+          lit(graft.queries.Events.HistBuckets - 1L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The merge algebra: bucket counts add. */
+  def histViewMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** The apply core: merge `batch` (events schema) into `hist` (a
     * qScd2History output). */
   def scd2Apply(hist: DataFrame, batch: DataFrame): DataFrame = {
@@ -604,6 +643,7 @@ object Maintain {
     "q_zorder" -> (qZorder _),
     "q_scd2_incremental" -> (qScd2Incremental _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_incremental_hist" -> (qIncrementalHist _),
     "q_events_enrich" -> (qEventsEnrich _),
     "q_quality_audit" -> (qQualityAudit _))
 
@@ -852,6 +892,19 @@ object Maintain {
         |  ON b.user_id = h.user_id AND h.valid_from_us <= b.ts_us
         |    AND (h.valid_to_us IS NULL OR b.ts_us < h.valid_to_us)
         |ORDER BY b.event_id""".stripMargin,
+    // the incremental histogram must reproduce the full rebuild —
+    // grid generated from the shared Events.Hist* constants
+    "q_incremental_hist" -> {
+      val lo = graft.queries.Events.HistLo
+      val k = graft.queries.Events.HistBuckets
+      val w = (graft.queries.Events.HistHi - lo) / k
+      s"""SELECT event_type,
+         |  LEAST(GREATEST(CAST(FLOOR((value - $lo) / $w) AS BIGINT), 0),
+         |    ${k - 1}) AS bucket,
+         |  COUNT(*) AS n
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  COUNT(*) AS n_events,

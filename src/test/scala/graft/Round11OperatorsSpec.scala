@@ -315,6 +315,55 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(split == 0, s"$split exact-dup groups split across phash groups")
   }
 
+  test("error context: banded rewrite kills the nested-loop join and matches brute force") {
+    val q = graft.queries.Events.qEventsErrorContext(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"band join must be rewritten to an equi-join:\n${plan.take(2000)}")
+    // independent driver-side brute force over the small fixture
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val r = graft.queries.Events.ErrCtxRadiusUs
+    val expected = ev.filter(_._4 == "error").map { case (eid, _, ets, _) =>
+      val near = ev.filter(v => math.abs(ets - v._3) <= r && v._1 != eid)
+      eid -> ((near.length.toLong, near.map(_._2).distinct.length.toLong))
+    }.toMap
+    val got = q.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got == expected, s"${got.size} rows; first diff: ${
+      (got.keySet ++ expected.keySet).find(k => got.get(k) != expected.get(k))
+        .map(k => s"$k: ${got.get(k)} vs ${expected.get(k)}")}")
+  }
+
+  test("incremental hist: merge equals rebuild at every cutoff and associates") {
+    import graft.queries.Maintain.{valueHist, histViewMerge}
+    val ev = Tables.events(spark, sf)
+    val rebuild = histViewMerge(valueHist(ev), valueHist(ev.limit(0)))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    Seq("2024-01-08", "2024-01-16", "2024-01-28").foreach { cut =>
+      val c = expr(s"timestamp'$cut 00:00:00'")
+      val merged = histViewMerge(
+        valueHist(ev.where(col("ts") < c)),
+        valueHist(ev.where(col("ts") >= c))).collect()
+        .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(merged == rebuild, s"cutoff $cut diverges from rebuild")
+    }
+    // three-way associativity: ((a ⊕ b) ⊕ c) == rebuild
+    val (c1, c2) = (expr("timestamp'2024-01-10 00:00:00'"),
+      expr("timestamp'2024-01-20 00:00:00'"))
+    val abc = histViewMerge(
+      histViewMerge(
+        valueHist(ev.where(col("ts") < c1)),
+        valueHist(ev.where(col("ts") >= c1 && col("ts") < c2))),
+      valueHist(ev.where(col("ts") >= c2))).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(abc == rebuild, "three-way merge diverges from rebuild")
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
