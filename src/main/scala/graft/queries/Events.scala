@@ -1531,8 +1531,48 @@ object Events {
         col("first_click_us"), col("last_click_us"), col("n_clicks_win"))
   }
 
+  /** LINEAR MULTI-TOUCH CREDIT — the model half of the attribution
+    * pair: every converting purchase distributes exactly 1,000,000 ppm
+    * of credit equally across the clicks in its 72 h lookback, and
+    * each click reports the total credit it earned (the table a
+    * media-mix budget reads). EXACT BY CONSTRUCTION: click i of n gets
+    * the telescoped share ⌊10⁶·i/n⌋ − ⌊10⁶·(i−1)/n⌋ — integers only,
+    * per-purchase shares sum to 10⁶ identically, no remainder
+    * special-case. Joins are user-equi with the lookback as residual
+    * (the enrich shape — shuffles on user_id, never a cross join);
+    * the per-purchase rank window is bounded by clicks-per-72 h.
+    * Clicks that never converted report zeros via the left join-back. */
+  def qEventsAttributionCredit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = attributionOver(ev).where(col("n_clicks_win") > 0)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"), col("n_clicks_win").as("n"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts_us").as("c_ts"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_ts"), col("c_id"))
+    val credited = purchases.join(clicks, Seq("user_id"))
+      .where(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - lit(AttrWindowUs))
+      .withColumn("rn", row_number().over(byPurchase))
+      .withColumn("credit_ppm",
+        expr("(CAST(1000000 AS BIGINT) * rn) div n" +
+          " - (CAST(1000000 AS BIGINT) * (rn - 1)) div n"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("credit_ppm")).as("credit_ppm"),
+        count(lit(1)).as("n_conversions"))
+    clicks.join(credited, Seq("c_id"), "left")
+      .select(col("c_id").as("event_id"), col("user_id"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"),
+        coalesce(col("credit_ppm"), lit(0L)).as("credit_ppm"))
+      .orderBy(col("event_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_events_attribution_credit" -> (qEventsAttributionCredit _),
     "q_events_error_context" -> (qEventsErrorContext _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
@@ -1628,6 +1668,40 @@ object Events {
          |SELECT event_id, user_id, ts_us,
          |  first_click_us, last_click_us, n_clicks_win
          |FROM w WHERE event_type = 'purchase'
+         |ORDER BY event_id""".stripMargin,
+    "q_events_attribution_credit" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |w AS (
+         |  SELECT *,
+         |    COUNT(CASE WHEN event_type = 'click' THEN ts_us END)
+         |      OVER look AS n
+         |  FROM e
+         |  WINDOW look AS (PARTITION BY user_id ORDER BY ts_us
+         |    RANGE BETWEEN $AttrWindowUs PRECEDING AND CURRENT ROW)),
+         |p AS (
+         |  SELECT event_id AS p_id, user_id, ts_us AS p_ts, n FROM w
+         |  WHERE event_type = 'purchase' AND n > 0),
+         |c AS (
+         |  SELECT event_id AS c_id, user_id, ts_us AS c_ts FROM e
+         |  WHERE event_type = 'click'),
+         |j AS (
+         |  SELECT p.p_id, p.n, c.c_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.p_id
+         |      ORDER BY c.c_ts, c.c_id) AS rn
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - $AttrWindowUs),
+         |agg AS (
+         |  SELECT c_id,
+         |    CAST(SUM((1000000 * rn) // n - (1000000 * (rn - 1)) // n)
+         |      AS BIGINT) AS credit_ppm,
+         |    COUNT(*) AS n_conversions
+         |  FROM j GROUP BY 1)
+         |SELECT c.c_id AS event_id, c.user_id,
+         |  COALESCE(a.n_conversions, 0) AS n_conversions,
+         |  COALESCE(a.credit_ppm, 0) AS credit_ppm
+         |FROM c LEFT JOIN agg a USING (c_id)
          |ORDER BY event_id""".stripMargin,
     "q_events_error_context" ->
       s"""WITH ev AS (

@@ -177,7 +177,33 @@ object ExplainDump {
       "as a codegen'd projection — the streamable percentile shape"),
     "q_events_stationary" -> ("markov stationary: one fact-scan pair " +
       "extraction, then 8 integer-ppm power rounds on the " +
-      "checkpointed |types|^2 matrix"))
+      "checkpointed |types|^2 matrix"),
+    "q_events_error_context" -> ("no-equi-key band join: authored as " +
+      "abs(t1-t2) <= r — BandedRangeJoinRule rewrites the would-be " +
+      "BroadcastNestedLoopJoin into a width-r binned equi-join with " +
+      "the band re-checked as residual; zeros restored by an equi " +
+      "join-back"),
+    "q_events_attribution" -> ("first/last-touch attribution: all " +
+      "three lookback measures in ONE user-partitioned RANGE window " +
+      "over one exchange+sort — no self-join, purchase filter after " +
+      "the window"),
+    "q_dedup_cdc" -> ("content-defined chunking: boundary rule is a " +
+      "pure per-row predicate, chunk ids by prefix sum per doc; the " +
+      "keep-first verdict is a min-struct AGGREGATE + join-back on " +
+      "the content hash — map-side partials, no per-hash sort task " +
+      "(the rank-window form this round replaced)"),
+    "q_compaction_plan" -> ("compaction planning: ONE row-level " +
+      "inventory aggregate, then every operator runs on the file " +
+      "MANIFEST — the running-sum window partitions by table " +
+      "partition and sees only its writer-bounded file list"),
+    "q_token_budget" -> ("token-budget fill: the global running sum " +
+      "DECOMPOSED — ≤21-row bucket totals via a bounded triangular " +
+      "self-join broadcast back as verdicts; the exact within-bucket " +
+      "window runs only inside the one boundary bucket"),
+    "q_media_phash_dedup" -> ("perceptual-hash dedup: typed " +
+      "mapPartitions hash next to the scan, canonical pick as a min " +
+      "aggregate + join-back — phash buckets are unbounded, so no " +
+      "window over the hash ever sorts a bucket in one task"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

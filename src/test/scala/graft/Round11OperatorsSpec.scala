@@ -247,6 +247,20 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch purchases disagree with brute force")
   }
 
+  test("attribution credit: every converting purchase pays out exactly 1e6 ppm") {
+    val credit = graft.queries.Events.qEventsAttributionCredit(spark, sf)
+    val paid = credit.agg(sum(col("credit_ppm"))).collect()(0).getLong(0)
+    val converting = graft.queries.Events.qEventsAttribution(spark, sf)
+      .where(col("n_clicks_win") > 0).count()
+    assert(paid == 1000000L * converting,
+      s"total credit $paid vs ${1000000L * converting}")
+    // conversions concentrate credit: a click's credit never exceeds
+    // 1e6 × its conversion count, and zero-conversion clicks pay zero
+    val bad = credit.where(col("credit_ppm") > col("n_conversions") * 1000000L ||
+      (col("n_conversions") === 0L && col("credit_ppm") =!= 0L)).count()
+    assert(bad == 0, s"$bad clicks violate the credit bound")
+  }
+
   test("compaction plan: conserves rows and collapses small months to one file") {
     val plan = graft.queries.Maintain.qCompactionPlan(spark, sf).collect()
       .map(x => x.getString(0) ->
