@@ -13,12 +13,12 @@ object SparkEntry {
   private val defBlocks: Seq[Map[String, (SparkSession, String) => DataFrame]] =
     Seq(gq.Agg.defs, gq.Relational.defs, gq.Windows.defs, gq.Tpch.defs,
       gq.Events.defs, gq.Text.defs, gq.DedupSim.defs, gq.Media.defs,
-      gq.Graph.defs, gq.Maintain.defs, gq.Corpus.defs)
+      gq.Graph.defs, gq.Maintain.defs, gq.Corpus.defs, gq.Governance.defs)
   private val oracleBlocks: Seq[Map[String, String]] =
     Seq(gq.Agg.oracles, gq.Relational.oracles, gq.Windows.oracles,
       gq.Tpch.oracles, gq.Events.oracles, gq.Text.oracles,
       gq.DedupSim.oracles, gq.Media.oracles, gq.Graph.oracles,
-      gq.Maintain.oracles, gq.Corpus.oracles)
+      gq.Maintain.oracles, gq.Corpus.oracles, gq.Governance.oracles)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

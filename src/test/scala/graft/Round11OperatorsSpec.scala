@@ -378,6 +378,33 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(abc == rebuild, "three-way merge diverges from rebuild")
   }
 
+  test("kanon audit: histogram tiles the customer table exactly") {
+    val h = graft.queries.Governance.qKanonAudit(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val total = Tables.customer(spark, sf).count()
+    assert(h.map(_._3).sum == total, s"rows must tile: $h vs $total")
+    h.foreach { case (size, nCls, nRows) =>
+      assert(nRows == size * nCls, s"class size $size: $nRows != $size*$nCls")
+    }
+    assert(h.map(_._1).sorted.sameElements(h.map(_._1)), "sorted by size")
+  }
+
+  test("gdpr impact: the cascade count equals a direct semi-join recount") {
+    val r = graft.queries.Governance.qGdprImpact(spark, sf).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet == Set("customer", "orders", "lineitem"))
+    assert(r("customer")._2 == Tables.customer(spark, sf).count())
+    val affOrd = Tables.orders(spark, sf)
+      .where(pmod(col("o_custkey"), lit(10)) === 7)
+    assert(r("orders")._1 == affOrd.count())
+    val liAff = Tables.lineitem(spark, sf)
+      .join(affOrd.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(r("lineitem")._1 == liAff,
+      s"cascade: ${r("lineitem")._1} vs semi-join $liAff")
+    assert(r.values.forall(v => v._1 <= v._2))
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
