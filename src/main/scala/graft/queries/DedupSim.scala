@@ -935,6 +935,73 @@ object DedupSim {
       .orderBy(col("method"))
   }
 
+  /** NDCG@5 discount ladder ⌊10⁹/log2(i+1)⌋ ppb for ranks 1..5 —
+    * computed ONCE here and injected into BOTH engines as literal
+    * constants, so no log2 is ever evaluated cross-engine. */
+  val NdcgDiscountPpb: Seq[Long] =
+    (1 to 5).map(i => (1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal-DCG prefix sums: IDCG for a query with n relevant items. */
+  val IdcgPrefixPpb: Seq[Long] =
+    NdcgDiscountPpb.scanLeft(0L)(_ + _).tail
+
+  /** RANK-AWARE ANN EVALUATION — MRR and binary NDCG@5 of every
+    * approximate path against the brute-force truth (recall@5 says
+    * WHETHER the truth was found; these say WHERE in the list it
+    * landed — the metric an interactive retrieval system is actually
+    * judged by). INTEGER END-TO-END: per-query reciprocal ranks and
+    * DCG are ppb longs from the injected discount ladder, per-query
+    * NDCG is one integer division against the n_rel-matched ideal,
+    * means close on the half-up integer-ppm grid (the transitions
+    * rule) — no float accumulates anywhere, so the hash check is
+    * exact. Misses score zero via the static (method × query) grid. */
+  def qAnnRankMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val approx = qAnnIvf(s, d)
+      .select(lit("ivf").as("method"), col("query_id"), col("vec_id"),
+        col("rk"))
+      .unionByName(qAnnLsh(s, d).select(lit("lsh").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(qAnnLshMulti(s, d).select(lit("lsh_multi").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(qAnnIvfpq(s, d).select(lit("ivfpq").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(qEmbedBitsim(s, d).select(lit("bitsim").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+    val dArr = array(NdcgDiscountPpb.map(lit): _*)
+    val perQ = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("method"), col("query_id"))
+      .agg(min(col("rk")).as("first_rk"),
+        sum(element_at(dArr, col("rk").cast("int"))).as("dcg_ppb"))
+    val sizes = bf.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val iArr = array(IdcgPrefixPpb.map(lit): _*)
+    val grid = Seq("ivf", "lsh", "lsh_multi", "ivfpq", "bitsim")
+      .toDF("method")
+      .crossJoin(broadcast(
+        sizes.select(col("query_id"),
+          element_at(iArr, col("n_rel").cast("int")).as("idcg_ppb"))))
+    val scored = grid.join(perQ, Seq("method", "query_id"), "left")
+      .select(col("method"),
+        coalesce(expr("CAST(1000000000 AS BIGINT) div first_rk"), lit(0L))
+          .as("mrr_ppb"),
+        coalesce(expr("(CAST(1000000000 AS BIGINT) * dcg_ppb)" +
+          " div idcg_ppb"), lit(0L)).as("ndcg_ppb"))
+    scored.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("mrr_ppb")).as("ms"), sum(col("ndcg_ppb")).as("ns"))
+      // half-up close on the integer-ppm grid, then ONE exact division
+      .select(col("method"), col("n_queries"),
+        (expr("CAST((2 * 1000000 * ms + n_queries * 1000000000)" +
+          " DIV (2 * n_queries * 1000000000) AS BIGINT)").cast("double") /
+          lit(1000000.0)).as("mrr"),
+        (expr("CAST((2 * 1000000 * ns + n_queries * 1000000000)" +
+          " DIV (2 * n_queries * 1000000000) AS BIGINT)").cast("double") /
+          lit(1000000.0)).as("ndcg_at_5"))
+      .orderBy(col("method"))
+  }
+
   /** Probe depths the IVF tuning sweep reports — powers of two up to
     * the depth q_ann_ivf would use at the next notch. */
   val ProbeSweepDepths = Seq(1, 2, 4, 8)
@@ -1133,6 +1200,7 @@ object DedupSim {
     "q_ann_ivf_stats" -> (qAnnIvfStats _),
     "q_dedup_threshold_sweep" -> (qDedupThresholdSweep _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_rank_metrics" -> (qAnnRankMetrics _),
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_minhash_band_sweep" -> (qMinhashBandSweep _),
     "q_embed_project" -> (qEmbedProject _),
@@ -2368,7 +2436,64 @@ object DedupSim {
          |FROM methods m LEFT JOIN hits h USING (method) CROSS JOIN tot
          |ORDER BY m.method""".stripMargin,
     "q_ann_kmeans" -> kmeansOracle,
-    "q_ann_kmeans_elbow" -> kmeansElbowOracle)
+    "q_ann_kmeans_elbow" -> kmeansElbowOracle,
+    // rank-aware eval: the five approximate subplans verbatim, the
+    // discount/ideal ladders injected from the same Scala constants,
+    // integer ppb throughout, means closed on the half-up ppm grid
+    "q_ann_rank_metrics" -> {
+      val dVals = NdcgDiscountPpb.zipWithIndex
+        .map { case (dv, i) => s"(${i + 1}, $dv)" }.mkString(", ")
+      val iVals = IdcgPrefixPpb.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH bf AS ($bruteforceOracle),
+         |lshq AS ($lshOracle),
+         |lshm AS ($lshMultiOracle),
+         |ivfq AS ($ivfOracle),
+         |pqq AS ($pqOracle),
+         |bsq AS ($bitsimOracle),
+         |approx AS (
+         |  SELECT 'ivf' AS method, query_id, vec_id, rk FROM ivfq
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, vec_id, rk FROM lshq
+         |  UNION ALL
+         |  SELECT 'lsh_multi' AS method, query_id, vec_id, rk FROM lshm
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, vec_id, rk FROM pqq
+         |  UNION ALL
+         |  SELECT 'bitsim' AS method, query_id, vec_id, rk FROM bsq),
+         |dtab(rk, d_ppb) AS (VALUES $dVals),
+         |itab(n_rel, idcg_ppb) AS (VALUES $iVals),
+         |perq AS (
+         |  SELECT a.method, a.query_id, MIN(a.rk) AS first_rk,
+         |    CAST(SUM(d.d_ppb) AS BIGINT) AS dcg_ppb
+         |  FROM approx a JOIN dtab d ON a.rk = d.rk
+         |  WHERE EXISTS (SELECT 1 FROM bf b
+         |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT query_id, COUNT(*) AS n_rel FROM bf GROUP BY 1),
+         |methods(method) AS (VALUES ('ivf'), ('lsh'), ('lsh_multi'),
+         |  ('ivfpq'), ('bitsim')),
+         |grid AS (
+         |  SELECT m.method, s.query_id, i.idcg_ppb
+         |  FROM methods m CROSS JOIN sizes s
+         |  JOIN itab i ON s.n_rel = i.n_rel),
+         |scored AS (
+         |  SELECT g.method,
+         |    COALESCE(1000000000 // p.first_rk, 0) AS mrr_ppb,
+         |    COALESCE((1000000000 * p.dcg_ppb) // g.idcg_ppb, 0)
+         |      AS ndcg_ppb
+         |  FROM grid g LEFT JOIN perq p
+         |    ON g.method = p.method AND g.query_id = p.query_id)
+         |SELECT method, COUNT(*) AS n_queries,
+         |  CAST((2 * 1000000 * CAST(SUM(mrr_ppb) AS BIGINT)
+         |      + COUNT(*) * 1000000000)
+         |    // (2 * COUNT(*) * 1000000000) AS BIGINT) / 1000000.0 AS mrr,
+         |  CAST((2 * 1000000 * CAST(SUM(ndcg_ppb) AS BIGINT)
+         |      + COUNT(*) * 1000000000)
+         |    // (2 * COUNT(*) * 1000000000) AS BIGINT) / 1000000.0
+         |    AS ndcg_at_5
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+    })
 
   /** LSH top-5 oracle, parameterized on the (planes, tables) geometry
     * so the lean baseline and the OR-amplified variant share one

@@ -405,6 +405,40 @@ class Round11OperatorsSpec extends SparkSpec {
     assert(r.values.forall(v => v._1 <= v._2))
   }
 
+  test("ann rank metrics: ivf row reproduces a driver-side recompute") {
+    import graft.queries.DedupSim
+    val m = DedupSim.qAnnRankMetrics(spark, sf).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    val bf = DedupSim.qAnnBruteforce(spark, sf)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfCnt = bf.groupBy(_._1).map { case (q, s) => q -> s.size }
+    val ivf = DedupSim.qAnnIvf(spark, sf)
+      .select(col("query_id"), col("vec_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("rk").intValue))
+    val d = DedupSim.NdcgDiscountPpb
+    val p = DedupSim.IdcgPrefixPpb
+    var ms = 0L; var ns = 0L
+    bfCnt.keys.foreach { q =>
+      val rel = ivf.filter(t => t._1 == q && bf((q, t._2))).map(_._3)
+      if (rel.nonEmpty) {
+        ms += 1000000000L / rel.min
+        ns += (1000000000L * rel.map(r => d(r - 1)).sum) / p(bfCnt(q) - 1)
+      }
+    }
+    val n = bfCnt.size.toLong
+    def close(s: Long): Double =
+      ((2L * 1000000L * s + n * 1000000000L) /
+        (2L * n * 1000000000L)).toDouble / 1e6
+    assert(m("ivf") == ((n, close(ms), close(ns))),
+      s"ivf ${m("ivf")} vs recompute ($n, ${close(ms)}, ${close(ns)})")
+    // OR-amplification lifts the rank metrics too, not just recall
+    assert(m("lsh_multi")._2 > m("lsh")._2 &&
+      m("lsh_multi")._3 > m("lsh")._3, s"$m")
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
