@@ -280,6 +280,37 @@ object DedupSim {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** CROSS-SPLIT NEAR-DUP LEAKAGE AUDIT — the eval-hygiene check run
+    * before trusting a benchmark number: the registered
+    * q_split_train_test split is exact-dup-safe BY CONSTRUCTION (it
+    * keys on the text fingerprint, so byte-identical docs share a
+    * split), but NEAR-duplicates can still straddle the boundary —
+    * exactly the leakage Lee et al. 2022 measure as inflated eval
+    * scores. This query joins the verified MinHash near-dup pairs to
+    * the split assignment on both sides and reports the triangular
+    * (split_a, split_b) pair matrix with a leak flag — the off-
+    * diagonal rows ARE the contaminated eval pairs. Rides two fully
+    * oracle-checked subplans; the split lookups join on pair ids
+    * (metadata-sized at any scale). */
+  def qSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+      n = 3, threshold = 0.3)
+    val sp = Text.splitAssign(docs)
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** MinHash ESTIMATOR QUALITY — per banding-candidate pair, the
     * signature-based Jaccard estimate (matching signature positions /
     * 64) NEXT TO the exact verified Jaccard — the measurement that
@@ -1178,6 +1209,7 @@ object DedupSim {
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_source_matrix" -> (qDedupSourceMatrix _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_minhash_estimate" -> (qMinhashEstimate _),
     "q_dedup_nearest" -> (qDedupNearest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -1792,6 +1824,37 @@ object DedupSim {
 
   /** Cross-source matrix twin: the full minhashOracle pair pipeline,
     * then the two documents joins and the triangular rollup. */
+  /** DuckDB twin of qSplitLeakage — the minhash pair chain verbatim
+    * plus the shared split-assignment subquery (Text.SplitSelectSql). */
+  private def splitLeakageOracle: String =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, x.sz AS sz_a,
+       |    y.doc_id AS id_b, y.sz AS sz_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, c.sz_a, c.sz_b,
+       |    LEN(LIST_INTERSECT(sa.ids, sb.ids)) AS n_inter
+       |  FROM cand c
+       |  JOIN sids sa ON c.id_a = sa.doc_id
+       |  JOIN sids sb ON c.id_b = sb.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  WHERE ROUND(n_inter * 1.0 / GREATEST(sz_a + sz_b - n_inter, 1), 6)
+       |    >= 0.3),
+       |sp AS (${Text.SplitSelectSql}),
+       |lab AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b
+       |  FROM pairs p
+       |  JOIN sp a ON p.id_a = a.doc_id
+       |  JOIN sp b ON p.id_b = b.doc_id)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |  split_a <> split_b AS leak
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def sourceMatrixOracle: String =
     s"""WITH $minhashBandsCtes,
        |cand AS (
@@ -2044,6 +2107,7 @@ object DedupSim {
         |FROM err GROUP BY label ORDER BY label""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_source_matrix" -> sourceMatrixOracle,
+    "q_split_leakage" -> splitLeakageOracle,
     "q_minhash_estimate" -> minhashEstimateOracle,
     "q_dedup_nearest" ->
       s"""WITH $minhashBandsCtes,

@@ -1570,9 +1570,43 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Hash-table sizes the featurizer collision sweep audits. */
+  val FeatureHashSizes: Seq[Int] = Seq(64, 256, 1024)
+
+  /** FEATURE-HASHING COLLISION SWEEP — the hashing-trick sizing curve
+    * (Weinberger et al. 2009): the categorical cross event_type ×
+    * hour-of-day folded into fixed hash tables of 64/256/1024 slots,
+    * reporting per size how many features share a slot — the chart
+    * that picks the feature-table width a model trains against (too
+    * small: gradient interference from collisions; too big: wasted
+    * embedding rows). ONE distinct-features aggregate (vocabulary-
+    * sized from there on), the portable md5 bucket mapping, a 3-row
+    * broadcast size dimension, two bounded aggregates. */
+  def qFeatureHashSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = Tables.events(s, d)
+      .select(concat(col("event_type"), lit(":"),
+        hour(col("ts")).cast("string")).as("feature"))
+      .distinct()
+    val h = conv(substring(md5(concat(lit("fh:"), col("feature"))), 1, 8),
+      16, 10).cast("long")
+    val loads = feats.select(h.as("h"))
+      .crossJoin(broadcast(FeatureHashSizes.toDF("hash_size")))
+      .groupBy(col("hash_size"),
+        pmod(col("h"), col("hash_size").cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("load"))
+    loads.groupBy(col("hash_size"))
+      .agg(sum(col("load")).as("n_features"),
+        count(lit(1)).as("n_buckets_used"),
+        sum(when(col("load") >= 2, col("load")).otherwise(0L))
+          .as("n_collided"))
+      .orderBy(col("hash_size"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_attribution_credit" -> (qEventsAttributionCredit _),
+    "q_feature_hash_sweep" -> (qFeatureHashSweep _),
     "q_events_error_context" -> (qEventsErrorContext _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
@@ -1703,6 +1737,27 @@ object Events {
          |  COALESCE(a.credit_ppm, 0) AS credit_ppm
          |FROM c LEFT JOIN agg a USING (c_id)
          |ORDER BY event_id""".stripMargin,
+    "q_feature_hash_sweep" -> {
+      val sizeVals = FeatureHashSizes.map(z => s"($z)").mkString(", ")
+      s"""WITH feats AS (
+         |  SELECT DISTINCT event_type || ':' || CAST(HOUR(ts) AS VARCHAR)
+         |    AS feature
+         |  FROM events),
+         |h AS (
+         |  SELECT CAST(CONCAT('0x',
+         |    SUBSTR(MD5(CONCAT('fh:', feature)), 1, 8)) AS BIGINT) AS h
+         |  FROM feats),
+         |sizes(hash_size) AS (VALUES $sizeVals),
+         |loads AS (
+         |  SELECT s.hash_size, h.h % s.hash_size AS bucket,
+         |    COUNT(*) AS load
+         |  FROM h CROSS JOIN sizes s GROUP BY 1, 2)
+         |SELECT hash_size, CAST(SUM(load) AS BIGINT) AS n_features,
+         |  COUNT(*) AS n_buckets_used,
+         |  CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+         |    AS n_collided
+         |FROM loads GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_events_error_context" ->
       s"""WITH ev AS (
          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type

@@ -959,14 +959,31 @@ object Text {
     * Pure per-row expression — no shuffle, no join — and the hash
     * fraction is engine-portable, so the assignment is reproducible
     * across runs, partitionings, and engines. */
-  def qSplitTrainTest(s: SparkSession, d: String): DataFrame = {
+  def qSplitTrainTest(s: SparkSession, d: String): DataFrame =
+    splitAssign(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The split core over any frame with (doc_id, text) — shared with
+    * q_split_leakage's cross-split near-dup audit. */
+  private[queries] def splitAssign(docs: DataFrame): DataFrame = {
     val f = graft.operators.Sampling.hashFraction(
       graft.text.TextAnalysis.fingerprint(col("text")))
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       when(f < 0.8, "train").when(f < 0.9, "val").otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The split assignment as a DuckDB subquery (no ORDER BY) — the
+    * q_split_train_test oracle body, shared with q_split_leakage. */
+  private[queries] val SplitSelectSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN fr < 0.8 THEN 'train' WHEN fr < 0.9 THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(CONCAT('0x', SUBSTR(MD5(
+      |      MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'))), 1, 6))
+      |      AS INTEGER) / 16777216.0 AS fr
+      |  FROM documents) f""".stripMargin
 
   /** The full training-data assembly, composed in ONE Catalyst plan —
     * the flagship of the LLM-pipeline block the way q_pipeline_curate
@@ -1355,16 +1372,8 @@ object Text {
         |  FROM train) z
         |ORDER BY doc_id""".stripMargin,
     "q_split_train_test" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(CONCAT('0x', SUBSTR(MD5(
-        |      MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'))), 1, 6))
-        |      AS INTEGER) / 16777216.0 AS fr
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN fr < 0.8 THEN 'train' WHEN fr < 0.9 THEN 'val'
-        |    ELSE 'test' END AS split
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""$SplitSelectSql
+         |ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       """WITH wf AS (
         |  SELECT word, COUNT(*) AS freq FROM (

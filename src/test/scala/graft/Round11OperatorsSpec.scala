@@ -439,6 +439,33 @@ class Round11OperatorsSpec extends SparkSpec {
       m("lsh_multi")._3 > m("lsh")._3, s"$m")
   }
 
+  test("split leakage: totals tie to the minhash pair count and the leak flag is honest") {
+    val lk = graft.queries.DedupSim.qSplitLeakage(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getBoolean(3)))).toMap
+    val nPairs = graft.queries.DedupSim.qDedupMinhash(spark, sf).count()
+    assert(lk.values.map(_._1).sum == nPairs,
+      s"matrix must tile the pair set: $lk vs $nPairs")
+    lk.foreach { case ((a, b), (_, leak)) =>
+      assert(leak == (a != b), s"leak flag wrong for ($a, $b)")
+      assert(a <= b, "triangular canonicalization")
+    }
+  }
+
+  test("feature hash sweep: pigeonhole bounds hold and the vocabulary is constant") {
+    val sw = graft.queries.Events.qFeatureHashSweep(spark, sf).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(sw.keySet == graft.queries.Events.FeatureHashSizes.toSet)
+    assert(sw.values.map(_._1).toSet.size == 1, s"one vocabulary: $sw")
+    sw.foreach { case (size, (nf, used, coll)) =>
+      assert(used <= math.min(size.toLong, nf), s"$size: $used buckets")
+      // pigeonhole: at least nf - size features must share a slot
+      assert(coll >= math.max(0L, nf - size), s"$size: $coll collided")
+      assert(coll <= nf && (coll == 0L || coll >= 2L))
+    }
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
