@@ -1570,6 +1570,40 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Multi-window page threshold: error fraction in ppm. */
+  val BurnThresholdPpm: Long = 250000L
+
+  /** MULTI-WINDOW ERROR-BUDGET BURN RATE (the SRE workbook alerting
+    * rule): per hour bucket, the error fraction over the last 1 h AND
+    * the trailing 6 h — a page fires only when BOTH breach the
+    * threshold, so a one-hour blip doesn't page but a sustained burn
+    * does. Rates are integer ppm (10⁶·err DIV n — truncating, exact
+    * cross-engine); the 6 h lookback is ONE range window over the
+    * HOURLY ROLLUP, whose row count is calendar-bounded (hours of
+    * retention, not data volume) — the q_events_concurrency contract,
+    * allowlisted in PlanLint with the same justification. */
+  def qEventsBurnrate(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_1h"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("err_1h"))
+      .withColumn("bucket_us", unix_micros(col("bucket")))
+    val look6 = Window.orderBy(col("bucket_us"))
+      .rangeBetween(-5L * 3600000000L, Window.currentRow)
+    hourly
+      .withColumn("n_6h", sum(col("n_1h")).over(look6))
+      .withColumn("err_6h", sum(col("err_1h")).over(look6))
+      .select(col("bucket"), col("n_1h"), col("err_1h"),
+        expr("(1000000 * err_1h) div n_1h").as("rate_1h_ppm"),
+        col("n_6h"), col("err_6h"),
+        expr("(1000000 * err_6h) div n_6h").as("rate_6h_ppm"))
+      .withColumn("page",
+        col("rate_1h_ppm") >= BurnThresholdPpm &&
+          col("rate_6h_ppm") >= BurnThresholdPpm)
+      .orderBy(col("bucket"))
+  }
+
   /** Hash-table sizes the featurizer collision sweep audits. */
   val FeatureHashSizes: Seq[Int] = Seq(64, 256, 1024)
 
@@ -1607,6 +1641,7 @@ object Events {
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_attribution_credit" -> (qEventsAttributionCredit _),
     "q_feature_hash_sweep" -> (qFeatureHashSweep _),
+    "q_events_burnrate" -> (qEventsBurnrate _),
     "q_events_error_context" -> (qEventsErrorContext _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
@@ -1737,6 +1772,26 @@ object Events {
          |  COALESCE(a.credit_ppm, 0) AS credit_ppm
          |FROM c LEFT JOIN agg a USING (c_id)
          |ORDER BY event_id""".stripMargin,
+    "q_events_burnrate" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_1h,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS err_1h
+         |  FROM events GROUP BY 1),
+         |w AS (
+         |  SELECT bucket, n_1h, err_1h,
+         |    CAST(SUM(n_1h) OVER look AS BIGINT) AS n_6h,
+         |    CAST(SUM(err_1h) OVER look AS BIGINT) AS err_6h
+         |  FROM hourly
+         |  WINDOW look AS (ORDER BY epoch_us(bucket)
+         |    RANGE BETWEEN 18000000000 PRECEDING AND CURRENT ROW))
+         |SELECT bucket, n_1h, err_1h,
+         |  CAST((1000000 * err_1h) // n_1h AS BIGINT) AS rate_1h_ppm,
+         |  n_6h, err_6h,
+         |  CAST((1000000 * err_6h) // n_6h AS BIGINT) AS rate_6h_ppm,
+         |  ((1000000 * err_1h) // n_1h >= $BurnThresholdPpm
+         |    AND (1000000 * err_6h) // n_6h >= $BurnThresholdPpm) AS page
+         |FROM w ORDER BY bucket""".stripMargin,
     "q_feature_hash_sweep" -> {
       val sizeVals = FeatureHashSizes.map(z => s"($z)").mkString(", ")
       s"""WITH feats AS (

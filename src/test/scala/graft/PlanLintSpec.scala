@@ -59,7 +59,11 @@ class PlanLintSpec extends SparkSpec {
     *    COUNT table (|V| rows by construction, never the corpus), the
     *    same bounded-input contract as q_win_unpartitioned. */
   private val unpartitionedAllowed = Set(
-    "q_win_unpartitioned", "q_events_concurrency", "q_text_zipf")
+    "q_win_unpartitioned", "q_events_concurrency", "q_text_zipf",
+    // burn-rate's 6h lookback windows the HOURLY ROLLUP, whose row
+    // count is calendar-bounded (hours of retention, not data volume)
+    // — the q_events_concurrency bounded-input contract
+    "q_events_burnrate")
 
   private def small(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)

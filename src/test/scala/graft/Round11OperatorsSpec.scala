@@ -466,6 +466,23 @@ class Round11OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("burn rate: pages need both windows hot and single-hour blips are suppressed") {
+    val r = graft.queries.Events.qEventsBurnrate(spark, sf).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6), x.getBoolean(7)))
+    val t = graft.queries.Events.BurnThresholdPpm
+    r.foreach { case (n1, e1, r1, n6, e6, r6, page) =>
+      assert(r1 == 1000000L * e1 / n1 && r6 == 1000000L * e6 / n6)
+      assert(page == (r1 >= t && r6 >= t))
+      assert(n6 >= n1 && e6 >= e1, "trailing window contains the hour")
+    }
+    // the multi-window rule must actually suppress something: hours
+    // exist where the 1h rate breaches but the 6h rate holds it back
+    assert(r.exists(x => x._3 >= t && !x._7),
+      "no blip suppressed — threshold not exercising the 6h window")
+    assert(r.exists(_._7), "no page fired at all")
+  }
+
   test("pipeline funnel: stages only shrink and the final stage is q_pipeline_curate") {
     val f = graft.queries.Text.qPipelineFunnel(spark, sf).collect()
       .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
