@@ -203,7 +203,17 @@ object ExplainDump {
     "q_media_phash_dedup" -> ("perceptual-hash dedup: typed " +
       "mapPartitions hash next to the scan, canonical pick as a min " +
       "aggregate + join-back — phash buckets are unbounded, so no " +
-      "window over the hash ever sorts a bucket in one task"))
+      "window over the hash ever sorts a bucket in one task"),
+    "q_split_leakage" -> ("cross-split leakage: the full verified " +
+      "MinHash pair chain, split labels joined on pair ids " +
+      "(metadata-sized), 3x3-bounded output aggregate"),
+    "q_events_burnrate" -> ("burn-rate monitor: hourly rollup first " +
+      "(calendar-bounded rows), ONE 6h range window over the rollup, " +
+      "per-row integer-ppm rates — the only unpartitioned window " +
+      "runs on hours-of-retention rows, never on events"),
+    "q_gdpr_impact" -> ("deletion dry run: one scan per table; the " +
+      "lineitem cascade is a single left join against affected-order " +
+      "keys with a conditional sum — the forget side broadcasts"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
