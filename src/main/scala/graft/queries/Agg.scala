@@ -563,6 +563,51 @@ object Agg {
       .limit(50)
   }
 
+  /** ASSOCIATION RULES — q_basket_pairs' directional half: each
+    * co-purchase pair unfolds into both rules a → b and b → a, scored
+    * by confidence P(b|a) = n_ab/n_a (the number a recommender ranks
+    * by — lift is symmetric, confidence is not: the niche→staple rule
+    * can be near-certain while its reverse is noise). Same
+    * order-co-partitioned self-join backbone as q_basket_pairs
+    * (fan-out bounded by items-per-order), the unfold is a zero-
+    * shuffle projection of the pair table, frequencies join back on
+    * the part key, and both scores close on the exact truncating ppm
+    * grid — bit-identical cross-engine, no floating division. Top-40
+    * under TakeOrderedAndProject with a total (conf, ante, cons)
+    * order. */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val freq = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    val rules = pairs
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
+    rules
+      .join(freq.select(col("l_partkey").as("ante"),
+        col("n_p").as("n_a")), "ante")
+      .join(freq.select(col("l_partkey").as("cons"),
+        col("n_p").as("n_b")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        expr("CAST((1000000 * n_ab) DIV n_a AS BIGINT)").as("conf_ppm"),
+        expr("CAST((1000000 * n_ab * n_orders) DIV (n_a * n_b)" +
+          " AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("conf_ppm").desc, col("ante"), col("cons"))
+      .limit(40)
+  }
+
   /** Equi-DEPTH histogram of l_extendedprice (10 quantile buckets) —
     * the optimizer-statistics shape, complementing q_histogram's
     * equi-width buckets. Boundaries come from ONE exact-percentile
@@ -599,6 +644,7 @@ object Agg {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_basket_pairs" -> (qBasketPairs _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_rfm" -> (qRfm _),
     "q_agg_median_mode" -> (qAggMedianMode _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),
@@ -661,6 +707,32 @@ object Agg {
         |JOIN freq fb ON fb.l_partkey = pb
         |CROSS JOIN no
         |ORDER BY n_ab DESC, pa, pb LIMIT 50""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |       AS n_orders FROM items),
+        |freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p
+        |         FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT pa AS ante, pb AS cons, n_ab FROM p
+        |  UNION ALL
+        |  SELECT pb AS ante, pa AS cons, n_ab FROM p)
+        |SELECT ante, cons, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+        |  CAST((1000000 * n_ab) // fa.n_p AS BIGINT) AS conf_ppm,
+        |  CAST((1000000 * n_ab * n_orders) // (fa.n_p * fb.n_p)
+        |    AS BIGINT) AS lift_ppm
+        |FROM rules
+        |JOIN freq fa ON fa.l_partkey = ante
+        |JOIN freq fb ON fb.l_partkey = cons
+        |CROSS JOIN no
+        |ORDER BY conf_ppm DESC, ante, cons LIMIT 40""".stripMargin,
     "q_rfm" ->
       """WITH cust AS (
         |  SELECT o_custkey,

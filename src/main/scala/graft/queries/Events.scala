@@ -49,6 +49,51 @@ object Events {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  /** Gap timeouts measured by q_session_gap_sweep, in seconds. */
+  val SessionGapSeconds: Seq[Long] = Seq(300L, 900L, 1800L, 3600L)
+
+  /** SESSION GAP-TIMEOUT TUNING CURVE — how the session count, density
+    * and total active time respond to the inactivity timeout (the
+    * ladder read before committing q_events_sessionize's 10-minute
+    * constant): a 5-minute cut fragments browsing into more, thinner
+    * sessions; an hour glues visits together. Every point of the
+    * ladder comes from the SAME single lag window the sessionizer
+    * itself uses (one shuffle on user_id): a session starts exactly
+    * where a user's inter-event gap exceeds the timeout, so
+    * n_sessions is a conditional count over gaps and active time is
+    * the sum of sub-timeout gaps — conditional sums in ONE aggregate,
+    * stacked to rows, nothing rescans per ladder point. All-integer
+    * outputs: events-per-session closes on the truncating ppm grid. */
+  def qSessionGapSweep(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val deltas = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us",
+        col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+    val aggs = count(lit(1)).as("n_events") +:
+      SessionGapSeconds.zipWithIndex.flatMap { case (g, i) => Seq(
+        sum(when(col("gap_us").isNull ||
+          col("gap_us") > g * 1000000L, 1L).otherwise(0L)).as(s"s$i"),
+        sum(when(col("gap_us").isNotNull &&
+          col("gap_us") <= g * 1000000L, col("gap_us"))
+          .otherwise(0L)).as(s"a$i"))
+      }
+    val stackArgs = SessionGapSeconds.zipWithIndex
+      .map { case (g, i) => s"${g}L, s$i, a$i" }.mkString(", ")
+    deltas.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${SessionGapSeconds.size}, $stackArgs)" +
+          " AS (gap_seconds, n_sessions, active_us)"),
+        col("n_events"))
+      .select(col("gap_seconds"), col("n_events"), col("n_sessions"),
+        expr("CAST((1000000 * n_events) DIV n_sessions AS BIGINT)")
+          .as("events_per_session_ppm"),
+        expr("CAST(active_us DIV 1000000 AS BIGINT)")
+          .as("total_active_s"))
+      .orderBy(col("gap_seconds"))
+  }
+
   /** SESSION DISTRIBUTION — the rollup a product team reads off the
     * sessionizer: sessions bucketed by length (exact bit-length log₂
     * buckets, the q_graph_degree_hist discipline — no floating log),
@@ -1642,6 +1687,7 @@ object Events {
     "q_events_attribution_credit" -> (qEventsAttributionCredit _),
     "q_feature_hash_sweep" -> (qFeatureHashSweep _),
     "q_events_burnrate" -> (qEventsBurnrate _),
+    "q_session_gap_sweep" -> (qSessionGapSweep _),
     "q_events_error_context" -> (qEventsErrorContext _),
     "q_events_paths" -> (qEventsPaths _),
     "q_events_percentiles" -> (qEventsPercentiles _),
@@ -1772,6 +1818,35 @@ object Events {
          |  COALESCE(a.credit_ppm, 0) AS credit_ppm
          |FROM c LEFT JOIN agg a USING (c_id)
          |ORDER BY event_id""".stripMargin,
+    "q_session_gap_sweep" -> {
+      val conds = SessionGapSeconds.zipWithIndex.map { case (g, i) =>
+        val us = g * 1000000L
+        s"""SUM(CASE WHEN gap_us IS NULL OR gap_us > $us
+           |      THEN 1 ELSE 0 END) AS s$i,
+           |    SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= $us
+           |      THEN gap_us ELSE 0 END) AS a$i""".stripMargin
+      }.mkString(",\n    ")
+      val rows = SessionGapSeconds.zipWithIndex.map { case (g, i) =>
+        s"""SELECT CAST($g AS BIGINT) AS gap_seconds,
+           |  CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(s$i AS BIGINT) AS n_sessions,
+           |  CAST((1000000 * n_events) // s$i AS BIGINT)
+           |    AS events_per_session_ppm,
+           |  CAST(a$i // 1000000 AS BIGINT) AS total_active_s
+           |FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH deltas AS (
+         |  SELECT epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY epoch_us(ts), event_id) AS gap_us
+         |  FROM events),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_events,
+         |    $conds
+         |  FROM deltas)
+         |$rows
+         |ORDER BY gap_seconds""".stripMargin
+    },
     "q_events_burnrate" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_1h,

@@ -64,8 +64,29 @@ object Governance {
     c.unionByName(o).unionByName(l).orderBy(col("table_name"))
   }
 
+  /** L-DIVERSITY AUDIT — k-anonymity's companion check (Machanavajjhala
+    * et al. 2007): a class of identical quasi-identifiers is still
+    * unsafe if everyone in it shares the same SENSITIVE value, however
+    * large k is. Here the QI is (nation, balance band) and the
+    * sensitive attribute is the market segment; per equivalence class
+    * l = distinct sensitive values, reported as the l-histogram —
+    * classes at l = 1 are the homogeneity-attack surface a release
+    * gate must empty. Shape mirrors q_kanon_audit: the count-distinct
+    * expands to (QI, segment) grouping first (segment domain is 5, so
+    * the expansion is bounded), then two tiny rollups. */
+  def qLdiversityAudit(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l"),
+        count(lit(1)).as("n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+      .orderBy(col("l"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit" -> (qKanonAudit _),
+    "q_ldiversity_audit" -> (qLdiversityAudit _),
     "q_gdpr_impact" -> (qGdprImpact _))
 
   def oracles: Map[String, String] = Map(
@@ -76,6 +97,15 @@ object Governance {
         |    COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2, 3)
         |SELECT n AS class_size, COUNT(*) AS n_classes,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ldiversity_audit" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    COUNT(DISTINCT c_mktsegment) AS l, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l, COUNT(*) AS n_classes,
         |  CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_gdpr_impact" ->

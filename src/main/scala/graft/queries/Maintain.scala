@@ -630,7 +630,189 @@ object Maintain {
       .orderBy(col("join_key"))
   }
 
+  /** The star schema's foreign-key edges, shared by qRefIntegrity's
+    * plan and its generated oracle: (edge label, child table, FK col,
+    * parent table, PK col). */
+  val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"))
+
+  /** REFERENTIAL-INTEGRITY AUDIT — the constraint check a lake runs
+    * because parquet enforces nothing: for every FK edge of the star
+    * schema, how many child rows are orphaned (FK with no parent) and
+    * how many parent rows are dead weight (never referenced). Orphans
+    * break inner-join completeness silently; unreferenced parents are
+    * the dimension bloat a broadcast-size estimate must not count on
+    * trimming. Per edge: ONE map-side-partial aggregate of the child
+    * to its key-cardinality table (the q_skew_report discipline —
+    * never a row-level anti join), then a full outer join against the
+    * parent KEY SET only; the join carries |keys| rows, not |child|.
+    * At 100 TB the parent side of every edge here is the small one
+    * and hash-joins after the child collapses to distinct keys. */
+  def qRefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "customer" => Tables.customer(s, d)
+      case "lineitem" => Tables.lineitem(s, d)
+      case "nation"   => Tables.nation(s, d)
+      case "orders"   => Tables.orders(s, d)
+      case "part"     => Tables.part(s, d)
+      case "region"   => Tables.region(s, d)
+      case "supplier" => Tables.supplier(s, d)
+    }
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      fkAudit(table(child), fk, table(parent), pk, label)
+    }.reduce(_.unionByName(_)).orderBy(col("edge"))
+  }
+
+  /** One FK edge's audit row — split out so specs can plant orphaned
+    * children and unreferenced parents. */
+  def fkAudit(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String, label: String): DataFrame = {
+    val c = child.groupBy(col(fk).cast("long").as("k"))
+      .agg(count(lit(1)).as("n_c"))
+    val p = parent.select(col(pk).cast("long").as("k"),
+      lit(1L).as("isp"))
+    c.join(p, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("n_c"), lit(0L))).as("n_child"),
+        sum(when(col("isp").isNull, col("n_c")).otherwise(0L))
+          .as("n_orphan"),
+        sum(coalesce(col("isp"), lit(0L))).as("n_parent"),
+        sum(when(col("n_c").isNull, 1L).otherwise(0L))
+          .as("n_unref_parent"))
+      .select(lit(label).as("edge"), col("n_child"), col("n_orphan"),
+        col("n_parent"), col("n_unref_parent"))
+  }
+
+  /** POINT-IN-TIME JOIN — the feature-store correctness shape: each
+    * purchase event joined to the SCD2 dimension version (the user's
+    * event_type state history from q_scd2_history) that was valid AT
+    * the purchase's own timestamp, never a later one (the
+    * training-serving leakage rule). NOT the naive key-equi join with
+    * an interval filter — that fans every fact out to ALL of its
+    * user's versions before filtering, quadratic in versions per key.
+    * Instead the scalable as-of merge: dimension versions and facts
+    * UNION into one stream, ONE window per user ordered by
+    * (ts, dim-before-fact, valid_to) carries the last-seen version
+    * forward — zero fan-out, one shuffle on user_id, and version
+    * chains of any length cost O(1) window state. A version starting
+    * exactly at the fact's timestamp applies (valid_from <= ts); of
+    * several versions opening on the same microsecond the survivor is
+    * the non-zero-length one, which the valid_to ordering puts last —
+    * exactly the version the interval-join oracle's
+    * `valid_from <= ts < valid_to` test keeps. */
+  def qPitJoin(s: SparkSession, d: String): DataFrame =
+    pitJoin(Tables.events(s, d))
+
+  /** The as-of merge core over any frame with the events schema —
+    * split out so specs can plant boundary-case timelines. The
+    * dimension is the SCD2 history of the user's BROWSING state
+    * (purchases excluded from the changelog — a dimension built from
+    * the fact type itself would trivially answer "purchase" for every
+    * fact); a purchase before any browsing state reports NULL state
+    * (the cold/organic purchase), which is why the oracle joins
+    * LEFT. */
+  def pitJoin(events: DataFrame): DataFrame = {
+    val ev = events
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val dim = scd2History(events
+      .where(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("valid_from_us").as("ts_us"),
+        lit(0).as("tie"), col("valid_to_us").as("vto"),
+        col("event_type").as("state"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tie"),
+        lit(null).cast("long").as("vto"),
+        lit(null).cast("string").as("state"),
+        col("event_id"), col("value"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tie"), col("vto").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("dimrec", when(col("tie") === 0,
+        struct(col("state"), col("ts_us").as("vfrom"))))
+      .withColumn("pit", last(col("dimrec"), ignoreNulls = true)
+        .over(byUser))
+      .where(col("tie") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("pit.state").as("state_at"),
+        col("pit.vfrom").as("state_since_us"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The join-size pairs qJoinCardEst prices, shared with its oracle:
+    * (label, left table, left key, right table, right key). Two
+    * self-joins with real key skew plus the FK join. */
+  val CardEstJoins: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem*lineitem@partkey", "lineitem", "l_partkey",
+      "lineitem", "l_partkey"),
+    ("lineitem*orders@orderkey", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("orders*orders@custkey", "orders", "o_custkey",
+      "orders", "o_custkey"))
+
+  /** JOIN-CARDINALITY ESTIMATION AUDIT — the planner's number checked
+    * against ground truth: for each join pair, the textbook
+    * uniformity estimate |R|·|S| / max(ndv_R, ndv_S) (what a
+    * cost-based optimizer without histograms uses) next to the EXACT
+    * output size Σ_k a_k·b_k, with the over/under as integer ppm. The
+    * gap IS the skew measurement: a hot key inflates Σ a_k·b_k far
+    * past the uniform guess, and this report is how you find out
+    * before the 100 TB join does. Cost: one key-cardinality aggregate
+    * per side (map-side partial), an inner join of the two KEY tables
+    * (|keys| rows, never |rows|), and a 1-row rollup. Both row counts
+    * accumulate as exact DECIMAL(38,0) and close to STRING (the
+    * q_skew_report selfjoin_rows rule — Σ a·b passes 2⁵³ long before
+    * 100 TB); the actionable ratio closes on the exact integer-ppm
+    * grid, whose quotient always fits BIGINT. */
+  def qJoinCardEst(s: SparkSession, d: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "lineitem" => Tables.lineitem(s, d)
+      case "orders"   => Tables.orders(s, d)
+    }
+    CardEstJoins.map { case (label, lt, lk, rt, rk) =>
+      val l = table(lt).groupBy(col(lk).cast("long").as("k"))
+        .agg(count(lit(1)).as("a"))
+      val r = table(rt).groupBy(col(rk).cast("long").as("k"))
+        .agg(count(lit(1)).as("b"))
+      val sides = l.agg(sum(col("a")).as("n_l"),
+          count(lit(1)).as("ndv_l"))
+        .crossJoin(r.agg(sum(col("b")).as("n_r"),
+          count(lit(1)).as("ndv_r")))
+      l.join(r, Seq("k"))
+        .agg(sum((col("a").cast("decimal(19,0)") * col("b"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("exact"))
+        .crossJoin(broadcast(sides))
+        .select(lit(label).as("join_name"),
+          col("n_l"), col("n_r"), col("ndv_l"), col("ndv_r"),
+          col("exact").cast("string").as("exact_rows"),
+          expr("CAST((CAST(n_l AS DECIMAL(38,0)) * n_r) DIV " +
+            "GREATEST(ndv_l, ndv_r) AS BIGINT)").as("est_rows"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            "((CAST(n_l AS DECIMAL(38,0)) * n_r) DIV " +
+            "GREATEST(ndv_l, ndv_r))) DIV exact AS BIGINT)")
+            .as("est_ppm_of_exact"))
+    }.reduce(_.unionByName(_)).orderBy(col("join_name"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ref_integrity" -> (qRefIntegrity _),
+    "q_pit_join" -> (qPitJoin _),
+    "q_join_card_est" -> (qJoinCardEst _),
     "q_skew_report" -> (qSkewReport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_table_fingerprint" -> (qTableFingerprint _),
@@ -696,6 +878,77 @@ object Maintain {
        |ORDER BY retention_hours""".stripMargin
   }
 
+  /** DuckDB twin of qRefIntegrity — edge list generated from the same
+    * FkEdges constant. */
+  private def refIntegrityOracle: String =
+    FkEdges.map { case (label, child, fk, parent, pk) =>
+      s"""SELECT '$label' AS edge,
+         |  CAST(SUM(COALESCE(n_c, 0)) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN isp IS NULL THEN n_c ELSE 0 END)
+         |    AS BIGINT) AS n_orphan,
+         |  CAST(SUM(COALESCE(isp, 0)) AS BIGINT) AS n_parent,
+         |  CAST(SUM(CASE WHEN n_c IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unref_parent
+         |FROM (SELECT CAST($fk AS BIGINT) AS k, COUNT(*) AS n_c
+         |      FROM $child GROUP BY 1) c
+         |FULL OUTER JOIN (SELECT CAST($pk AS BIGINT) AS k, 1 AS isp
+         |      FROM $parent) p USING (k)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY edge"
+
+  /** DuckDB twin of qPitJoin — the naive interval join (same rows as
+    * the as-of merge; the fan-out shape is fine at oracle scale). The
+    * CTE chain is Scd2Ctes with the purchase rows excluded from the
+    * changelog; LEFT keeps cold purchases with NULL state. */
+  private def pitJoinOracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events WHERE event_type <> 'purchase'),
+      |chg AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM lagged
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |hist AS (
+      |  SELECT user_id, event_type, ts_us AS valid_from_us,
+      |    LEAD(ts_us, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS valid_to_us
+      |  FROM chg),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  h.event_type AS state_at, h.valid_from_us AS state_since_us,
+      |  p.value
+      |FROM p LEFT JOIN hist h ON p.user_id = h.user_id
+      |  AND h.valid_from_us <= p.ts_us
+      |  AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+      |ORDER BY p.event_id""".stripMargin
+
+  /** DuckDB twin of qJoinCardEst — pair list generated from the same
+    * CardEstJoins constant; HUGEINT carries what Spark's
+    * DECIMAL(38,0) does. */
+  private def joinCardEstOracle: String =
+    CardEstJoins.map { case (label, lt, lk, rt, rk) =>
+      s"""SELECT '$label' AS join_name, n_l, n_r, ndv_l, ndv_r,
+         |  CAST(exact AS VARCHAR) AS exact_rows,
+         |  CAST((CAST(n_l AS HUGEINT) * n_r)
+         |    // GREATEST(ndv_l, ndv_r) AS BIGINT) AS est_rows,
+         |  CAST((CAST(1000000 AS HUGEINT) *
+         |    ((CAST(n_l AS HUGEINT) * n_r) // GREATEST(ndv_l, ndv_r)))
+         |    // exact AS BIGINT) AS est_ppm_of_exact
+         |FROM (
+         |  SELECT CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS exact
+         |  FROM (SELECT CAST($lk AS BIGINT) AS k, COUNT(*) AS a
+         |        FROM $lt GROUP BY 1) l
+         |  JOIN (SELECT CAST($rk AS BIGINT) AS k, COUNT(*) AS b
+         |        FROM $rt GROUP BY 1) r USING (k)) x
+         |CROSS JOIN (
+         |  SELECT (SELECT COUNT(*) FROM $lt) AS n_l,
+         |    (SELECT COUNT(*) FROM $rt) AS n_r,
+         |    (SELECT COUNT(DISTINCT $lk) FROM $lt) AS ndv_l,
+         |    (SELECT COUNT(DISTINCT $rk) FROM $rt) AS ndv_r) s""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY join_name"
+
   /** DuckDB twin of qZonemapPrune — layouts and ladder generated from
     * the same ZmapFileKeys / ZmapCutoffs constants. */
   private def zonemapPruneOracle: String = {
@@ -730,6 +983,9 @@ object Maintain {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_ref_integrity" -> refIntegrityOracle,
+    "q_pit_join" -> pitJoinOracle,
+    "q_join_card_est" -> joinCardEstOracle,
     "q_skew_report" -> {
       def block(k: String): String =
         s"""SELECT '$k' AS join_key, n_keys, n_rows, max_c,

@@ -213,7 +213,26 @@ object ExplainDump {
       "runs on hours-of-retention rows, never on events"),
     "q_gdpr_impact" -> ("deletion dry run: one scan per table; the " +
       "lineitem cascade is a single left join against affected-order " +
-      "keys with a conditional sum — the forget side broadcasts"))
+      "keys with a conditional sum — the forget side broadcasts"),
+    "q_ref_integrity" -> ("FK audit: child collapses to its " +
+      "key-cardinality table map-side, then a full outer join of KEY " +
+      "sets — |keys| rows shuffle, never |child|"),
+    "q_pit_join" -> ("point-in-time as-of MERGE: dim versions and " +
+      "facts union into one stream, one user-partitioned window " +
+      "carries the last version forward — zero per-fact fan-out, " +
+      "never the versions-per-key interval join"),
+    "q_join_card_est" -> ("cardinality audit: per-side key tables " +
+      "join on |keys| rows; exact Σ a·b in DECIMAL(38,0) closed to " +
+      "STRING, ratio on the integer-ppm grid"),
+    "q_session_gap_sweep" -> ("gap ladder: every timeout priced " +
+      "from ONE lag window (the sessionizer's own shuffle) via " +
+      "conditional sums in a single aggregate, stacked to rows"),
+    "q_ldiversity_audit" -> ("l-diversity: bounded (QI, segment) " +
+      "expansion then two tiny rollups — the k-anon shape with a " +
+      "5-value sensitive domain"),
+    "q_assoc_rules" -> ("directional rules: zero-shuffle unfold of " +
+      "the items-per-order-bounded pair table, frequency join-back, " +
+      "integer-ppm confidence; top-40 TakeOrderedAndProject"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
