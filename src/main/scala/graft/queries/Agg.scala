@@ -641,7 +641,61 @@ object Agg {
       .orderBy(col("bucket"))
   }
 
+  /** HIGHER-MOMENT SHAPE STATISTICS — population skewness g₁ =
+    * m₃/m₂^{3/2} and excess kurtosis g₂ = m₄/m₂² − 3 of l_quantity
+    * per return flag, the distribution-shape profile beside
+    * q_agg_stats' mean/var (a symmetric-looking mean can hide a heavy
+    * tail that only m₃/m₄ expose — the data-quality read on a column
+    * the planner assumes uniform).
+    *
+    * Exactness: l_quantity is integral, so the four power sums
+    * Σx..Σx⁴ accumulate as EXACT DECIMAL(38,0) (order-free; Σx⁴ stays
+    * within 38 digits past 10¹² rows of x ≤ 50); central moments then
+    * derive from those sums in ONE fixed IEEE double sequence shared
+    * verbatim with the oracle, closing on the 1e-6 round grid (the
+    * q_events_autocorr discipline — exact integer sums, one float
+    * closing step).
+    *
+    * Scale shape: a single map-side-partial hash aggregate to
+    * |flags| rows; the moment algebra is per-group projection work on
+    * that tiny result. One corpus scan, one 3-row shuffle. */
+  def qAggMoments(spark: SparkSession, dir: String): DataFrame = {
+    // decimal(9,0) per value: the x⁴ product chain then lands on
+    // (38,0) exactly at Spark's precision cap with zero loss
+    val q = col("l_quantity").cast("decimal(9,0)")
+    val sums = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast("decimal(38,0)").as("s1"),
+        sum(q * q).cast("decimal(38,0)").as("s2"),
+        sum(q * q * q).cast("decimal(38,0)").as("s3"),
+        sum(q * q * q * q).cast("decimal(38,0)").as("s4"))
+    sums.select(col("l_returnflag"), col("n"),
+        (col("n").cast("double")).as("nd"),
+        col("s1").cast("double").as("d1"),
+        col("s2").cast("double").as("d2"),
+        col("s3").cast("double").as("d3"),
+        col("s4").cast("double").as("d4"))
+      .withColumn("mu", col("d1") / col("nd"))
+      .withColumn("m2", col("d2") / col("nd") - col("mu") * col("mu"))
+      .withColumn("m3", col("d3") / col("nd") -
+        lit(3.0) * col("mu") * (col("d2") / col("nd")) +
+        lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("d4") / col("nd") -
+        lit(4.0) * col("mu") * (col("d3") / col("nd")) +
+        lit(6.0) * col("mu") * col("mu") * (col("d2") / col("nd")) -
+        lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("mu"), 6).as("mean"),
+        round(col("m2"), 6).as("m2"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          .as("kurtosis_excess"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_moments" -> (qAggMoments _),
     "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -668,6 +722,39 @@ object Agg {
     "q_approx_overlap" -> (qApproxOverlap _))
 
   def oracles: Map[String, String] = Map(
+    "q_agg_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS HUGEINT)) AS s1,
+        |    SUM(CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT)) AS s2,
+        |    SUM(CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT)) AS s3,
+        |    SUM(CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT) *
+        |        CAST(l_quantity AS HUGEINT)) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |    CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        |  FROM sums),
+        |mo AS (
+        |  SELECT l_returnflag, n, d1 / nd AS mu,
+        |    d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+        |    d3 / nd - 3.0 * (d1 / nd) * (d2 / nd) +
+        |      2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+        |    d4 / nd - 4.0 * (d1 / nd) * (d3 / nd) +
+        |      6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd) -
+        |      3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+        |  FROM d)
+        |SELECT l_returnflag, n, ROUND(mu, 6) AS mean,
+        |  ROUND(m2, 6) AS m2,
+        |  ROUND(m3 / POWER(m2, 1.5), 6) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM mo ORDER BY l_returnflag""".stripMargin,
     "q_histogram_equidepth" ->
       """WITH b AS (
         |  SELECT LIST_TRANSFORM(

@@ -1682,10 +1682,202 @@ object Events {
       .orderBy(col("hash_size"))
   }
 
+  /** HYSTERESIS ALERT EPISODES — the two-threshold Schmitt-trigger
+    * alerting rule beside q_events_burnrate's multi-window one: per
+    * event type, an alert OPENS when the hourly count rises above the
+    * p90 threshold and CLOSES only when it falls below the median, so
+    * a series oscillating inside the dead band can never flap the
+    * pager. State is "last decisive observation carried forward":
+    * raw = 1 above hi / 0 below lo / NULL in the band, state =
+    * last(raw, ignoreNulls) over time (alert-closed start); episodes
+    * are state-1 islands keyed by the running count of 0→1 opens.
+    * Thresholds are DISCRETE percentiles of integer counts and every
+    * verdict is an integer comparison — bit-exact cross-engine; the
+    * exact percentile is safe at ANY corpus size because the hourly
+    * series is calendar-bounded (hours of retention, never data
+    * volume — the q_events_burnrate contract). Scale: thresholds,
+    * carry-forward, islands, and the rollups all ride ONE
+    * (event_type, bucket-ordered) partitioning of that bounded
+    * series; the only corpus-sized work is the first hash aggregate
+    * inside hourlyDense. */
+  def qEventsHysteresis(s: SparkSession, d: String): DataFrame = {
+    val base = hourlyDense(s, d)
+    val thr = base.groupBy(col("event_type")).agg(
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as("hi"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as("lo"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = base.join(broadcast(thr), "event_type")
+      .withColumn("raw",
+        when(col("x") > col("hi"), lit(1))
+          .when(col("x") < col("lo"), lit(0)))
+      .withColumn("state",
+        coalesce(last(col("raw"), ignoreNulls = true).over(wRun), lit(0)))
+      .withColumn("open",
+        when(col("state") === 1 &&
+          coalesce(lag(col("state"), 1).over(w), lit(0)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("open")).over(wRun))
+    val tot = st.groupBy(col("event_type")).agg(
+      max(col("hi")).as("hi"), max(col("lo")).as("lo"),
+      count(lit(1)).as("n_hours"),
+      sum(col("open")).as("n_episodes"),
+      sum(col("state").cast("long")).as("alert_hours"))
+    val maxLen = st.where(col("state") === 1)
+      .groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(max(col("len")).as("max_episode_hours"))
+    tot.join(maxLen, Seq("event_type"), "left")
+      .select(col("event_type"), col("hi"), col("lo"), col("n_hours"),
+        col("n_episodes"), col("alert_hours"),
+        coalesce(col("max_episode_hours"), lit(0L))
+          .as("max_episode_hours"),
+        expr("(1000000 * alert_hours) div n_hours").as("alert_share_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The Schmitt-trigger carry-forward at CONFIGURED thresholds over
+    * an arbitrary events frame, per-type dense from each type's own
+    * first observed hour — the batch twin EventsStream.hysteresisStream
+    * is spec-checked against (the streaming side cannot know the
+    * percentile thresholds or the global grid bounds; configured
+    * hi/lo is the cusumFixedTarget contract). Emits the per-bucket
+    * changelog (type, b, x, state, opened) rather than the episode
+    * rollup — the rollup is a plain aggregate of these rows. */
+  private[graft] def hysteresisFixed(
+      events: DataFrame, hi: Long, lo: Long): DataFrame = {
+    val hourUs = 3600000000L
+    val perHour = events
+      .select((expr("unix_micros(ts)") -
+        pmod(expr("unix_micros(ts)"), lit(hourUs))).as("b"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val dense = perHour.groupBy(col("event_type"))
+      .agg(min(col("b")).as("lo_b"), max(col("b")).as("hi_b"))
+      .select(col("event_type"),
+        explode(sequence(col("lo_b"), col("hi_b"), lit(hourUs))).as("b"))
+      .join(perHour, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("raw",
+        when(col("x") > hi, lit(1)).when(col("x") < lo, lit(0)))
+      .withColumn("state",
+        coalesce(last(col("raw"), ignoreNulls = true).over(wRun), lit(0)))
+      .withColumn("opened",
+        col("state") === 1 &&
+          coalesce(lag(col("state"), 1).over(w), lit(0)) === 0)
+      .select(col("event_type"), col("b"), col("x"), col("state"),
+        col("opened"))
+  }
+
+  /** INTER-ARRIVAL BURSTINESS — Goh & Barabási's B = (σ−μ)/(σ+μ)
+    * over per-user inter-event gaps, rolled up per event type: the
+    * arrival-process fingerprint that separates Poisson-like human
+    * activity (B ≈ 0 … slightly negative) from bursty machine/retry
+    * traffic (B → 1) and metronomic schedulers (B → −1) — the
+    * capacity-planning companion to q_events_concurrency. Gaps are
+    * PER-USER (lag within the user's own timeline of that type), so
+    * the window partition is (user, type) — bounded per key under any
+    * corpus growth, never a per-type global sort.
+    *
+    * Precision: gaps quantize to integer seconds (DIV, exact), Σg and
+    * Σg² accumulate as exact 128-bit integers; μ/σ/B close in one
+    * fixed IEEE double sequence at the 1e-6 grid (the autocorr
+    * discipline — sums exact and order-free, one float closing step;
+    * past 2⁵³ the closing conversion is the correctly-rounded IEEE
+    * one in both engines and the 1e-6 round absorbs it).
+    *
+    * Scale shape: one shuffle on (user, type) for the lag, one
+    * map-side-partial rollup to |types| rows. */
+  def qEventsBurstiness(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_us - prev) DIV 1000000").as("g"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("s1"),
+        sum((col("g").cast("decimal(19,0)") * col("g"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("s2"))
+      .select(col("event_type"), col("n_gaps"),
+        (col("n_gaps").cast("double")).as("nd"),
+        col("s1").cast("double").as("d1"),
+        col("s2").cast("double").as("d2"))
+      .withColumn("mu", col("d1") / col("nd"))
+      .withColumn("sg", sqrt(greatest(
+        col("d2") / col("nd") - col("mu") * col("mu"), lit(0.0))))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("mu"), 3).as("mean_gap_s"),
+        round(col("sg"), 3).as("sigma_gap_s"),
+        when(col("mu") > 0, round(col("sg") / col("mu"), 6)).as("cv"),
+        when(col("sg") + col("mu") > 0,
+          round((col("sg") - col("mu")) / (col("sg") + col("mu")), 6))
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SLIDING-WINDOW RATE-LIMITER AUDIT — replay the standard
+    * N-per-minute per-user throttle rule over the history ("what
+    * WOULD a 5/min limiter have rejected?") before anyone deploys
+    * it: per event, the count of that user's events in the trailing
+    * 60 s decides the verdict (count > N → throttled — the sliding-
+    * log limiter, exact, no token-bucket approximation), rolled up
+    * per event type with the user blast radius. RANGE peers at the
+    * same microsecond count together in both engines (frame is
+    * order-value-bounded, so tie order cannot matter — the
+    * q_events_attribution RANGE-peer discipline). All integers,
+    * bit-exact. Scale shape: ONE shuffle on user_id for the range
+    * window (per-user state bounded by the 60 s frame × arrival
+    * rate), then a map-side-partial rollup to |types| rows; the
+    * distinct-user tail is a (type, user) pre-aggregate, never a
+    * corpus-wide COUNT DISTINCT. */
+  def qEventsRateLimit(s: SparkSession, d: String): DataFrame = {
+    val n = 5
+    val winUs = 60000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-(winUs - 1), 0)
+    val verdicts = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("c60", count(lit(1)).over(w))
+      .withColumn("throttled", (col("c60") > n).cast("int"))
+    val perType = verdicts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("throttled")).cast("long").as("n_throttled"),
+        max(col("c60")).as("max_c60"))
+    val users = verdicts.groupBy(col("event_type"), col("user_id"))
+      .agg(max(col("throttled")).as("hit"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("hit")).cast("long").as("n_users_throttled"))
+    perType.join(users, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_throttled"),
+        expr("(1000000 * n_throttled) DIV n_events")
+          .as("throttle_ppm"),
+        col("max_c60"), col("n_users"), col("n_users_throttled"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_burstiness" -> (qEventsBurstiness _),
+    "q_events_rate_limit" -> (qEventsRateLimit _),
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_attribution_credit" -> (qEventsAttributionCredit _),
     "q_feature_hash_sweep" -> (qFeatureHashSweep _),
+    "q_events_hysteresis" -> (qEventsHysteresis _),
     "q_events_burnrate" -> (qEventsBurnrate _),
     "q_session_gap_sweep" -> (qSessionGapSweep _),
     "q_events_error_context" -> (qEventsErrorContext _),
@@ -1765,6 +1957,62 @@ object Events {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_events_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |g0 AS (
+        |  SELECT event_type,
+        |    (ts_us - LAG(ts_us) OVER (PARTITION BY user_id, event_type
+        |       ORDER BY ts_us, event_id)) // 1000000 AS g
+        |  FROM e),
+        |g1 AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    SUM(CAST(g AS HUGEINT)) AS s1,
+        |    SUM(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS s2
+        |  FROM g1 GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n_gaps, CAST(n_gaps AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2
+        |  FROM s),
+        |m AS (
+        |  SELECT event_type, n_gaps, d1 / nd AS mu,
+        |    SQRT(GREATEST(d2 / nd - (d1 / nd) * (d1 / nd), 0.0)) AS sg
+        |  FROM d)
+        |SELECT event_type, n_gaps, ROUND(mu, 3) AS mean_gap_s,
+        |  ROUND(sg, 3) AS sigma_gap_s,
+        |  CASE WHEN mu > 0 THEN ROUND(sg / mu, 6) END AS cv,
+        |  CASE WHEN sg + mu > 0
+        |    THEN ROUND((sg - mu) / (sg + mu), 6) END AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_events_rate_limit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (
+        |  SELECT event_type, user_id,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS c60
+        |  FROM e),
+        |v2 AS (
+        |  SELECT event_type, user_id, c60,
+        |    CASE WHEN c60 > 5 THEN 1 ELSE 0 END AS throttled FROM v),
+        |pt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(throttled) AS BIGINT) AS n_throttled,
+        |    CAST(MAX(c60) AS BIGINT) AS max_c60
+        |  FROM v2 GROUP BY 1),
+        |us AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(hit) AS BIGINT) AS n_users_throttled
+        |  FROM (SELECT event_type, user_id, MAX(throttled) AS hit
+        |        FROM v2 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT pt.event_type, n_events, n_throttled,
+        |  (1000000 * n_throttled) // n_events AS throttle_ppm,
+        |  max_c60, n_users, n_users_throttled
+        |FROM pt JOIN us USING (event_type)
+        |ORDER BY pt.event_type""".stripMargin,
     "q_events_attribution" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
@@ -1847,6 +2095,62 @@ object Events {
          |$rows
          |ORDER BY gap_seconds""".stripMargin
     },
+    "q_events_hysteresis" ->
+      """WITH ph AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ph),
+        |grid AS (
+        |  SELECT UNNEST(GENERATE_SERIES(lo, hi, 3600000000)) AS b FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ph),
+        |dense AS (
+        |  SELECT t.event_type, g.b, COALESCE(ph.c, 0) AS x
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN ph ON ph.event_type = t.event_type AND ph.b = g.b),
+        |thr AS (
+        |  SELECT event_type,
+        |    CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS hi,
+        |    CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x)
+        |      AS BIGINT) AS lo
+        |  FROM dense GROUP BY 1),
+        |st0 AS (
+        |  SELECT d.event_type, d.b, d.x, t.hi, t.lo,
+        |    CASE WHEN d.x > t.hi THEN 1 WHEN d.x < t.lo THEN 0 END AS raw
+        |  FROM dense d JOIN thr t USING (event_type)),
+        |st1 AS (
+        |  SELECT *, COALESCE(LAST_VALUE(raw IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |  FROM st0),
+        |st2 AS (
+        |  SELECT *, CASE WHEN state = 1 AND COALESCE(LAG(state) OVER (
+        |    PARTITION BY event_type ORDER BY b), 0) = 0
+        |    THEN 1 ELSE 0 END AS open
+        |  FROM st1),
+        |st AS (
+        |  SELECT *, SUM(open) OVER (PARTITION BY event_type ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM st2),
+        |tot AS (
+        |  SELECT event_type, MAX(hi) AS hi, MAX(lo) AS lo,
+        |    COUNT(*) AS n_hours,
+        |    CAST(SUM(open) AS BIGINT) AS n_episodes,
+        |    CAST(SUM(state) AS BIGINT) AS alert_hours
+        |  FROM st GROUP BY 1),
+        |ml AS (
+        |  SELECT event_type, MAX(len) AS max_episode_hours FROM (
+        |    SELECT event_type, island, COUNT(*) AS len FROM st
+        |    WHERE state = 1 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.event_type, t.hi, t.lo, t.n_hours, t.n_episodes,
+        |  t.alert_hours,
+        |  COALESCE(ml.max_episode_hours, 0) AS max_episode_hours,
+        |  CAST((1000000 * t.alert_hours) // t.n_hours AS BIGINT)
+        |    AS alert_share_ppm
+        |FROM tot t LEFT JOIN ml USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_events_burnrate" ->
       s"""WITH hourly AS (
          |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n_1h,

@@ -84,12 +84,71 @@ object Governance {
       .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
       .orderBy(col("l"))
 
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE AUDIT — the calibration
+    * harness for an ε = ln 2 discrete-Laplace release of the
+    * (nation × market segment) customer histogram. Noise is the
+    * difference of two Geometric(½) draws (Inoue/Kotz two-sided
+    * geometric: P(z) ∝ 2^{-|z|}, the discrete Laplace mechanism of
+    * Ghosh–Roughgarden–Sundararajan 2012; each customer lands in
+    * exactly one cell, so histogram sensitivity is 1 and the release
+    * is ln 2-DP). The geometric draws are EXACT INTEGER bit
+    * arithmetic — u = 52 md5 bits per cell, g = trailing-zero count
+    * via bit_count((u & -u) − 1) — so no float ever enters and both
+    * engines sample the identical noise. Hash-seeded coins make this
+    * run an AUDIT (reproducible, true count beside released count —
+    * the E|noise| = 4/3 calibration check); a production release
+    * keys the md5 with a secret salt and drops the true columns.
+    * Scale: one map-side-partial hash aggregate to ≤|nations×segs|
+    * cells; noise is per-cell projection work on that tiny table. */
+  def qDpHistogram(s: SparkSession, d: String): DataFrame = {
+    def draw(tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(tag), col("c_nationkey"), lit(":"),
+        col("c_mktsegment"))), 1, 13), 16, 10).cast("long")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u1", draw("dp1:"))
+      .withColumn("u2", draw("dp2:"))
+      .withColumn("noise",
+        expr("CASE WHEN u1 = 0 THEN 52 ELSE bit_count((u1 & -u1) - 1) END") -
+        expr("CASE WHEN u2 = 0 THEN 52 ELSE bit_count((u2 & -u2) - 1) END"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_true"),
+        col("noise").cast("long").as("noise"),
+        (col("n_true") + col("noise")).cast("long").as("released"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit" -> (qKanonAudit _),
     "q_ldiversity_audit" -> (qLdiversityAudit _),
+    "q_dp_histogram" -> (qDpHistogram _),
     "q_gdpr_impact" -> (qGdprImpact _))
 
   def oracles: Map[String, String] = Map(
+    "q_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_true
+        |  FROM customer GROUP BY 1, 2),
+        |u AS (
+        |  SELECT c_nationkey, c_mktsegment, n_true,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(
+        |      'dp1:' || c_nationkey || ':' || c_mktsegment), 1, 13))
+        |      AS BIGINT) AS u1,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(
+        |      'dp2:' || c_nationkey || ':' || c_mktsegment), 1, 13))
+        |      AS BIGINT) AS u2
+        |  FROM h),
+        |g AS (
+        |  SELECT c_nationkey, c_mktsegment, n_true,
+        |    (CASE WHEN u1 = 0 THEN 52
+        |      ELSE bit_count((u1 & -u1) - 1) END) -
+        |    (CASE WHEN u2 = 0 THEN 52
+        |      ELSE bit_count((u2 & -u2) - 1) END) AS noise
+        |  FROM u)
+        |SELECT c_nationkey, c_mktsegment, n_true,
+        |  CAST(noise AS BIGINT) AS noise,
+        |  CAST(n_true + noise AS BIGINT) AS released
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_kanon_audit" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment,

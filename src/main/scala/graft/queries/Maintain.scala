@@ -809,9 +809,68 @@ object Maintain {
     }.reduce(_.unionByName(_)).orderBy(col("join_name"))
   }
 
+  /** LEAKAGE-SAFE OUT-OF-FOLD TARGET ENCODING — the feature-store
+    * staple beside q_pit_join's as-of merge: encode the categorical
+    * c_mktsegment by the mean order value its members generate,
+    * computed OUT OF FOLD so no customer's own orders ever leak into
+    * the encoding its training rows see. Folds are assigned to the
+    * ENTITY (hash(c_custkey) → 5 folds, the q_split_train_test
+    * fingerprint discipline), not the row — row-level folds would
+    * still leak a customer's spending into its own encoding through
+    * its other orders, the classic target-leak bug this op exists to
+    * prevent. Reported per (segment, fold): the raw out-of-fold mean
+    * and the m=20 smoothed encoding that shrinks thin cells toward
+    * the (equally out-of-fold) global prior — the standard
+    * high-cardinality variant (Micci-Barreca 2001).
+    *
+    * Exactness: order values quantize to integer cents on entry;
+    * every encoding is an integer DIV of exact cent sums — no float
+    * anywhere, bit-identical cross-engine (empty-cell guards return
+    * NULL rather than divide by zero).
+    *
+    * Scale shape: the corpus is touched by ONE per-customer aggregate
+    * (map-side partial) and one FK join to customer for the segment;
+    * everything after lives on |segments|·|folds| ≈ 25 rows with the
+    * totals joined back broadcast. The 100 TB cost is the cost of
+    * scanning orders once. */
+  def qTargetEncoding(s: SparkSession, d: String): DataFrame = {
+    val folds = 5
+    val m = 20
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_o"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("s_o"))
+    val cells = perCust
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(graft.operators.Sampling.hashFraction(col("c_custkey")) *
+          folds).cast("int").as("fold"),
+        col("n_o"), col("s_o"))
+      .groupBy(col("c_mktsegment"), col("fold"))
+      .agg(sum(col("n_o")).as("n_f"), sum(col("s_o")).as("s_f"))
+    val segTot = cells.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_f")).as("n_t"), sum(col("s_f")).as("s_t"))
+    val glob = cells.agg(sum(col("n_f")).as("g_n"),
+      sum(col("s_f")).as("g_s"))
+    cells.join(broadcast(segTot), "c_mktsegment")
+      .crossJoin(broadcast(glob))
+      .select(col("c_mktsegment"), col("fold"),
+        (col("n_t") - col("n_f")).as("n_oof"),
+        expr("CASE WHEN n_t > n_f THEN (s_t - s_f) DIV (n_t - n_f) " +
+          "END").as("enc_cents"),
+        expr("CASE WHEN g_n > n_f THEN (g_s - s_f) DIV (g_n - n_f) " +
+          "END").as("prior_cents"),
+        expr(s"CASE WHEN g_n > n_f THEN (s_t - s_f + $m * " +
+          s"((g_s - s_f) DIV (g_n - n_f))) DIV (n_t - n_f + $m) " +
+          "END").as("enc_smooth_cents"))
+      .orderBy(col("c_mktsegment"), col("fold"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_pit_join" -> (qPitJoin _),
+    "q_target_encoding" -> (qTargetEncoding _),
     "q_join_card_est" -> (qJoinCardEst _),
     "q_skew_report" -> (qSkewReport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -985,6 +1044,38 @@ object Maintain {
   def oracles: Map[String, String] = Map(
     "q_ref_integrity" -> refIntegrityOracle,
     "q_pit_join" -> pitJoinOracle,
+    "q_target_encoding" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, COUNT(*) AS n_o,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS s_o
+        |  FROM orders GROUP BY 1),
+        |cells AS (
+        |  SELECT c_mktsegment,
+        |    CAST(FLOOR(CAST(CONCAT('0x', SUBSTR(MD5(
+        |      CAST(c_custkey AS VARCHAR)), 1, 6)) AS INTEGER)
+        |      / 16777216.0 * 5) AS INT) AS fold,
+        |    CAST(SUM(n_o) AS BIGINT) AS n_f,
+        |    CAST(SUM(s_o) AS BIGINT) AS s_f
+        |  FROM oc JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(SUM(n_f) AS BIGINT) AS n_t,
+        |    CAST(SUM(s_f) AS BIGINT) AS s_t
+        |  FROM cells GROUP BY 1),
+        |gl AS (
+        |  SELECT CAST(SUM(n_f) AS BIGINT) AS g_n,
+        |    CAST(SUM(s_f) AS BIGINT) AS g_s FROM cells)
+        |SELECT c.c_mktsegment, c.fold, (n_t - n_f) AS n_oof,
+        |  CASE WHEN n_t > n_f
+        |    THEN (s_t - s_f) // (n_t - n_f) END AS enc_cents,
+        |  CASE WHEN g_n > n_f
+        |    THEN (g_s - s_f) // (g_n - n_f) END AS prior_cents,
+        |  CASE WHEN g_n > n_f
+        |    THEN (s_t - s_f + 20 * ((g_s - s_f) // (g_n - n_f)))
+        |      // (n_t - n_f + 20) END AS enc_smooth_cents
+        |FROM cells c JOIN seg USING (c_mktsegment) CROSS JOIN gl
+        |ORDER BY c.c_mktsegment, c.fold""".stripMargin,
     "q_join_card_est" -> joinCardEstOracle,
     "q_skew_report" -> {
       def block(k: String): String =

@@ -275,6 +275,82 @@ object Text {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** NAIVE-BAYES LANGUAGE CLASSIFIER TRAINED IN-ENGINE — the
+    * supervised-filter shape of a fastText-style language/quality
+    * model (Joulin et al. 2016), reduced to multinomial NB with
+    * add-one smoothing: the closed-form member of the family, so the
+    * "fit" is two counting aggregates, never an iterative optimizer
+    * driving the cluster from the driver. Fit on the 'train' side of
+    * the leakage-safe fingerprint split (q_split_train_test's
+    * assignment — duplicated crawl content can never straddle the
+    * boundary and inflate test accuracy), scored on the 'test' side,
+    * reported as the test confusion matrix in q_langid_confusion's
+    * exact shape so the learned model and the hand-written marker
+    * heuristic are directly comparable numbers.
+    *
+    * Determinism: every model weight is ln of a ratio of INTEGERS
+    * rounded to the 1e-8 grid and carried as DECIMAL(20,8); per-doc
+    * scores are integer-weighted DECIMAL sums (exact, order-free), so
+    * the argmax — ties broken by alphabetical class via
+    * min(struct(-score, class)) — is bit-identical cross-engine.
+    *
+    * Scale shape: the model is |vocab|·|classes| rows — broadcast
+    * (a production vocab is min-count-capped first, the df-cap
+    * pattern); the corpus is touched by exactly two token-explode
+    * aggregates (train counts, test counts) and one (doc, class)
+    * score aggregate, all map-side partial; no corpus-sized side
+    * ever shuffles through a join. */
+  def qNbLangid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d).withColumn("split", splitWhen)
+    val toks = dd.select(col("doc_id"), col("lang"), col("split"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val train = toks.where(col("split") === "train")
+    val dec = "decimal(20,8)"
+    val wc = train.groupBy(col("lang").as("cl"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = train.groupBy(col("lang").as("cl"))
+      .agg(count(lit(1)).as("tok_c"))
+    val vocab = wc.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val trainDocs = dd.where(col("split") === "train")
+    val dc = trainDocs
+      .groupBy(col("lang").as("cl")).agg(count(lit(1)).as("docs_c"))
+      // grand total as a 1-row broadcast scalar, not a whole-relation
+      // window: the class table is small but unprovably so to the
+      // planner, and the scalar cross is free either way
+      .crossJoin(broadcast(
+        trainDocs.agg(count(lit(1)).as("docs_t"))))
+    val cls = dc.join(ct, "cl").crossJoin(broadcast(vocab))
+      .select(col("cl"),
+        round(log(col("docs_c").cast("double") / col("docs_t")), 8)
+          .cast(dec).as("prior"),
+        round(log(lit(1.0) / (col("tok_c") + col("v"))), 8)
+          .cast(dec).as("unk"),
+        (col("tok_c") + col("v")).as("denom"))
+    val trm = wc.join(broadcast(cls.select(col("cl"), col("denom"))), "cl")
+      .select(col("cl"), col("tok"),
+        round(log((col("cnt") + lit(1)).cast("double") / col("denom")), 8)
+          .cast(dec).as("term"))
+    val sc = toks.where(col("split") === "test")
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(cls.select(col("cl"), col("prior"), col("unk"))))
+      .join(broadcast(trm), Seq("cl", "tok"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("cl"))
+      .agg((max(col("prior")) +
+        sum(col("n") * coalesce(col("term"), col("unk")))).as("score"))
+    val pred = sc.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("cl"))).as("m"))
+      .select(col("lang"), col("m.cl").as("lang_pred"))
+    pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        (expr("CAST((2000000 * n + t) DIV (2 * t) AS BIGINT)")
+          .cast("double") / lit(1000000.0)).as("share"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   /** Normalized md5 fingerprint + exact-duplicate cluster size. */
   def qTextFingerprint(s: SparkSession, d: String): DataFrame = {
     val fp = docs(s, d)
@@ -964,12 +1040,15 @@ object Text {
 
   /** The split core over any frame with (doc_id, text) — shared with
     * q_split_leakage's cross-split near-dup audit. */
-  private[queries] def splitAssign(docs: DataFrame): DataFrame = {
+  private[queries] def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitWhen.as("split"))
+
+  /** The split assignment as a bare column over `text` — shared with
+    * q_nb_langid, which needs it alongside the doc's other columns. */
+  private[queries] def splitWhen: org.apache.spark.sql.Column = {
     val f = graft.operators.Sampling.hashFraction(
       graft.text.TextAnalysis.fingerprint(col("text")))
-    docs.select(
-      col("doc_id"),
-      when(f < 0.8, "train").when(f < 0.9, "val").otherwise("test").as("split"))
+    when(f < 0.8, "train").when(f < 0.9, "val").otherwise("test")
   }
 
   /** The split assignment as a DuckDB subquery (no ORDER BY) — the
@@ -1053,6 +1132,7 @@ object Text {
     "q_token_budget" -> (qTokenBudget _),
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
+    "q_nb_langid" -> (qNbLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_quantiles" -> (qTextQuantiles _))
 
@@ -1245,6 +1325,60 @@ object Text {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_nb_langid" ->
+      """WITH sp AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN fr < 0.8 THEN 'train' WHEN fr < 0.9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, lang, text,
+        |      CAST(CONCAT('0x', SUBSTR(MD5(
+        |        MD5(REGEXP_REPLACE(TRIM(LOWER(text)), '\s+', ' ', 'g'))), 1, 6))
+        |        AS INTEGER) / 16777216.0 AS fr
+        |    FROM documents) f),
+        |tk AS (
+        |  SELECT doc_id, lang, split,
+        |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS tok
+        |  FROM sp),
+        |tkf AS (SELECT * FROM tk WHERE tok <> ''),
+        |wc AS (SELECT lang AS cl, tok, COUNT(*) AS cnt
+        |  FROM tkf WHERE split = 'train' GROUP BY 1, 2),
+        |ct AS (SELECT lang AS cl, COUNT(*) AS tok_c
+        |  FROM tkf WHERE split = 'train' GROUP BY 1),
+        |vc AS (SELECT COUNT(DISTINCT tok) AS v FROM wc),
+        |dc AS (SELECT lang AS cl, COUNT(*) AS docs_c
+        |  FROM sp WHERE split = 'train' GROUP BY 1),
+        |cls AS (
+        |  SELECT dc.cl,
+        |    CAST(ROUND(LN(docs_c / (SELECT SUM(docs_c) FROM dc)), 8)
+        |      AS DECIMAL(20,8)) AS prior,
+        |    CAST(ROUND(LN(1.0 / (tok_c + vc.v)), 8)
+        |      AS DECIMAL(20,8)) AS unk,
+        |    tok_c + vc.v AS denom
+        |  FROM dc JOIN ct USING (cl) CROSS JOIN vc),
+        |trm AS (
+        |  SELECT cl, tok,
+        |    CAST(ROUND(LN((cnt + 1.0) / denom), 8) AS DECIMAL(20,8)) AS term
+        |  FROM wc JOIN cls USING (cl)),
+        |tt AS (SELECT doc_id, lang, tok, COUNT(*) AS n
+        |  FROM tkf WHERE split = 'test' GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT tt.doc_id, tt.lang, cls.cl,
+        |    MAX(cls.prior) + SUM(tt.n * COALESCE(trm.term, cls.unk)) AS score
+        |  FROM tt CROSS JOIN cls
+        |    LEFT JOIN trm ON trm.cl = cls.cl AND trm.tok = tt.tok
+        |  GROUP BY 1, 2, 3),
+        |mx AS (SELECT doc_id, lang, MAX(score) AS ms FROM sc GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT sc.doc_id, sc.lang, MIN(sc.cl) AS lang_pred
+        |  FROM sc JOIN mx ON sc.doc_id = mx.doc_id AND sc.score = mx.ms
+        |  GROUP BY 1, 2),
+        |cf AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+        |t2 AS (SELECT lang, lang_pred, n,
+        |  SUM(n) OVER (PARTITION BY lang) AS t FROM cf)
+        |SELECT lang, lang_pred, n,
+        |  CAST((2000000 * n + t) // (2 * t) AS BIGINT) / 1000000.0 AS share
+        |FROM t2 ORDER BY lang, lang_pred""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
     "q_text_perplexity_bigram" ->

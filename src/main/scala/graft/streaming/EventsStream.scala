@@ -20,6 +20,9 @@ case class Scd2State(eventType: String, validFromUs: Long)
 case class VersionRow(
     user_id: Long, event_type: String, valid_from_us: Long,
     valid_to_us: Option[Long], open: Boolean)
+case class PitRow(
+    event_id: Long, user_id: Long, ts_us: Long,
+    state_at: Option[String], state_since_us: Option[Long], value: Double)
 case class GapfillState(
     nextBucket: Long, locf: Option[Double], open: Map[Long, (Long, Double)])
 case class GapBucket(
@@ -67,6 +70,12 @@ case class CusumCarry(
     lastEmitted: Long, nLate: Long)
 case class CusumPoint(
     event_type: String, bucket_start: java.sql.Timestamp, cusum: Double)
+case class HystCarry(
+    pending: Seq[Long], open: Map[Long, Long], state: Int,
+    lastEmitted: Long, started: Boolean, nLate: Long)
+case class HystPoint(
+    event_type: String, bucket_start: java.sql.Timestamp, x: Long,
+    state: Int, opened: Boolean)
 
 /** Structured Streaming twin of the batch event queries
   * (SURVEY.md §2 events block).
@@ -345,6 +354,51 @@ object EventsStream {
             (closed :+ VersionRow(uid, cur.eventType, cur.validFromUs,
               None, open = true)).iterator
           }
+      }
+  }
+
+  /** Streaming point-in-time enrichment — the stateful twin of
+    * Maintain.pitJoin, i.e. the feature store's ONLINE path: the
+    * batch as-of merge assembles training rows offline, this enriches
+    * serving-time facts with the SAME versioned browsing state, so
+    * the two paths cannot skew. State per user is the OPEN dimension
+    * version (type + valid_from) — exactly scd2Stream's O(1) state;
+    * each micro-batch folds its rows in (event-time, dim-before-fact,
+    * event_id) order: dimension rows advance the state (a same-
+    * instant change chain leaves the last writer, matching the batch
+    * zero-length-version rule), and each purchase emits exactly one
+    * enriched row stamped with the version valid AT its own
+    * microsecond — a version opening on that same microsecond
+    * applies, and a purchase before any browsing state reports NULL
+    * (the cold/organic purchase). Contract (same as scd2Stream,
+    * documented): per-key event-time order ACROSS batches — an
+    * emitted enrichment is immutable, so Append mode. Under that
+    * contract the emissions equal the batch pitJoin, spec-asserted. */
+  def pitStream(events: Dataset[CdcEvent]): Dataset[PitRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, PitRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[Scd2State]) =>
+          def tsUs(r: CdcEvent): Long =
+            r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+          val sorted = rows.toSeq.sortBy(r =>
+            (tsUs(r), if (r.event_type == "purchase") 1 else 0, r.event_id))
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[PitRow]
+          sorted.foreach { r =>
+            val t = tsUs(r)
+            if (r.event_type == "purchase")
+              out += PitRow(r.event_id, uid, t,
+                Option(cur).map(_.eventType),
+                Option(cur).map(_.validFromUs), r.value)
+            else if (cur == null || cur.eventType != r.event_type)
+              cur = Scd2State(r.event_type, t)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
       }
   }
 
@@ -721,6 +775,97 @@ object EventsStream {
           state.update(CusumCarry(hold, still, c, lastEmitted, late))
           val wakes = still.keys.map(b => (b + hourUs) / 1000L) ++
             hold.map(_._1 / 1000L + 1L)
+          if (wakes.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(wakes.min, state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming Schmitt-trigger alerting — the PRODUCTION deployment
+    * of the hysteresis rule (queries.Events.hysteresisFixed is the
+    * batch twin): per event type, hourly counts finalize when the
+    * watermark passes the bucket END, then fold through the
+    * two-threshold state machine (open above hi, close below lo,
+    * carry inside the dead band) IN BUCKET ORDER, emitting one
+    * changelog point per DENSE hour from the type's first observed
+    * bucket — a silent hour is a real x = 0 observation (below lo →
+    * the alert closes), which is exactly why a pager needs the dense
+    * grid: an alert must close when traffic STOPS, not only when a
+    * quiet row happens to arrive. Thresholds are configured (the
+    * in-control percentiles from history) — the batch percentile
+    * self-calibration needs the full series and cannot stream; the
+    * cusumStream contract.
+    *
+    * All integer comparisons — bit-identical to the batch fold,
+    * spec-asserted under out-of-order arrival. Rows landing in a
+    * finalized bucket drop as late and are counted (the cusumStream
+    * rule). State per type: watermark-bounded pending rows + open
+    * bucket counts + one int of trigger state. Event-time timeouts
+    * keep the dense emission flowing through silent hours. */
+  def hysteresisStream(
+      events: Dataset[TypedEvent],
+      hi: Long, lo: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[HystPoint] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HystCarry, HystPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, rows: Iterator[TypedEvent],
+            state: GroupState[HystCarry]) =>
+          val prev = state.getOption.getOrElse(
+            HystCarry(Nil, Map.empty, 0, Long.MinValue, false, 0L))
+          val pending = prev.pending ++ rows.map(_.ts.getTime * 1000L)
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = pending.partition(_ <= horizonUs)
+          var open = prev.open
+          var late = prev.nLate
+          ripe.foreach { ts =>
+            val b = ts / hourUs * hourUs
+            if (prev.started && b <= prev.lastEmitted) late += 1L
+            else open = open.updated(b, open.getOrElse(b, 0L) + 1L)
+          }
+          // dense finalization: every hour from the cursor (first
+          // observed bucket on the first batch) whose END the
+          // watermark passed is final — observed or silent alike
+          val out = scala.collection.mutable.ListBuffer.empty[HystPoint]
+          var st = prev.state
+          var lastEmitted = prev.lastEmitted
+          var started = prev.started
+          // the dense cursor: resumes one hour past the last emission,
+          // or anchors at the type's first observed bucket; `started`
+          // flips only on the first actual emission so a not-yet-
+          // finalizable first bucket never poisons the resume point
+          var cursor =
+            if (started) lastEmitted + hourUs
+            else if (open.nonEmpty) open.keys.min
+            else Long.MaxValue
+          while (cursor != Long.MaxValue && cursor + hourUs <= horizonUs) {
+            val x = open.getOrElse(cursor, 0L)
+            open -= cursor
+            val next =
+              if (x > hi) 1 else if (x < lo) 0 else st
+            out += HystPoint(typ,
+              new java.sql.Timestamp(cursor / 1000L), x, next,
+              next == 1 && st == 0)
+            st = next
+            started = true
+            lastEmitted = cursor
+            cursor += hourUs
+          }
+          state.update(
+            HystCarry(hold, open, st, lastEmitted, started, late))
+          // wake when the next dense hour (or a held row's bucket)
+          // can finalize, so silent hours keep emitting
+          val wakes =
+            (if (started) Seq((lastEmitted + 2 * hourUs) / 1000L)
+             else Nil) ++
+            open.keys.map(b => (b + hourUs) / 1000L) ++
+            hold.map(_ / 1000L + 1L)
           if (wakes.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(wakes.min, state.getCurrentWatermarkMs() + 1L))

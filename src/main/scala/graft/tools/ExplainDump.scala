@@ -232,7 +232,27 @@ object ExplainDump {
       "5-value sensitive domain"),
     "q_assoc_rules" -> ("directional rules: zero-shuffle unfold of " +
       "the items-per-order-bounded pair table, frequency join-back, " +
-      "integer-ppm confidence; top-40 TakeOrderedAndProject"))
+      "integer-ppm confidence; top-40 TakeOrderedAndProject"),
+    "q_nb_langid" -> ("in-engine NB fit: two token-explode counting " +
+      "aggregates train the broadcast |vocab|x|classes| model; one " +
+      "(doc, class) DECIMAL score aggregate, no corpus-sized join"),
+    "q_dp_histogram" -> ("DP release: one hash aggregate to the cell " +
+      "table; integer md5 trailing-zero geometric noise as per-cell " +
+      "projection work"),
+    "q_events_hysteresis" -> ("Schmitt-trigger episodes: thresholds, " +
+      "carry-forward state, islands, and rollups all on ONE (type, " +
+      "time) partitioning of the calendar-bounded hourly series"),
+    "q_target_encoding" -> ("out-of-fold encoding: one per-customer " +
+      "aggregate + FK join; all fold algebra on ~25 broadcast rows, " +
+      "integer cents throughout"),
+    "q_agg_moments" -> ("shape stats: one map-side-partial aggregate " +
+      "of four exact integer power sums; moment algebra is per-group " +
+      "projection work"),
+    "q_events_burstiness" -> ("per-(user,type) lag window (bounded " +
+      "per key), exact integer gap sums, one rollup to |types| rows"),
+    "q_events_rate_limit" -> ("sliding-log replay: one user_id " +
+      "shuffle for the 60s RANGE count; rollups map-side; distinct " +
+      "users via (type,user) pre-aggregate"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

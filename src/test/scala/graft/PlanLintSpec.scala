@@ -40,12 +40,21 @@ class PlanLintSpec extends SparkSpec {
     *  - q_events_xcorr / q_events_seasonality — share hourlyDense
     *    verbatim with autocorr/forecast, so they inherit the same
     *    grid × type-dimension cross; their own small aggregates are
-    *    broadcast and invisible to the lint. */
+    *    broadcast and invisible to the lint;
+    *  - q_events_hysteresis — shares hourlyDense verbatim too (the
+    *    Schmitt trigger runs over the same dense hourly series), so
+    *    it inherits the identical grid × type-dimension cross;
+    *  - q_nb_langid — the (doc, token) test set crosses the CLASS
+    *    dimension (distinct train langs × broadcast model), the same
+    *    low-cardinality-by-data-contract dimension argument as the
+    *    gapfill type cross; everything corpus-sized joins on
+    *    (cl, tok) equality. */
   private val crossAllowed = Set(
     "q_cross_join", "q_ann_bruteforce", "q_embed_bitsim",
     "q_ann_recall", "q_ivf_dedup_recall",
     "q_events_gapfill", "q_events_interpolate", "q_events_autocorr",
-    "q_events_forecast", "q_events_xcorr", "q_events_seasonality")
+    "q_events_forecast", "q_events_xcorr", "q_events_seasonality",
+    "q_events_hysteresis", "q_nb_langid")
 
   /** Reviewed whole-relation windows:
     *  - q_win_unpartitioned — the documented driver-bounded

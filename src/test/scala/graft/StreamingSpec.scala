@@ -666,6 +666,88 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
   }
 
+  test("streaming PIT enrichment equals the batch as-of merge under ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcEvent
+    def t(s: String) = Timestamp.valueOf(s)
+    val b1 = Seq(
+      // u10: cold purchase (no state yet), then view, then purchase
+      CdcEvent(1L, t("2024-01-01 10:00:00"), 10L, "purchase", 1.0),
+      CdcEvent(2L, t("2024-01-01 10:01:00"), 10L, "view", 0.0),
+      CdcEvent(3L, t("2024-01-01 10:02:00"), 10L, "purchase", 2.0),
+      CdcEvent(4L, t("2024-01-01 10:00:30"), 20L, "signup", 0.0))
+    val b2 = Seq(
+      // u10: same-instant click change + purchase — dim applies first
+      CdcEvent(5L, t("2024-01-01 10:10:00"), 10L, "click", 0.0),
+      CdcEvent(6L, t("2024-01-01 10:10:00"), 10L, "purchase", 3.0),
+      // u20: state opened in batch 1 must survive into batch 2
+      CdcEvent(7L, t("2024-01-01 10:12:00"), 20L, "purchase", 4.0))
+    val stream = MemoryStream[CdcEvent]
+    val q = EventsStream.pitStream(stream.toDS())
+      .writeStream.format("memory").queryName("pit_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pit_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5))).toSet
+    val batch = graft.queries.Maintain.pitJoin((b1 ++ b2).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // each purchase enriched exactly once
+    assert(streamed.size == 4)
+    // the cold purchase reports NULL state
+    assert(streamed.exists(v => v._1 == 1L && v._4.isEmpty))
+  }
+
+  test("streaming hysteresis emits the dense Schmitt changelog incl. silent hours") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.TypedEvent
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    def ev(sec: Long) = TypedEvent("m", t(sec), 0.0)
+    // hi=3 lo=2: open on x>3, close on x<2, {2,3} is the dead band.
+    // hour 0: x=5 (opens), hour 1: x=2 (band, stays), hour 2: SILENT
+    // (x=0 closes), hour 3: x=4 (opens again), hour 4: silent
+    val b1 = Seq(ev(600), ev(700), ev(800), ev(900), ev(1000),
+      ev(3700), ev(4000),
+      ev(10900), ev(11000), ev(11100))
+    // batch 2: an out-of-order hour-3 row plus the watermark sentinel
+    val b2 = Seq(ev(11200), ev(19200))
+    val stream = MemoryStream[TypedEvent]
+    val q = EventsStream.hysteresisStream(stream.toDS(), 3L, 2L)
+      .writeStream.format("memory").queryName("hyst_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hyst_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000L,
+        r.getLong(2), r.getInt(3), r.getBoolean(4))).toSet
+    val expected = Set(
+      ("m", 0L, 5L, 1, true), ("m", 3600L, 2L, 1, false),
+      ("m", 7200L, 0L, 0, false), ("m", 10800L, 4L, 1, true),
+      ("m", 14400L, 0L, 0, false))
+    assert(streamed == expected, s"streamed=$streamed")
+    // and the batch fixed-threshold core agrees on the finalized range
+    val horizonUs = (19200L - 600L) * 1000000L
+    val batch = graft.queries.Events.hysteresisFixed(
+        (b1 ++ b2).map(e => (e.event_type, e.ts)).toDF("event_type", "ts"),
+        3L, 2L)
+      .collect()
+      .filter(r => r.getLong(1) + 3600000000L <= horizonUs)
+      .map(r => (r.getString(0), r.getLong(1) / 1000000L, r.getLong(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    assert(batch == expected, s"batch=$batch")
+  }
+
   test("streaming audit gate flags planted violations per window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
