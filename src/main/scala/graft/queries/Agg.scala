@@ -694,8 +694,69 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL — the bootstrap that
+    * actually works at 100 TB (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): instead of resampling
+    * n-out-of-n (a shuffle per replicate), each row gets an
+    * independent Poisson(1) weight per replicate b, so all B = 32
+    * replicates of the per-segment mean order value ride ONE pass —
+    * a 32× projection-only expansion into a (segment, b) aggregate of
+    * |segments|·B rows, zero extra shuffles.
+    *
+    * Determinism/exactness: the Poisson draw is pure integer
+    * arithmetic — u = 52 md5 bits of (b, orderkey) compared against
+    * floor(CDF_Poisson(1)(k)·2^52) integer thresholds (derivation in
+    * the companion spec), capped at 6 (P(X≥6) ≈ 6·10⁻⁴, identical cap
+    * in both engines); replicate means are integer-cent floor
+    * divisions of exact DECIMAL(38,0) sums; the CI is
+    * percentile_disc(0.05/0.95) over each segment's 32 replicate
+    * means — attained integers, exact in both engines. A replicate
+    * with zero total weight (probability e^{-n}) is dropped
+    * identically on both sides. No float ever enters. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    // floor(CDF_Poisson(1)(k) * 2^52) for k = 0..5
+    val thr = Seq(1656781714176974L, 3313563428353948L,
+      4141954285442435L, 4418084571138597L, 4487117142562638L,
+      4500923656847446L)
+    val dec = "decimal(38,0)"
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val point = rows.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(dec)).as("s"))
+    val w = thr.zipWithIndex.foldRight(lit(6L)) {
+      case ((t, k), rest) => when(col("u") < t, k.toLong).otherwise(rest)
+    }
+    val means = rows
+      .withColumn("b", explode(sequence(lit(1), lit(B))))
+      .withColumn("u", conv(substring(md5(concat(lit("bs"), col("b"),
+        lit(":"), col("o_orderkey"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w", w)
+      .groupBy(col("c_mktsegment"), col("b"))
+      .agg(sum((col("w") * col("cents")).cast(dec)).as("swx"),
+        sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("c_mktsegment"), expr("swx DIV sw").as("m"))
+    val ci = means.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_resamples"),
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY m)")
+          .cast("long").as("ci_lo_cents"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY m)")
+          .cast("long").as("ci_hi_cents"))
+    point.join(ci, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n"),
+        expr("s DIV n").as("mean_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"), col("n_resamples"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_moments" -> (qAggMoments _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -722,6 +783,46 @@ object Agg {
     "q_approx_overlap" -> (qApproxOverlap _))
 
   def oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pt AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CAST(cents AS HUGEINT)) AS s
+        |  FROM rows_ GROUP BY 1),
+        |re AS (
+        |  SELECT c_mktsegment, b, cents,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(
+        |      'bs' || b || ':' || o_orderkey), 1, 13)) AS BIGINT) AS u
+        |  FROM rows_ CROSS JOIN
+        |    (SELECT UNNEST(GENERATE_SERIES(1, 32)) AS b)),
+        |wt AS (
+        |  SELECT c_mktsegment, b, cents,
+        |    CASE WHEN u < 1656781714176974 THEN 0
+        |      WHEN u < 3313563428353948 THEN 1
+        |      WHEN u < 4141954285442435 THEN 2
+        |      WHEN u < 4418084571138597 THEN 3
+        |      WHEN u < 4487117142562638 THEN 4
+        |      WHEN u < 4500923656847446 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM re),
+        |mn AS (
+        |  SELECT c_mktsegment, b,
+        |    SUM(CAST(w * cents AS HUGEINT)) // SUM(w) AS m
+        |  FROM wt GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |ci AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_resamples,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY m)
+        |      AS BIGINT) AS ci_lo_cents,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY m)
+        |      AS BIGINT) AS ci_hi_cents
+        |  FROM mn GROUP BY 1)
+        |SELECT c_mktsegment, n, CAST(s // n AS BIGINT) AS mean_cents,
+        |  ci_lo_cents, ci_hi_cents, n_resamples
+        |FROM pt JOIN ci USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_agg_moments" ->
       """WITH sums AS (
         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1871,7 +1871,91 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** BANDED INTERVAL-OVERLAP JOIN — the interval×interval sibling of
+    * q_range_join (point-in-interval) and q_asof_join (point-to-
+    * nearest): which USER SESSIONS overlap which SITE-WIDE
+    * HIGH-ACTIVITY EPISODES, rolled up per episode. Sessions are the
+    * sessionize query's 10-minute-gap intervals [min ts, max ts]
+    * (closed); episodes are maximal runs of consecutive hours whose
+    * site-wide event count exceeds the p75 of observed hourly counts
+    * (percentile_disc — an integer actually attained, exact in both
+    * engines).
+    *
+    * The scale shape IS the point: a naive overlap join is a theta
+    * join (quadratic). Both interval sets explode into the DAY
+    * buckets they touch and equi-join on the bucket; a pair is kept
+    * only in the bucket containing greatest(s_start, e_start), so no
+    * pair is ever emitted twice and no dedup pass exists. Per-task
+    * work is (sessions that day) × (episodes that day) — bounded by
+    * the band, never by the table. The episode builder's lag/sum
+    * windows run on the observed-HOURS rollup (calendar-bounded, the
+    * q_events_burnrate contract); everything else shuffles on bucket
+    * or the episode key. Overlap lengths are exact integer μs.
+    * Episodes with zero overlapping sessions survive via the final
+    * left join. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+    val perHour = Tables.events(s, d)
+      .select((expr("unix_micros(ts)") -
+        pmod(expr("unix_micros(ts)"), lit(hourUs))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val thr = perHour.agg(
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("t"))
+    val wHour = Window.orderBy(col("b"))
+    val eps = perHour.crossJoin(broadcast(thr))
+      .where(col("c") > col("t"))
+      .withColumn("new_ep",
+        when(col("b") - lag(col("b"), 1).over(wHour) === hourUs, 0L)
+          .otherwise(1L))
+      .withColumn("ep", sum(col("new_ep"))
+        .over(wHour.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("ep"))
+      .agg(min(col("b")).as("e_start"),
+        (max(col("b")) + lit(hourUs - 1)).as("e_end"),
+        count(lit(1)).as("n_hours"), max(col("c")).as("peak"))
+      // feeds both the banded side and the zero-preserving left join
+      .localCheckpoint()
+    val sessB = sess.withColumn("bucket",
+      explode(sequence(expr(s"s_start DIV $dayUs"),
+        expr(s"s_end DIV $dayUs"))))
+    val epsB = eps.withColumn("bucket",
+      explode(sequence(expr(s"e_start DIV $dayUs"),
+        expr(s"e_end DIV $dayUs"))))
+    val hits = sessB.join(epsB, "bucket")
+      .where(col("s_start") <= col("e_end") &&
+        col("e_start") <= col("s_end") &&
+        col("bucket") ===
+          expr(s"greatest(s_start, e_start) DIV $dayUs"))
+      .groupBy(col("e_start"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("s_end"), col("e_end")) -
+          greatest(col("s_start"), col("e_start")) + 1).as("overlap_us"))
+    eps.join(hits, Seq("e_start"), "left")
+      .select(col("e_start"), col("e_end"), col("n_hours"), col("peak"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
+      .orderBy(col("e_start"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (qIntervalJoin _),
     "q_events_burstiness" -> (qEventsBurstiness _),
     "q_events_rate_limit" -> (qEventsRateLimit _),
     "q_events_attribution" -> (qEventsAttribution _),
@@ -1986,6 +2070,62 @@ object Events {
         |  CASE WHEN sg + mu > 0
         |    THEN ROUND((sg - mu) / (sg + mu), 6) END AS burstiness
         |FROM m ORDER BY event_type""".stripMargin,
+    // brute-force theta overlap join — correct at oracle scale; the
+    // Spark side must produce the identical rollup through the band
+    "q_interval_join" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      > 600000000 THEN 1
+        |      WHEN LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sids AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id, MIN(ts_us) AS s_start,
+        |    MAX(ts_us) AS s_end
+        |  FROM sids GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS b,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(percentile_disc(0.75)
+        |  WITHIN GROUP (ORDER BY c) AS BIGINT) AS t FROM ph),
+        |m AS (
+        |  SELECT b, c,
+        |    CASE WHEN b - LAG(b) OVER (ORDER BY b) = 3600000000
+        |      THEN 0 ELSE 1 END AS new_ep
+        |  FROM ph CROSS JOIN t WHERE c > t.t),
+        |ei AS (
+        |  SELECT b, c, SUM(new_ep) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+        |  FROM m),
+        |eps AS (
+        |  SELECT ep, MIN(b) AS e_start, MAX(b) + 3599999999 AS e_end,
+        |    COUNT(*) AS n_hours, CAST(MAX(c) AS BIGINT) AS peak
+        |  FROM ei GROUP BY 1),
+        |hits AS (
+        |  SELECT e_start, COUNT(*) AS n_sessions,
+        |    COUNT(DISTINCT user_id) AS n_users,
+        |    CAST(SUM(LEAST(s_end, e_end) - GREATEST(s_start, e_start)
+        |      + 1) AS BIGINT) AS overlap_us
+        |  FROM sess JOIN eps
+        |    ON s_start <= e_end AND e_start <= s_end
+        |  GROUP BY 1)
+        |SELECT e_start, e_end, n_hours, peak,
+        |  COALESCE(n_sessions, 0) AS n_sessions,
+        |  COALESCE(n_users, 0) AS n_users,
+        |  COALESCE(overlap_us, 0) AS overlap_us
+        |FROM eps LEFT JOIN hits USING (e_start)
+        |ORDER BY e_start""".stripMargin,
     "q_events_rate_limit" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us

@@ -118,10 +118,70 @@ object Governance {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** T-CLOSENESS AUDIT — the third rung of the release-gate ladder
+    * (Li, Li & Venkatasubramanian 2007) after q_kanon_audit and
+    * q_ldiversity_audit: a class can be large (k) and varied (l) yet
+    * still leak if its sensitive-value DISTRIBUTION diverges from the
+    * table's. For the categorical sensitive attribute (market
+    * segment) the ground metric is uniform, so t is the total
+    * variation distance ½·Σ_s |p_cell(s) − p_glob(s)|.
+    *
+    * Exactness: NO float ever enters. With class size n_c, global
+    * size n, class-segment count n_cs and global-segment count n_s,
+    *   Σ_s |n_cs·n − n_s·n_c|  (present segments)
+    *     + (n·n_c − Σ_present n_s·n_c)  (absent segments, |0 − p|)
+    * is an exact DECIMAL(38,0) numerator (safe past 10¹⁵ rows), and
+    * t_ppm = 10⁶·num DIV (2·n_c·n) is integer floor division — both
+    * engines compute the identical BIGINT.
+    *
+    * Scale: one (QI, segment) hash aggregate (bounded ×5 expansion of
+    * the class table), the ≤5-row global segment table broadcasts,
+    * the grand total is a 1-row broadcast scalar; everything after is
+    * projection work on |classes| rows. */
+  def qTclosenessAudit(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val dec = "decimal(38,0)"
+    val segCells = cust
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cs"))
+    val globSeg = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_s"))
+    val glob = cust.agg(count(lit(1)).as("n"))
+    // class size via a window on the SAME (QI) partitioning the final
+    // rollup groups on — one exchange serves both
+    val wCls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"), col("bal_band"))
+    segCells
+      .join(broadcast(globSeg), "c_mktsegment")
+      .crossJoin(broadcast(glob))
+      .withColumn("n_c", sum(col("n_cs")).over(wCls))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(
+        max(col("n_c")).as("n_c"),
+        count(lit(1)).as("l"),
+        max(col("n")).as("n"),
+        sum(abs(col("n_cs").cast(dec) * col("n") -
+          col("n_s").cast(dec) * col("n_c"))).as("num_present"),
+        sum(col("n_s").cast(dec)).as("s_present"))
+      .select(col("c_nationkey"), col("bal_band"), col("n_c"), col("l"),
+        (col("num_present") +
+          (col("n").cast(dec) * col("n_c") -
+            col("s_present") * col("n_c"))).as("num"),
+        col("n"))
+      .select(col("c_nationkey"), col("bal_band"),
+        col("n_c").cast("long").as("n_c"), col("l"),
+        expr(s"CAST((CAST(1000000 AS $dec) * num) DIV " +
+          s"(CAST(2 AS $dec) * n_c * n) AS BIGINT)").as("t_ppm"))
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kanon_audit" -> (qKanonAudit _),
     "q_ldiversity_audit" -> (qLdiversityAudit _),
     "q_dp_histogram" -> (qDpHistogram _),
+    "q_tcloseness_audit" -> (qTclosenessAudit _),
     "q_gdpr_impact" -> (qGdprImpact _))
 
   def oracles: Map[String, String] = Map(
@@ -167,6 +227,33 @@ object Governance {
         |SELECT l, COUNT(*) AS n_classes,
         |  CAST(SUM(n) AS BIGINT) AS n_rows
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tcloseness_audit" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    c_mktsegment, COUNT(*) AS n_cs
+        |  FROM customer GROUP BY 1, 2, 3),
+        |gs AS (SELECT c_mktsegment, COUNT(*) AS n_s
+        |  FROM customer GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS n FROM customer),
+        |cl AS (
+        |  SELECT c_nationkey, bal_band, c_mktsegment, n_cs,
+        |    SUM(n_cs) OVER (PARTITION BY c_nationkey, bal_band) AS n_c
+        |  FROM cells),
+        |agg AS (
+        |  SELECT c_nationkey, bal_band,
+        |    MAX(n_c) AS n_c, COUNT(*) AS l, MAX(n) AS n,
+        |    SUM(ABS(CAST(n_cs AS HUGEINT) * n -
+        |      CAST(n_s AS HUGEINT) * n_c)) AS num_present,
+        |    SUM(CAST(n_s AS HUGEINT)) AS s_present
+        |  FROM cl JOIN gs USING (c_mktsegment) CROSS JOIN g
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey, bal_band, CAST(n_c AS BIGINT) AS n_c, l,
+        |  CAST((CAST(1000000 AS HUGEINT) *
+        |    (num_present + (CAST(n AS HUGEINT) * n_c -
+        |      s_present * n_c)))
+        |    // (CAST(2 AS HUGEINT) * n_c * n) AS BIGINT) AS t_ppm
+        |FROM agg ORDER BY c_nationkey, bal_band""".stripMargin,
     "q_gdpr_impact" ->
       """WITH f AS (
         |  SELECT o_orderkey FROM orders WHERE o_custkey % 10 = 7)

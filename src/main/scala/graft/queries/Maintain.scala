@@ -867,10 +867,64 @@ object Maintain {
       .orderBy(col("c_mktsegment"), col("fold"))
   }
 
+  /** WEIGHT-OF-EVIDENCE ENCODING + INFORMATION VALUE — the
+    * feature-store companion to q_target_encoding for a BINARY
+    * target: per category c of the feature (customer market segment),
+    *   WOE_c = ln( (pos_c/pos) / (neg_c/neg) )
+    * with the target "order is urgent-priority", and the feature's
+    * screening score IV = Σ_c (pos_c/pos − neg_c/neg)·WOE_c reported
+    * as each category's additive iv_term. Add-one smoothing keeps
+    * empty cells finite (documented in the output: counts are RAW,
+    * the ratios inside ln/IV are smoothed).
+    *
+    * Exactness: counts aggregate exactly; the WOE argument is built
+    * from TWO ratios of exact BIGINT-valued doubles — every operand
+    * stays below 2^53 up to ~10^15 rows (an n²-sized cross product
+    * would not) — so both engines feed the IDENTICAL double into one
+    * ln, closed on the 1e-8 grid (the nb_langid log discipline);
+    * iv_term multiplies two such closed values and re-rounds at 1e-8.
+    *
+    * Scale: one orders→customer FK join (dimension side broadcasts at
+    * any realistic segment cardinality... here the FACT side is
+    * orders and the join key is customer, so the join shuffles on
+    * custkey like q_target_encoding), then a ≤|segments| aggregate;
+    * the pos/neg grand totals are a 1-row broadcast scalar cross. */
+  def qWoeEncoding(s: SparkSession, d: String): DataFrame = {
+    val lbl = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("y"))
+    val cells = lbl.groupBy(col("c_mktsegment"))
+      .agg(sum(col("y")).as("pos_c"),
+        sum(lit(1L) - col("y")).as("neg_c"))
+    val tot = cells.agg(sum(col("pos_c")).as("pos"),
+      sum(col("neg_c")).as("neg"), count(lit(1)).as("n_cat"))
+    cells.crossJoin(broadcast(tot))
+      // two exact-int ratios, NOT one n²-sized product: every operand
+      // stays below 2^53 up to ~10^15 rows, so both engines feed the
+      // identical double into ln even at 100 TB
+      .withColumn("woe", round(
+        log(((col("pos_c") + 1).cast("double") /
+          (col("neg_c") + 1).cast("double")) *
+          ((col("neg") + col("n_cat")).cast("double") /
+            (col("pos") + col("n_cat")).cast("double"))), 8))
+      .select(col("c_mktsegment"), col("pos_c"), col("neg_c"),
+        col("woe"),
+        round((((col("pos_c") + 1).cast("double") /
+          (col("pos") + col("n_cat")).cast("double")) -
+          ((col("neg_c") + 1).cast("double") /
+            (col("neg") + col("n_cat")).cast("double"))) * col("woe"), 8)
+          .as("iv_term"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_pit_join" -> (qPitJoin _),
     "q_target_encoding" -> (qTargetEncoding _),
+    "q_woe_encoding" -> (qWoeEncoding _),
     "q_join_card_est" -> (qJoinCardEst _),
     "q_skew_report" -> (qSkewReport _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1044,6 +1098,32 @@ object Maintain {
   def oracles: Map[String, String] = Map(
     "q_ref_integrity" -> refIntegrityOracle,
     "q_pit_join" -> pitJoinOracle,
+    "q_woe_encoding" ->
+      """WITH lbl AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT c_mktsegment, CAST(SUM(y) AS BIGINT) AS pos_c,
+        |    CAST(SUM(1 - y) AS BIGINT) AS neg_c
+        |  FROM lbl GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(pos_c) AS BIGINT) AS pos,
+        |    CAST(SUM(neg_c) AS BIGINT) AS neg,
+        |    COUNT(*) AS n_cat FROM cells),
+        |w AS (
+        |  SELECT c_mktsegment, pos_c, neg_c,
+        |    ROUND(LN((CAST(pos_c + 1 AS DOUBLE) /
+        |        CAST(neg_c + 1 AS DOUBLE)) *
+        |      (CAST(neg + n_cat AS DOUBLE) /
+        |        CAST(pos + n_cat AS DOUBLE))), 8) AS woe,
+        |    pos, neg, n_cat
+        |  FROM cells CROSS JOIN tot)
+        |SELECT c_mktsegment, pos_c, neg_c, woe,
+        |  ROUND((CAST(pos_c + 1 AS DOUBLE) / CAST(pos + n_cat AS DOUBLE) -
+        |    CAST(neg_c + 1 AS DOUBLE) / CAST(neg + n_cat AS DOUBLE))
+        |    * woe, 8) AS iv_term
+        |FROM w ORDER BY c_mktsegment""".stripMargin,
     "q_target_encoding" ->
       """WITH oc AS (
         |  SELECT o_custkey, COUNT(*) AS n_o,

@@ -252,7 +252,19 @@ object ExplainDump {
       "per key), exact integer gap sums, one rollup to |types| rows"),
     "q_events_rate_limit" -> ("sliding-log replay: one user_id " +
       "shuffle for the 60s RANGE count; rollups map-side; distinct " +
-      "users via (type,user) pre-aggregate"))
+      "users via (type,user) pre-aggregate"),
+    "q_interval_join" -> ("banded interval×interval overlap: both " +
+      "sides explode into day buckets, equi-join on bucket, pair " +
+      "kept only at greatest(start)'s bucket — per-task work bounded " +
+      "by the band, zero dedup pass"),
+    "q_tcloseness_audit" -> ("one (QI, segment) hash aggregate; " +
+      "class size via a window on the SAME partitioning the rollup " +
+      "groups on; t_ppm pure integer floor division"),
+    "q_woe_encoding" -> ("one FK join + |segments| aggregate; WOE " +
+      "from two sub-2^53 integer ratios into a single ln"),
+    "q_bootstrap_ci" -> ("Poisson bootstrap: 32 replicates ride ONE " +
+      "pass as integer md5-threshold weights; projection-only 32x " +
+      "expansion into a |segments|x32 aggregate, zero extra shuffles"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
