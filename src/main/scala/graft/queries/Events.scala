@@ -1844,16 +1844,24 @@ object Events {
     * rate), then a map-side-partial rollup to |types| rows; the
     * distinct-user tail is a (type, user) pre-aggregate, never a
     * corpus-wide COUNT DISTINCT. */
-  def qEventsRateLimit(s: SparkSession, d: String): DataFrame = {
-    val n = 5
+  /** Per-event sliding-log verdicts, shared by the batch query and the
+    * streaming twin's parity spec: c60 counts the user's events in the
+    * closed window [t − 60s + 1 μs, t] (a RANGE frame, so same-instant
+    * events are mutual peers). */
+  private[graft] def rateLimitVerdicts(
+      events: DataFrame, n: Int = 5): DataFrame = {
     val winUs = 60000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-(winUs - 1), 0)
-    val verdicts = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("ts_us"))
       .withColumn("c60", count(lit(1)).over(w))
       .withColumn("throttled", (col("c60") > n).cast("int"))
+  }
+
+  def qEventsRateLimit(s: SparkSession, d: String): DataFrame = {
+    val verdicts = rateLimitVerdicts(Tables.events(s, d))
     val perType = verdicts.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("throttled")).cast("long").as("n_throttled"),

@@ -70,6 +70,12 @@ case class CusumCarry(
     lastEmitted: Long, nLate: Long)
 case class CusumPoint(
     event_type: String, bucket_start: java.sql.Timestamp, cusum: Double)
+case class RateRow(
+    user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+    c60: Long, throttled: Boolean)
+case class RateCarry(
+    pending: Seq[(Long, Long, String)], recent: Seq[Long],
+    lastHorizon: Long, nLate: Long)
 case class HystCarry(
     pending: Seq[Long], open: Map[Long, Long], state: Int,
     lastEmitted: Long, started: Boolean, nLate: Long)
@@ -803,6 +809,56 @@ object EventsStream {
     * rule). State per type: watermark-bounded pending rows + open
     * bucket counts + one int of trigger state. Event-time timeouts
     * keep the dense emission flowing through silent hours. */
+  /** Streaming sliding-log rate limiter — the per-user twin of
+    * q_events_rate_limit's verdict pass (Events.rateLimitVerdicts):
+    * for each event at t, c60 counts the user's events in the closed
+    * RANGE window [t − 60s + 1 μs, t], same-instant events mutual
+    * peers. Verdicts emit once the watermark passes the event (only
+    * then is the count of ≤ t peers final). State per user: pending
+    * unfinalized rows plus the finalized timestamps within 60 s of
+    * the horizon — O(rate × window), watermark-bounded. Rows arriving
+    * with ts at or behind the previous horizon are late: dropped and
+    * counted (the cusumStream rule) — processing them would need
+    * peers the 60 s retention has already released. */
+  def rateLimitStream(
+      events: Dataset[CdcEvent],
+      n: Int = 5,
+      watermarkDelay: String = "10 minutes"): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    val winUs = 60000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateCarry, RateRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[RateCarry]) =>
+          def tsUs(r: CdcEvent): Long =
+            r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+          val prev = state.getOption.getOrElse(
+            RateCarry(Nil, Nil, Long.MinValue, 0L))
+          val fresh = rows.map(r =>
+            (tsUs(r), r.event_id, r.event_type)).toSeq
+          val (lateRows, ok) = fresh.partition(_._1 <= prev.lastHorizon)
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (prev.pending ++ ok).partition(_._1 <= horizonUs)
+          // every known finalized timestamp covering the ripe range
+          val known = prev.recent ++ ripe.map(_._1)
+          val out = ripe.sortBy(t => (t._1, t._2)).map { case (t, id, typ) =>
+            val c60 = known.count(x => x > t - winUs && x <= t).toLong
+            RateRow(uid, id, t, typ, c60, c60 > n)
+          }
+          state.update(RateCarry(hold,
+            known.filter(_ > horizonUs - winUs).sorted,
+            horizonUs, prev.nLate + lateRows.size))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
   def hysteresisStream(
       events: Dataset[TypedEvent],
       hi: Long, lo: Long,

@@ -1346,4 +1346,53 @@ class StreamingSpec extends SparkSpec {
       s"pre-view click must not count: ${last(8L)}")
     assert(!last.contains(9L), s"non-funnel type emitted: $last")
   }
+
+  test("streaming rate limiter matches the batch RANGE verdicts; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CdcEvent, RateRow}
+    def ev(id: Long, uid: Long, t: String, off: Int = 0) =
+      CdcEvent(id, new Timestamp(Timestamp.valueOf(t).getTime + off * 1000L),
+        uid, "view", 0.0)
+    // user 1: 7 events 5 s apart → c60 climbs 1..7, events 6 and 7
+    // throttled; user 2: two SAME-INSTANT events (mutual RANGE peers,
+    // c60 = 2 each) and one 70 s later (peers aged out, c60 = 1)
+    val u1 = (0 until 7).map(k => ev(10L + k, 1L, "2024-03-01 10:00:00", 5 * k))
+    val u2 = Seq(ev(30L, 2L, "2024-03-01 10:00:00"),
+      ev(31L, 2L, "2024-03-01 10:00:00"),
+      ev(32L, 2L, "2024-03-01 10:01:10"))
+    val sentinel = ev(99L, 99L, "2024-03-01 11:00:00")
+    val stream = MemoryStream[CdcEvent]
+    val q = EventsStream.rateLimitStream(stream.toDS(), 5, "10 minutes")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      // out-of-order delivery: the tail of the burst arrives first
+      stream.addData(u1.drop(4) ++ u2.take(1): _*)
+      q.processAllAvailable()
+      stream.addData(u1.take(4) ++ u2.drop(1): _*)
+      q.processAllAvailable()
+      stream.addData(sentinel)
+      q.processAllAvailable()
+      // empty batch: the raised watermark fires the timeouts and
+      // finalizes every pending verdict
+      stream.addData(Seq.empty[CdcEvent])
+      q.processAllAvailable()
+      // late: user 1 is finalized through 10:50, this 10:00:02 row
+      // must drop, not rewrite history
+      stream.addData(ev(50L, 1L, "2024-03-01 10:00:02"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rate_out").as[RateRow].collect()
+      .map(r => r.event_id -> ((r.ts_us, r.c60, r.throttled))).toMap
+    assert(!streamed.contains(50L), "late row must not emit a verdict")
+    assert(!streamed.contains(99L), "unfinalized sentinel must not emit")
+    val batch = graft.queries.Events.rateLimitVerdicts(
+      (u1 ++ u2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getInt(5) == 1))).toMap
+    assert(streamed == batch,
+      s"stream/batch verdict drift:\n$streamed\nvs\n$batch")
+  }
 }
