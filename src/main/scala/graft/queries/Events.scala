@@ -1962,7 +1962,32 @@ object Events {
       .orderBy(col("e_start"))
   }
 
+  /** NATIVE SESSION-WINDOW SESSIONIZATION — the same 10-minute-gap
+    * sessions as q_events_sessionize, but built on Spark's
+    * session_window AGGREGATE instead of the lag/running-sum window
+    * pair: one hash aggregate with in-memory session merging, no sort
+    * of each user's full history — the shape Structured Streaming
+    * runs, registered batch-side so the two implementations are
+    * oracle-checked against each other. Boundary semantics
+    * (spec-pinned): session_window's end is INCLUSIVE for merging — a
+    * gap of exactly the duration stays in ONE session, identical to
+    * the lag query's strict-> split rule, so the oracle is the same
+    * sessionizer CTE rolled up per session. Output is one row per
+    * session with exact integer-μs bounds (end = last event, i.e.
+    * window.end − gap). */
+  def qSessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("s_start_us"),
+        (unix_micros(col("sw.end")) - lit(600000000L)).as("s_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_native" -> (qSessionNative _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_events_burstiness" -> (qEventsBurstiness _),
     "q_events_rate_limit" -> (qEventsRateLimit _),
@@ -2078,6 +2103,29 @@ object Events {
         |  CASE WHEN sg + mu > 0
         |    THEN ROUND((sg - mu) / (sg + mu), 6) END AS burstiness
         |FROM m ORDER BY event_type""".stripMargin,
+    // the sessionize CTE rolled up per session — session_window's
+    // inclusive-end merge equals the strict-> split rule (spec-pinned)
+    "q_session_native" ->
+      """WITH marked AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      > 600000000 THEN 1
+        |      WHEN LAG(epoch_us(ts), 1) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sids AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM marked)
+        |SELECT user_id, MIN(ts_us) AS s_start_us,
+        |  MAX(ts_us) AS s_end_us, COUNT(*) AS n_events
+        |FROM sids GROUP BY user_id, session_id
+        |ORDER BY user_id, s_start_us""".stripMargin,
     // brute-force theta overlap join — correct at oracle scale; the
     // Spark side must produce the identical rollup through the band
     "q_interval_join" ->

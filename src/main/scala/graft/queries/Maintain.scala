@@ -920,7 +920,39 @@ object Maintain {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud / synthetic-data screen
+    * auditors run on money columns: the first significant digit of a
+    * naturally-grown magnitude follows P(d) = log10(1 + 1/d); a
+    * generator or tamperer rarely obeys it. The digit is extracted
+    * WITHOUT ANY FLOAT: first character of the exact integer cents
+    * (first significant digit is invariant under the ×100 scale), so
+    * no log10-of-double boundary can disagree between engines.
+    * Expected shares are floor(log10(1+1/d)·10⁶) integer-ppm
+    * LITERALS, observed shares integer floor division, deviation
+    * their difference. One map-side-partial aggregate to ≤9 rows. */
+  def qBenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val expect = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val expectCol = expect.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (p, i)) =>
+        when(col("digit") === (i + 1).toString, p).otherwise(acc)
+    }
+    Tables.orders(s, d)
+      .select(substring(
+        round(col("o_totalprice") * 100).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        Tables.orders(s, d).agg(count(lit(1)).as("n_total"))))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) DIV n_total").as("share_ppm"),
+        expectCol.as("expected_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("expected_ppm"))
+      .orderBy(col("digit"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford_audit" -> (qBenfordAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_pit_join" -> (qPitJoin _),
     "q_target_encoding" -> (qTargetEncoding _),
@@ -1098,6 +1130,22 @@ object Maintain {
   def oracles: Map[String, String] = Map(
     "q_ref_integrity" -> refIntegrityOracle,
     "q_pit_join" -> pitJoinOracle,
+    "q_benford_audit" ->
+      """WITH d AS (
+        |  SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |h AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_total FROM orders),
+        |e(digit, expected_ppm) AS (VALUES
+        |  ('1', 301029), ('2', 176091), ('3', 124938), ('4', 96910),
+        |  ('5', 79181), ('6', 66946), ('7', 57991), ('8', 51152),
+        |  ('9', 45757))
+        |SELECT h.digit, n, (1000000 * n) // n_total AS share_ppm,
+        |  CAST(expected_ppm AS BIGINT) AS expected_ppm,
+        |  (1000000 * n) // n_total - expected_ppm AS dev_ppm
+        |FROM h CROSS JOIN t JOIN e ON h.digit = e.digit
+        |ORDER BY h.digit""".stripMargin,
     "q_woe_encoding" ->
       """WITH lbl AS (
         |  SELECT c_mktsegment,

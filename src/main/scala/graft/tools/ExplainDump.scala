@@ -264,7 +264,13 @@ object ExplainDump {
       "from two sub-2^53 integer ratios into a single ln"),
     "q_bootstrap_ci" -> ("Poisson bootstrap: 32 replicates ride ONE " +
       "pass as integer md5-threshold weights; projection-only 32x " +
-      "expansion into a |segments|x32 aggregate, zero extra shuffles"))
+      "expansion into a |segments|x32 aggregate, zero extra shuffles"),
+    "q_benford_audit" -> ("first digit from the integer-cents string " +
+      "(no float log10); one aggregate to <=9 rows; expected shares " +
+      "are integer-ppm literals"),
+    "q_session_native" -> ("session_window hash aggregate with " +
+      "in-session merge — no per-user history sort; inclusive-end " +
+      "merge equals the strict-> sessionizer, same oracle CTE"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

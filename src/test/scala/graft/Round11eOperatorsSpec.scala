@@ -76,6 +76,47 @@ class Round11eOperatorsSpec extends SparkSpec {
       out.mkString(";"))
   }
 
+  test("benford: planted digits count exactly; expected ppm literals attach") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bf").toString
+    // cents: 100, 1999, 250, 5, 3000 → digits 1,1,2,5,3
+    Seq((1L, 1L, 1.00), (2L, 2L, 19.99), (3L, 3L, 2.50),
+      (4L, 4L, 0.05), (5L, 5L, 30.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Maintain.qBenfordAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("1", "2", "3", "5"))
+    assert(out("1") == ((2L, 400000L, 301029L, 98971L)), out("1"))
+    assert(out("2") == ((1L, 200000L, 176091L, 23909L)), out("2"))
+    assert(out("5") == ((1L, 200000L, 79181L, 120819L)), out("5"))
+  }
+
+  test("session_window native: inclusive-end merge pins the strict-> boundary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sn").toString
+    // gaps: 599 s, exactly 600 s (both MERGE — session_window's end is
+    // inclusive, same as the lag query's strict-> rule), then 601 s
+    // (splits under both)
+    Seq((1L, ts(base), 7L, "view", 0.0),
+      (2L, ts(base + 599), 7L, "view", 0.0),
+      (3L, ts(base + 1199), 7L, "view", 0.0),
+      (4L, ts(base + 1800), 7L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val native = graft.queries.Events.qSessionNative(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.toSeq == Seq(
+      (base * 1000000L, (base + 1199) * 1000000L, 3L),
+      ((base + 1800) * 1000000L, (base + 1800) * 1000000L, 1L)),
+      native.mkString(";"))
+    // the lag-based sessionizer agrees on both boundaries
+    val lagBased = graft.queries.Events.qEventsSessionize(spark, dir)
+      .select(col("session_id")).distinct().count()
+    assert(lagBased == 2L)
+  }
+
   test("bootstrap CI: constant segment collapses; mixed segment brackets the mean") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bs").toString
