@@ -754,9 +754,53 @@ object Agg {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** PARETO / REVENUE-CONCENTRATION AUDIT — the 80/20 read on the
+    * customer base: for every decile floor k, how many customers sit
+    * in revenue deciles ≥ k and what share of total revenue they
+    * carry. The scale-correct shape (the q_rfm discipline, sharpened):
+    * decile BOUNDARIES come from one tiny global aggregate of nine
+    * percentile_disc values — attained integer cents, exact in both
+    * engines — broadcast into a stateless per-row comparison (never a
+    * global ntile/rank window); the cumulative tiers are TEN
+    * CONDITIONAL SUMS in ONE aggregate pass, unfolded by stack() —
+    * zero windows, zero self-joins, nothing single-task anywhere.
+    * All integers end to end (share = integer-ppm floor division);
+    * long cent sums are exact to ~4·10^16 dollars of total revenue. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+    val boundCols = (1 to 9).map(k =>
+      expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY r)")
+        .cast("long").as(s"b$k"))
+    val bounds = rev.agg(boundCols.head, boundCols.tail: _*)
+    val d = rev.crossJoin(broadcast(bounds))
+      .select(col("r"),
+        (1 to 9).map(k => (col("r") > col(s"b$k")).cast("int"))
+          .foldLeft(lit(1))(_ + _).as("dec"))
+    val cums = d.agg(
+      sum(col("r")).as("total"),
+      (1 to 10).flatMap(k => Seq(
+        sum(when(col("dec") >= k, 1L).otherwise(0L)).as(s"n$k"),
+        sum(when(col("dec") >= k, col("r")).otherwise(0L))
+          .as(s"c$k"))).toSeq: _*)
+    cums.select(
+      expr("stack(10, " + (1 to 10).map(k => s"$k, n$k, c$k")
+        .mkString(", ") +
+        ") as (min_decile, n_customers, revenue_cents)"),
+      col("total"))
+      .select(col("min_decile"), col("n_customers"),
+        col("revenue_cents"),
+        // the ppm numerator outgrows a long at lake scale — widen it
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * revenue_cents) " +
+          "DIV total").as("share_ppm"))
+      .orderBy(col("min_decile"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_moments" -> (qAggMoments _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_pareto" -> (qPareto _),
     "q_histogram_equidepth" -> (qHistogramEquidepth _),
     "q_basket_pairs" -> (qBasketPairs _),
     "q_assoc_rules" -> (qAssocRules _),
@@ -783,6 +827,43 @@ object Agg {
     "q_approx_overlap" -> (qApproxOverlap _))
 
   def oracles: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT
+        |  CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b1,
+        |  CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b2,
+        |  CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b3,
+        |  CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b4,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b5,
+        |  CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b6,
+        |  CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b7,
+        |  CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b8,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY r) AS BIGINT) AS b9
+        |  FROM rev),
+        |d AS (
+        |  SELECT r, 1 + CAST(r > b1 AS INT) + CAST(r > b2 AS INT)
+        |    + CAST(r > b3 AS INT) + CAST(r > b4 AS INT)
+        |    + CAST(r > b5 AS INT) + CAST(r > b6 AS INT)
+        |    + CAST(r > b7 AS INT) + CAST(r > b8 AS INT)
+        |    + CAST(r > b9 AS INT) AS dec
+        |  FROM rev CROSS JOIN b),
+        |g AS (SELECT dec, COUNT(*) AS nc,
+        |  CAST(SUM(r) AS HUGEINT) AS rc FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(r) AS HUGEINT) AS total FROM rev),
+        |k(min_decile) AS (VALUES (1), (2), (3), (4), (5), (6), (7),
+        |  (8), (9), (10))
+        |SELECT min_decile,
+        |  CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n_customers,
+        |  CAST(COALESCE(SUM(rc), 0) AS BIGINT) AS revenue_cents,
+        |  CAST((CAST(1000000 AS HUGEINT) * COALESCE(SUM(rc), 0))
+        |    // total AS BIGINT) AS share_ppm
+        |FROM k CROSS JOIN t LEFT JOIN g ON g.dec >= k.min_decile
+        |GROUP BY min_decile, total
+        |ORDER BY min_decile""".stripMargin,
     "q_bootstrap_ci" ->
       """WITH rows_ AS (
         |  SELECT c_mktsegment, o_orderkey,

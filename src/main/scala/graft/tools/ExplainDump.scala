@@ -270,7 +270,10 @@ object ExplainDump {
       "are integer-ppm literals"),
     "q_session_native" -> ("session_window hash aggregate with " +
       "in-session merge — no per-user history sort; inclusive-end " +
-      "merge equals the strict-> sessionizer, same oracle CTE"))
+      "merge equals the strict-> sessionizer, same oracle CTE"),
+    "q_pareto" -> ("concentration tiers: broadcast percentile_disc " +
+      "boundaries + TEN conditional sums in ONE aggregate, unfolded " +
+      "by stack() — no global rank window, no self-join"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

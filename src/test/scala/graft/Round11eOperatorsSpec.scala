@@ -146,6 +146,24 @@ class Round11eOperatorsSpec extends SparkSpec {
       s"replicate means live in the value hull: $b")
   }
 
+  test("pareto: ten one-customer deciles tier up by hand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pareto").toString
+    // customer k spends exactly k dollars → decile k holds customer k
+    (1L to 10L).map(k => (k * 10L, k, k.toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.queries.Agg.qPareto(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    (1 to 10).foreach { k =>
+      val row = out(k - 1)
+      val rev = (k to 10).map(_ * 100L).sum
+      assert(row == ((k, 11L - k, rev, 1000000L * rev / 5500L)),
+        s"tier $k: $row")
+    }
+  }
+
   test("woe encoding: planted binary target closes to hand-computed ln") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_woe").toString
