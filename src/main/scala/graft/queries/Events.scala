@@ -1986,7 +1986,63 @@ object Events {
         col("n_events"))
       .orderBy(col("user_id"), col("s_start_us"))
 
+  /** SURVIVAL ANALYSIS — Kaplan–Meier-style life table with
+    * right-censoring over user lifetimes, closed as the Nelson–Aalen
+    * cumulative hazard (Aalen 1978): H(t) = Σ_{s≤t} d_s/n_s. The
+    * product-limit survival estimate exp(-H) is a per-row transform
+    * the caller applies; the hazard SUM (unlike KM's cumulative
+    * PRODUCT) is exact in integer parts-per-billion, so the whole
+    * curve hash-matches with zero float drift — the same
+    * integer-ppb discipline as q_ann_rank_metrics.
+    *
+    * Semantics: a user's observed time is the span in days between
+    * first and last activity; the observation is CENSORED (user may
+    * still be alive) when the last activity falls within 7 days of
+    * the corpus's final day, else it is a churn event. At each
+    * distinct duration t: n_risk = users with observed time ≥ t
+    * (a descending cumulative sum), d = churns at t, c = censored
+    * at t; hazard_ppb = ⌊d·10⁹/n_risk⌋ and cum_hazard_ppb is its
+    * ascending prefix sum — all BIGINT.
+    *
+    * Scale shape: one shuffle to the per-user aggregate (map-side
+    * combined), then the life table itself has one row per DISTINCT
+    * duration — calendar-bounded (days of retention), never data-
+    * volume-bounded — so its two ordered whole-relation windows ride
+    * the q_events_concurrency bounded-input contract. */
+  def qEventsSurvival(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val perUser = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val mx = days.agg(max(col("day")).as("corpus_max"))
+    val flagged = perUser.crossJoin(broadcast(mx))
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("t_days"),
+        when(datediff(col("corpus_max"), col("last_day")) < 7, 1L)
+          .otherwise(0L).as("censored"))
+    val dur = flagged.groupBy(col("t_days"))
+      .agg(sum(lit(1L) - col("censored")).as("n_events"),
+        sum(col("censored")).as("n_censored"))
+    // life-table windows: input is one row per distinct duration
+    val wRisk = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dur
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wRisk))
+      .withColumn("hazard_ppb",
+        expr("CAST((n_events * 1000000000) DIV n_risk AS BIGINT)"))
+      .withColumn("cum_hazard_ppb",
+        sum(col("hazard_ppb")).over(wCum))
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("hazard_ppb"), col("cum_hazard_ppb"))
+      .orderBy(col("t_days"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_survival" -> (qEventsSurvival _),
     "q_session_native" -> (qSessionNative _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_events_burstiness" -> (qEventsBurstiness _),
@@ -2074,6 +2130,41 @@ object Events {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_events_survival" ->
+      // Nelson–Aalen life table: same per-user lifetime/censor rule,
+      // same descending risk-set prefix sum, same integer-ppb hazard
+      // (both engines floor-divide nonnegative integers)
+      """WITH pu AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+        |    MAX(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) AS corpus_max FROM events),
+        |fl AS (
+        |  SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+        |      AS t_days,
+        |    CASE WHEN date_diff('day', last_day, corpus_max) < 7
+        |      THEN 1 ELSE 0 END AS censored
+        |  FROM pu CROSS JOIN mx),
+        |dur AS (
+        |  SELECT t_days, CAST(SUM(1 - censored) AS BIGINT) AS n_events,
+        |    CAST(SUM(censored) AS BIGINT) AS n_censored
+        |  FROM fl GROUP BY 1),
+        |risk AS (
+        |  SELECT t_days, n_events, n_censored,
+        |    CAST(SUM(n_events + n_censored) OVER (ORDER BY t_days DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM dur),
+        |hz AS (
+        |  SELECT t_days, n_risk, n_events, n_censored,
+        |    CAST((n_events * 1000000000) // n_risk AS BIGINT)
+        |      AS hazard_ppb
+        |  FROM risk)
+        |SELECT t_days, n_risk, n_events, n_censored, hazard_ppb,
+        |  CAST(SUM(hazard_ppb) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_hazard_ppb
+        |FROM hz ORDER BY t_days""".stripMargin,
     "q_events_burstiness" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id

@@ -72,7 +72,11 @@ class PlanLintSpec extends SparkSpec {
     // burn-rate's 6h lookback windows the HOURLY ROLLUP, whose row
     // count is calendar-bounded (hours of retention, not data volume)
     // — the q_events_concurrency bounded-input contract
-    "q_events_burnrate")
+    "q_events_burnrate",
+    // the survival life table has one row per DISTINCT lifetime in
+    // days — calendar-bounded; its risk-set / cumulative-hazard
+    // prefix sums run on that table, never the event log
+    "q_events_survival")
 
   private def small(p: LogicalPlan): Boolean =
     p.maxRows.exists(_ <= SmallSide)

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 sixth-wave additions: survival life table, Matryoshka
+  * truncation recall, DSIR importance weights, time-weighted average. */
+class Round11fOperatorsSpec extends SparkSpec {
+
+  // 2024-01-01 00:00:00 UTC
+  private val base = 1704067200L
+  private val day = 86400L
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("survival: planted lifetimes produce the hand-computed life table") {
+    import spark.implicits._
+    var id = 0L
+    def ev(d: Long, user: Long): (Long, Timestamp, Long, String, Double) = {
+      id += 1; (id, ts(base + d * day), user, "view", 1.0)
+    }
+    // corpus max day = 20
+    // u1: day 0 only          -> t=0,  last=0,  20-0=20 >= 7 -> death
+    // u2: days 0..5           -> t=5,  last=5,  15 >= 7      -> death
+    // u3: days 0..5           -> t=5                          -> death
+    // u4: days 2..18          -> t=16, last=18, 2 < 7         -> censored
+    // u5: day 20 only         -> t=0,  last=20, 0 < 7         -> censored
+    val rows = Seq(
+      ev(0, 1L),
+      ev(0, 2L), ev(3, 2L), ev(5, 2L),
+      ev(0, 3L), ev(5, 3L),
+      ev(2, 4L), ev(10, 4L), ev(18, 4L),
+      ev(20, 5L))
+    val dir = Files.createTempDirectory("graft_surv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Events.qEventsSurvival(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // life table: t | n_risk | d | c | hazard_ppb | cum_hazard_ppb
+    //   0 | 5 | 1 | 1 | 10^9/5 = 200000000 | 200000000
+    //   5 | 3 | 2 | 0 | 2*10^9/3 = 666666666 | 866666666
+    //  16 | 1 | 0 | 1 | 0 | 866666666
+    assert(out.toSeq == Seq(
+      (0L, 5L, 1L, 1L, 200000000L, 200000000L),
+      (5L, 3L, 2L, 0L, 666666666L, 866666666L),
+      (16L, 1L, 0L, 1L, 0L, 866666666L)), out.mkString(";"))
+  }
+}
