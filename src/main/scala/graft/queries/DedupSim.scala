@@ -760,6 +760,51 @@ object DedupSim {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Matryoshka truncation depths measured by q_embed_mrl, against the
+    * full 64-dim truth. */
+  val MrlDims = Seq(32, 16, 8)
+
+  /** MATRYOSHKA TRUNCATION RECALL (MRL; Kusupati et al. 2022) — the
+    * production question "how many leading dimensions can we drop?":
+    * recall@5 of brute-force cosine over the first-d PREFIX of every
+    * embedding against the full-dimension truth, for d ∈ MrlDims.
+    * Prefix truncation is what MRL-trained encoders promise (coarse
+    * information first), and the measured curve is the dial between
+    * index size (d floats/vector) and retrieval quality — the memory
+    * sibling of q_embed_quantize's precision cut and q_embed_bitsim's
+    * 1-bit cut.
+    *
+    * Scale shape: every per-dim run is the bounded-query broadcast
+    * argmax (the q_ann_bruteforce contract — queries broadcast,
+    * corpus never shuffles); the truth table is localCheckpointed
+    * once and feeds both the semi-join and the denominators (the
+    * q_minhash_recall lesson). Static dim dimension + coalesce(0) so
+    * a collapsed truncation still reports 0.0 instead of vanishing. */
+  def qEmbedMrl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = embParallel(s, d)
+    val truth = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    val runs = MrlDims.map { dd =>
+      val sl = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, dd).as("embedding"))
+      Similarity.bruteForceTopK(
+        sl.where(col("vec_id") < 20), sl, k = 5,
+        cosineFn = Similarity.cosineIn(s))
+        .select(lit(dd).as("dim"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val hits = runs.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("dim")).agg(count(lit(1)).as("nhit"))
+    val tot = truth.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_bf"))
+    MrlDims.toDF("dim").join(hits, Seq("dim"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("dim"), col("n_queries"),
+        round(coalesce(col("nhit"), lit(0L)) /
+          greatest(col("n_bf"), lit(1L)), 6).as("recall_at_5"))
+      .orderBy(col("dim"))
+  }
+
   /** Incremental ingest dedup on the src0 slice (the "daily batch")
     * against everything else (the "existing corpus") — one verdict row
     * per incoming doc; see Dedup.incrementalDedupScreen for the shape.
@@ -1243,6 +1288,7 @@ object DedupSim {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_prototype" -> (qEmbedPrototype _),
     "q_embed_bitsim" -> (qEmbedBitsim _),
+    "q_embed_mrl" -> (qEmbedMrl _),
     "q_embed_covariance" -> (qEmbedCovariance _),
     "q_embed_pca" -> (qEmbedPca _))
 
@@ -2461,6 +2507,7 @@ object DedupSim {
     "q_ann_pq_probe_sweep" -> pqProbeSweepOracle,
     "q_ann_ivfpq" -> pqOracle,
     "q_ann_bruteforce" -> bruteforceOracle,
+    "q_embed_mrl" -> mrlOracle,
     "q_ann_recall" ->
       // recall@5 of each approximate path against the brute-force
       // truth — all three subplans are the EXISTING oracle queries
@@ -2902,6 +2949,45 @@ object DedupSim {
        |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6) AS recall_at_5
        |FROM pdim p LEFT JOIN hits h USING (nprobe) CROSS JOIN tot
        |ORDER BY p.nprobe""".stripMargin
+  }
+
+  /** DuckDB twin of qEmbedMrl, generated from the same MrlDims — each
+    * truncation is the bruteforce algebra verbatim over list slices. */
+  private def mrlOracle: String = {
+    val runs = MrlDims.map { dd =>
+      s"""SELECT $dd AS dim, query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id) AS rk
+         |  FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      ROUND(LIST_DOT_PRODUCT(q.qv[1:$dd], c.v[1:$dd]) /
+         |        GREATEST(SQRT(LIST_DOT_PRODUCT(q.qv[1:$dd], q.qv[1:$dd]))
+         |          * SQRT(LIST_DOT_PRODUCT(c.v[1:$dd], c.v[1:$dd])),
+         |          1e-12), 6) AS sim
+         |    FROM q JOIN v c ON q.query_id <> c.vec_id))
+         |WHERE rk <= 5""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val dimVals = MrlDims.map(dd => s"($dd)").mkString(",")
+    s"""WITH bf0 AS ($bruteforceOracle),
+       |bf AS (SELECT query_id, vec_id FROM bf0),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+       |runs AS (
+       |$runs),
+       |hits AS (
+       |  SELECT dim, COUNT(*) AS nhit FROM runs a
+       |  WHERE EXISTS (SELECT 1 FROM bf b
+       |    WHERE b.query_id = a.query_id AND b.vec_id = a.vec_id)
+       |  GROUP BY dim),
+       |dims AS (SELECT * FROM (VALUES $dimVals) AS t(dim)),
+       |tot AS (SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  COUNT(*) AS n_bf FROM bf)
+       |SELECT d.dim, tot.n_queries,
+       |  ROUND(COALESCE(h.nhit, 0) / GREATEST(tot.n_bf, 1), 6)
+       |    AS recall_at_5
+       |FROM dims d LEFT JOIN hits h USING (dim) CROSS JOIN tot
+       |ORDER BY d.dim""".stripMargin
   }
 
   private val bruteforceOracle =

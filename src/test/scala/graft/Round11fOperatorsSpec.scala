@@ -48,4 +48,27 @@ class Round11fOperatorsSpec extends SparkSpec {
       (5L, 3L, 2L, 0L, 666666666L, 866666666L),
       (16L, 1L, 0L, 1L, 0L, 866666666L)), out.mkString(";"))
   }
+
+  test("mrl: signal confined to the first 8 dims -> recall 1.0 at every depth") {
+    import spark.implicits._
+    // 30 vectors, 64 dims; all information lives in dims 0..7, the
+    // rest are zero — every prefix truncation >= 8 is lossless, so
+    // the truncated top-5 must equal the full-dimension truth exactly
+    val vecs = (0 until 30).map { i =>
+      val v = Array.tabulate(64) { j =>
+        if (j < 8) (((i * 31 + j * 17) % 97 + 1).toFloat / 97f) else 0f
+      }
+      (i.toLong, v.toSeq, i % 3)
+    }
+    val dir = Files.createTempDirectory("graft_mrl").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.DedupSim.qEmbedMrl(spark, dir).collect()
+    assert(out.length == graft.queries.DedupSim.MrlDims.length)
+    out.foreach { r =>
+      assert(r.getDouble(2) == 1.0,
+        s"dim ${r.getInt(0)} recall ${r.getDouble(2)}")
+    }
+  }
 }
