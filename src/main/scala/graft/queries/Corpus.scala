@@ -429,7 +429,60 @@ object Corpus {
       .orderBy(col("shard"), col("rk"))
   }
 
+  /** Hashed-feature bucket count for the DSIR importance model. 256
+    * keeps both LM tables broadcast-sized at ANY corpus scale — the
+    * whole point of hashed DSIR is that the model is O(B), not
+    * O(|vocab|). */
+  val DsirBuckets = 256
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023): score every out-of-target document by how target-like its
+    * hashed-unigram distribution is, log w(doc) = Σ_tok [ln p̂_target −
+    * ln p̂_raw] over hashed token buckets, with add-one smoothing.
+    * Here target = the `en` slice, raw = everything else — the
+    * "select English-like docs from a mixed crawl" shape; `keep` =
+    * (log w > 0), i.e. the doc looks more target than raw.
+    *
+    * Scale shape: the corpus-sized work is ONE tokenize pass feeding
+    * a B-bucket conditional aggregate (map-side combined — the
+    * shuffle carries ≤ B rows per task); both LMs live in the same
+    * B-row table, broadcast back into the per-token scoring join, and
+    * the per-doc rollup rides the (doc) partitioning. Per-bucket
+    * log-ratios are ROUNDed at 9 dp and summed as DECIMAL (the
+    * q_text_perplexity portable-LN discipline), so the per-doc weight
+    * is exact and order-free cross-engine. */
+  def qCorpusDsir(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 8),
+          16, 10).cast("long"), lit(DsirBuckets.toLong)))
+    val lm = tok.groupBy(col("b")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+    val tots = lm.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = lm.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(log(
+          ((col("ct") + 1).cast("double") *
+            (col("tr") + lit(DsirBuckets.toLong)).cast("double")) /
+          ((col("cr") + 1).cast("double") *
+            (col("tt") + lit(DsirBuckets.toLong)).cast("double"))), 9)
+          .cast("decimal(18,9)").as("lr"))
+    tok.where(col("lang") =!= "en")
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lr")).cast("double"), 6).as("logw"))
+      .withColumn("keep",
+        when(col("logw") > 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_dsir" -> (qCorpusDsir _),
     "q_shard_assign" -> (qShardAssign _),
     "q_chunk_index" -> (qChunkIndex _),
     "q_text_keywords" -> (qTextKeywords _),
@@ -445,6 +498,41 @@ object Corpus {
     s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_dsir" ->
+      // same 'dsir:'-prefixed md5 buckets, add-one smoothing, and
+      // 9-dp-rounded decimal log-ratio sum as the Spark side
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, tok, CAST(CONCAT('0x',
+         |    SUBSTR(MD5(CONCAT('dsir:', tok)), 1, 8)) AS BIGINT)
+         |    % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang,
+         |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |lm AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cr
+         |  FROM tok GROUP BY 1),
+         |tots AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+         |    CAST(SUM(cr) AS BIGINT) AS tr FROM lm),
+         |lr AS (
+         |  SELECT b, CAST(ROUND(LN(
+         |    (CAST(ct + 1 AS DOUBLE) * CAST(tr + $DsirBuckets AS DOUBLE)) /
+         |    (CAST(cr + 1 AS DOUBLE) * CAST(tt + $DsirBuckets AS DOUBLE))),
+         |    9) AS DECIMAL(18,9)) AS lr
+         |  FROM lm CROSS JOIN tots)
+         |SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+         |  ROUND(CAST(SUM(l.lr) AS DOUBLE), 6) AS logw,
+         |  CAST(CASE WHEN ROUND(CAST(SUM(l.lr) AS DOUBLE), 6) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM tok t JOIN lr l USING (b)
+         |WHERE t.lang <> 'en'
+         |GROUP BY t.doc_id, t.lang
+         |ORDER BY t.doc_id""".stripMargin,
     "q_shard_assign" ->
       s"""WITH ns AS (
          |  SELECT GREATEST($MinShards,

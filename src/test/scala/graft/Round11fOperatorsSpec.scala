@@ -71,4 +71,29 @@ class Round11fOperatorsSpec extends SparkSpec {
         s"dim ${r.getInt(0)} recall ${r.getDouble(2)}")
     }
   }
+
+  test("dsir: raw doc written in target vocabulary keeps, alien vocabulary drops") {
+    import spark.implicits._
+    // target LM: five en docs over vocabulary A; raw corpus: one doc
+    // in vocabulary A (target-like -> logw > 0) and one in a disjoint
+    // vocabulary B (raw-only mass -> logw < 0)
+    val a = "alpha beta gamma delta"
+    val docsRows = (1L to 5L).map(i => (i, a, "en", "src0", a.length.toLong)) ++
+      Seq((100L, a, "de", "src1", a.length.toLong),
+        (101L, "zulu yankee xray whiskey", "de", "src1", 24L))
+    val dir = Files.createTempDirectory("graft_dsir").toString
+    docsRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Corpus.qCorpusDsir(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(out.length == 2, out.mkString(";"))
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 100: 4 tokens, every bucket ratio (5+1)(8+256)/((1+1)(20+256))
+    assert(byId(100L)._2 == 4L && byId(100L)._3 > 0 && byId(100L)._4 == 1L,
+      byId(100L).toString)
+    // doc 101: 4 tokens, every bucket ratio (0+1)(8+256)/((1+1)(20+256))
+    assert(byId(101L)._2 == 4L && byId(101L)._3 < 0 && byId(101L)._4 == 0L,
+      byId(101L).toString)
+  }
 }
