@@ -2041,7 +2041,54 @@ object Events {
       .orderBy(col("t_days"))
   }
 
+  /** TIME-WEIGHTED AVERAGE VALUE (TWAP) per day — the duration-
+    * weighted mean the OHLC family doesn't give: each event's value
+    * holds from its own timestamp until the user's next event or the
+    * end of the UTC day, whichever is sooner (values never carry
+    * across the day boundary — a holding period is closed at
+    * midnight, the standard daily-TWAP cut), and the day's TWAP is
+    * Σ(value·held μs)/Σ(held μs).
+    *
+    * Exactness: values are exact integer cents (×100 round — the
+    * Benford/Pareto money rule); weighted mass accumulates as
+    * DECIMAL(38,0)/HUGEINT (cents×μs outgrows int64 at lake scale);
+    * the close is one integer floor division to micro-value units
+    * (cents×10⁴) — no float anywhere. hold_us stays BIGINT: bounded
+    * by 86400·10⁶ × (users active that day), inside int64 below
+    * ~10⁵ B user-days/day.
+    *
+    * Scale: ONE shuffle on user_id for the lead() (the sessionize
+    * shape), then a map-side-combined per-day rollup; day boundaries
+    * are pure integer arithmetic on epoch-μs (no calendar functions
+    * in the hot path). */
+  def qEventsTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val dayUs = 86400000000L
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("val_c"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .withColumn("day_end",
+        expr(s"(ts_us DIV $dayUs + 1) * $dayUs"))
+      .withColumn("dt_us",
+        least(coalesce(col("nxt"), col("day_end")), col("day_end"))
+          - col("ts_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dt_us")).as("hold_us"),
+        sum(col("val_c").cast("decimal(38,0)") * col("dt_us"))
+          .as("mass"))
+      .select(col("day"), col("n_events"), col("hold_us"),
+        expr("CAST((mass * 10000) DIV GREATEST(hold_us, 1) AS BIGINT)")
+          .as("twap_micro"))
+      .orderBy(col("day"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_twap" -> (qEventsTwap _),
     "q_events_survival" -> (qEventsSurvival _),
     "q_session_native" -> (qSessionNative _),
     "q_interval_join" -> (qIntervalJoin _),
@@ -2130,6 +2177,30 @@ object Events {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_events_twap" ->
+      // same integer-cents values, integer epoch-day boundary, exact
+      // HUGEINT mass, and one floor division to micro-value units
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS val_c
+        |  FROM events),
+        |x AS (
+        |  SELECT day, val_c, ts_us,
+        |    LEAD(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS nxt,
+        |    (ts_us // 86400000000 + 1) * 86400000000 AS day_end
+        |  FROM e),
+        |iv AS (
+        |  SELECT day, val_c,
+        |    LEAST(COALESCE(nxt, day_end), day_end) - ts_us AS dt_us
+        |  FROM x)
+        |SELECT day, COUNT(*) AS n_events,
+        |  CAST(SUM(dt_us) AS BIGINT) AS hold_us,
+        |  CAST((SUM(CAST(val_c AS HUGEINT) * dt_us) * 10000)
+        |    // GREATEST(CAST(SUM(dt_us) AS HUGEINT), 1) AS BIGINT)
+        |    AS twap_micro
+        |FROM iv GROUP BY day ORDER BY day""".stripMargin,
     "q_events_survival" ->
       // Nelson–Aalen life table: same per-user lifetime/censor rule,
       // same descending risk-set prefix sum, same integer-ppb hazard

@@ -96,4 +96,31 @@ class Round11fOperatorsSpec extends SparkSpec {
     assert(byId(101L)._2 == 4L && byId(101L)._3 < 0 && byId(101L)._4 == 0L,
       byId(101L).toString)
   }
+
+  test("twap: hold-to-next weighting, midnight cut, and same-instant ties by hand") {
+    import spark.implicits._
+    val h = 3600L
+    val rows = Seq(
+      // user 1, day 0: 1.00 held 6 h then 3.00 held 18 h ->
+      //   TWAP = (100*6 + 300*18)/24 = 250 cents
+      (1L, ts(base), 1L, "view", 1.0),
+      (2L, ts(base + 6 * h), 1L, "view", 3.0),
+      // user 2, day 1: single 2.00 at noon holds to midnight only
+      (3L, ts(base + 24 * h + 12 * h), 2L, "view", 2.0),
+      // user 3, day 2: two events at the SAME microsecond — the first
+      // holds 0 us (lead = own ts), the second holds to midnight, so
+      // the 9.00 contributes nothing and TWAP = 100 cents
+      (4L, ts(base + 48 * h), 3L, "view", 9.0),
+      (5L, ts(base + 48 * h), 3L, "view", 1.0))
+    val dir = Files.createTempDirectory("graft_twap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Events.qEventsTwap(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 86400000000L, 2500000L),   // day 0
+      (1L, 43200000000L, 2000000L),   // day 1
+      (2L, 86400000000L, 1000000L)),  // day 2
+      out.mkString(";"))
+  }
 }
