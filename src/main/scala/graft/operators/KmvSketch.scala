@@ -57,10 +57,38 @@ class KmvAggregator(k: Int) extends Aggregator[Double, Seq[Double], Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** KMV that finishes to the SYNOPSIS (the sorted k-min hash set)
+  * instead of the estimate — the mergeable-materialization form: store
+  * one ≤ k-double array per group, re-aggregate arrays upward (day →
+  * week → month) without ever re-reading raw data. The k smallest of
+  * a union of per-part k-min sets IS the k-min set of the union, so
+  * re-sketching exploded synopses is exactly the sketch of the
+  * underlying distinct set. */
+class KmvSynopsisAggregator(k: Int)
+    extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  private val inner = new KmvAggregator(k)
+  override def zero: Seq[Double] = inner.zero
+  override def reduce(b: Seq[Double], x: Double): Seq[Double] =
+    inner.reduce(b, x)
+  override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] =
+    inner.merge(x, y)
+  override def finish(b: Seq[Double]): Seq[Double] = b
+  override def bufferEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
 object KmvSketch {
   /** Column-level KMV distinct estimate: `kmv(k)(hashFractionCol)`
     * inside any `agg(...)`. */
   def kmv(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(
       new KmvAggregator(k), Encoders.scalaDouble)
+
+  /** Column-level KMV synopsis (the k-min set itself) for mergeable
+    * rollups: `kmvSynopsis(k)(hashFractionCol)`. */
+  def kmvSynopsis(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new KmvSynopsisAggregator(k), Encoders.scalaDouble)
 }

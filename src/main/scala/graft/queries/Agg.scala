@@ -156,6 +156,44 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** MERGEABLE-SKETCH ROLLUP — weekly distinct users RE-AGGREGATED
+    * FROM DAILY KMV SYNOPSES, never from raw data: each day stores its
+    * k-min hash set (≤ k doubles, the KmvSynopsisAggregator), and the
+    * weekly estimate re-sketches the exploded day synopses — exact
+    * mergeability (k smallest of a union of k-min sets = k-min set of
+    * the union) means the rollup equals sketching the raw week. This
+    * is THE incremental-maintenance pattern at 100 TB: the daily
+    * synopsis table is a few KB per day, weekly/monthly/yearly uniques
+    * come from synopsis unions at any later time, and backfills touch
+    * only the affected days. The exact count rides along (from raw,
+    * for the measured error only — production would not run it).
+    * Deterministic md5 hashing keeps even the approximate estimates
+    * bit-reproducible, so the whole pipeline is oracle-checkable. */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val syn = graft.operators.KmvSketch.kmvSynopsis(k)
+    val kmv = graft.operators.KmvSketch.kmv(k)
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("di"),
+        col("user_id"))
+    val daySyn = ev.groupBy(col("di"))
+      .agg(syn(graft.operators.Sampling.hashFraction(col("user_id")))
+        .as("syn"))
+    val weekly = daySyn
+      .select(expr("di DIV 7").as("week_idx"), explode(col("syn")).as("f"))
+      .groupBy(col("week_idx"))
+      .agg(round(kmv(col("f")), 4).as("est_distinct"))
+    val exact = ev.groupBy(expr("di DIV 7").as("week_idx"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"),
+        countDistinct(col("di")).as("n_days"))
+    weekly.join(exact, "week_idx")
+      .select(col("week_idx"), col("n_days"), col("est_distinct"),
+        col("n_distinct"),
+        round(abs(col("est_distinct") - col("n_distinct")) /
+          col("n_distinct"), 4).as("rel_err"))
+      .orderBy(col("week_idx"))
+  }
+
   /** KMV SET ALGEBRA — approximate DISTINCT-OVERLAP of two audiences
     * (users who click vs users who purchase) by inclusion–exclusion
     * over three bounded sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B),
@@ -824,7 +862,8 @@ object Agg {
     "q_total" -> (qTotal _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_approx_overlap" -> (qApproxOverlap _))
+    "q_approx_overlap" -> (qApproxOverlap _),
+    "q_sketch_rollup" -> (qSketchRollup _))
 
   def oracles: Map[String, String] = Map(
     "q_pareto" ->
@@ -1222,6 +1261,42 @@ object Agg {
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sketch_rollup" ->
+      // day k-min synopses (rank-within-day over distinct fractions),
+      // re-ranked per week over the UNION of synopses — the same
+      // mergeable rollup, same 63/f estimator and exact-degrade rule
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS di, user_id
+        |  FROM events),
+        |f AS (
+        |  SELECT DISTINCT di, di // 7 AS week_idx,
+        |    CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 6))
+        |      AS INTEGER) / 16777216.0 AS f
+        |  FROM e),
+        |ds AS (
+        |  SELECT di, week_idx, f FROM (
+        |    SELECT di, week_idx, f,
+        |      ROW_NUMBER() OVER (PARTITION BY di ORDER BY f) AS rk
+        |    FROM f)
+        |  WHERE rk <= 64),
+        |wk AS (
+        |  SELECT week_idx, f,
+        |    ROW_NUMBER() OVER (PARTITION BY week_idx ORDER BY f) AS rk,
+        |    COUNT(*) OVER (PARTITION BY week_idx) AS nh
+        |  FROM (SELECT DISTINCT week_idx, f FROM ds)),
+        |est AS (
+        |  SELECT week_idx,
+        |    ROUND(CASE WHEN MAX(nh) < 64 THEN CAST(MAX(nh) AS DOUBLE)
+        |      ELSE 63 / MAX(CASE WHEN rk = 64 THEN f END) END, 4) AS est
+        |  FROM wk GROUP BY 1),
+        |x AS (
+        |  SELECT epoch_us(ts) // 86400000000 // 7 AS week_idx,
+        |    COUNT(DISTINCT user_id) AS n_distinct,
+        |    COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+        |  FROM events GROUP BY 1)
+        |SELECT e.week_idx, x.n_days, e.est AS est_distinct, x.n_distinct,
+        |  ROUND(ABS(e.est - x.n_distinct) / x.n_distinct, 4) AS rel_err
+        |FROM est e JOIN x USING (week_idx) ORDER BY e.week_idx""".stripMargin,
     "q_approx_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag AS g,

@@ -123,4 +123,23 @@ class Round11fOperatorsSpec extends SparkSpec {
       (2L, 86400000000L, 1000000L)),  // day 2
       out.mkString(";"))
   }
+
+  test("sketch rollup: week estimate from day synopses equals direct raw sketch") {
+    import org.apache.spark.sql.functions._
+    // mergeability invariant: re-sketching the union of per-day k-min
+    // synopses must give EXACTLY the estimate of sketching the raw
+    // week — k smallest of a union of k-min sets is the k-min set of
+    // the union
+    val rolled = graft.queries.Agg.qSketchRollup(spark, sf)
+      .select(col("week_idx"), col("est_distinct"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kmv = graft.operators.KmvSketch.kmv(64)
+    val direct = graft.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000 DIV 7").as("week_idx"),
+        graft.operators.Sampling.hashFraction(col("user_id")).as("f"))
+      .groupBy(col("week_idx"))
+      .agg(round(kmv(col("f")), 4).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rolled.nonEmpty && rolled == direct, s"$rolled vs $direct")
+  }
 }
