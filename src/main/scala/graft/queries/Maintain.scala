@@ -951,7 +951,40 @@ object Maintain {
       .orderBy(col("digit"))
   }
 
+  /** INVENTORY BALANCE WITH A FLOOR AT ZERO — the clamped running
+    * stock level max(0, prev + net) per part. The recursion is
+    * inherently sequential (each day depends on the clamped previous
+    * day), which naively forces a per-key ordered fold; the closed
+    * form is Lindley's equation (the waiting-time recursion of
+    * queueing theory): B_i = S_i − min(0, min_{j≤i} S_j) with S the
+    * plain prefix sum — TWO stock window passes on ONE (part, day)
+    * partitioning, no sequential state anywhere, exactly parallel.
+    * Synthetic flow rule (documented): a returned line ('R') restocks
+    * TWICE its quantity, every other line ships its quantity out —
+    * ≈ zero-drift so the floor engages on real data. All integers;
+    * stockout marks exhausted days. The property spec proves the
+    * closed form equals the day-by-day clamped fold. */
+  def qInventoryBalance(s: SparkSession, d: String): DataFrame = {
+    val fl = Tables.lineitem(s, d)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("day"),
+        when(col("l_returnflag") === "R",
+          (col("l_quantity") * 2).cast("long"))
+          .otherwise(-col("l_quantity").cast("long")).as("q"))
+    val net = fl.groupBy(col("l_partkey"), col("day"))
+      .agg(sum(col("q")).as("net_qty"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net
+      .withColumn("cum_net", sum(col("net_qty")).over(w))
+      .withColumn("balance",
+        col("cum_net") - least(min(col("cum_net")).over(w), lit(0L)))
+      .select(col("l_partkey"), col("day"), col("net_qty"), col("balance"),
+        when(col("balance") === 0L, 1L).otherwise(0L).as("stockout"))
+      .orderBy(col("l_partkey"), col("day"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inventory_balance" -> (qInventoryBalance _),
     "q_benford_audit" -> (qBenfordAudit _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_pit_join" -> (qPitJoin _),
@@ -1128,6 +1161,35 @@ object Maintain {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_inventory_balance" ->
+      // same doubled-restock flow rule and the same Lindley closed
+      // form: balance = prefix sum minus its running minimum (capped
+      // at zero), two windows on one (part, day) ordering
+      """WITH fl AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+        |    CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(l_quantity * 2 AS BIGINT)
+        |      ELSE -CAST(l_quantity AS BIGINT) END AS q
+        |  FROM lineitem),
+        |net AS (
+        |  SELECT l_partkey, day, CAST(SUM(q) AS BIGINT) AS net_qty
+        |  FROM fl GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_partkey, day, net_qty,
+        |    CAST(SUM(net_qty) OVER w AS BIGINT) AS cum_net
+        |  FROM net
+        |  WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT l_partkey, day, net_qty,
+        |    cum_net - LEAST(MIN(cum_net) OVER w, 0) AS balance
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_partkey, day, net_qty, balance,
+        |  CAST(CASE WHEN balance = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS stockout
+        |FROM b ORDER BY l_partkey, day""".stripMargin,
     "q_ref_integrity" -> refIntegrityOracle,
     "q_pit_join" -> pitJoinOracle,
     "q_benford_audit" ->

@@ -142,4 +142,23 @@ class Round11fOperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rolled.nonEmpty && rolled == direct, s"$rolled vs $direct")
   }
+
+  test("inventory balance: Lindley closed form equals the sequential clamped fold") {
+    val out = graft.queries.Maintain.qInventoryBalance(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // replay max(0, prev + net) day by day per part and compare
+    out.groupBy(_._1).foreach { case (part, rows) =>
+      var bal = 0L
+      rows.sortBy(_._2).foreach { case (_, day, net, balance, stockout) =>
+        bal = math.max(0L, bal + net)
+        assert(balance == bal, s"part $part day $day: $balance != $bal")
+        assert(stockout == (if (bal == 0L) 1L else 0L))
+      }
+    }
+    // the floor must actually engage somewhere on real data
+    assert(out.exists(_._5 == 1L), "no stockout day — fixture too easy")
+  }
 }
