@@ -156,6 +156,50 @@ object Agg {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ITEM–ITEM COLLABORATIVE FILTERING — the top-3 nearest neighbors
+    * of every item by basket-co-occurrence cosine, cos(i,j) =
+    * n_ij/√(n_i·n_j): the classic item-to-item recommender artifact
+    * (Linden et al. 2003) the basket family stops short of —
+    * q_basket_pairs ranks PAIRS globally by lift, this emits a
+    * per-item NEIGHBOR LIST, the thing a "customers also bought"
+    * service actually serves. Same bounded pair backbone (pairs only
+    * within an order, basket size caps per-row fan-out; n_ab ≥ 2
+    * prunes noise pairs before the join-backs); cosine is one
+    * √ + division over exact longs (both IEEE-correctly-rounded, so
+    * bit-identical cross-engine); the top-3 rank window partitions by
+    * ITEM — peers are that item's co-purchased neighbors, bounded by
+    * catalog behavior, never corpus size. */
+  def qItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    val sym = pairs
+      .select(col("pa").as("item"), col("pb").as("nbr"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("pb").as("item"), col("pa").as("nbr"), col("n_ab")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("nbr"))
+    sym
+      .join(freq.select(col("l_partkey").as("item"), col("n_p").as("n_i")),
+        "item")
+      .join(freq.select(col("l_partkey").as("nbr"), col("n_p").as("n_j")),
+        "nbr")
+      .withColumn("cosine",
+        round(col("n_ab") / sqrt((col("n_i") * col("n_j")).cast("double")),
+          6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("item"), col("rk"), col("nbr"), col("n_ab"), col("cosine"))
+      .orderBy(col("item"), col("rk"))
+  }
+
   /** MERGEABLE-SKETCH ROLLUP — weekly distinct users RE-AGGREGATED
     * FROM DAILY KMV SYNOPSES, never from raw data: each day stores its
     * k-min hash set (≤ k doubles, the KmvSynopsisAggregator), and the
@@ -863,7 +907,8 @@ object Agg {
     "q_count_distinct" -> (qCountDistinct _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_approx_overlap" -> (qApproxOverlap _),
-    "q_sketch_rollup" -> (qSketchRollup _))
+    "q_sketch_rollup" -> (qSketchRollup _),
+    "q_item_cf" -> (qItemCf _))
 
   def oracles: Map[String, String] = Map(
     "q_pareto" ->
@@ -1261,6 +1306,34 @@ object Agg {
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_item_cf" ->
+      // same bounded pair backbone, one correctly-rounded sqrt +
+      // division, top-3 per item with (cosine desc, nbr) tie-break
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (
+        |  SELECT l_partkey, COUNT(*) AS n_p FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (
+        |  SELECT pa AS item, pb AS nbr, n_ab FROM pairs
+        |  UNION ALL SELECT pb AS item, pa AS nbr, n_ab FROM pairs),
+        |sc AS (
+        |  SELECT s.item, s.nbr, CAST(s.n_ab AS BIGINT) AS n_ab,
+        |    ROUND(s.n_ab / SQRT(CAST(fi.n_p * fj.n_p AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM sym s JOIN freq fi ON fi.l_partkey = s.item
+        |    JOIN freq fj ON fj.l_partkey = s.nbr),
+        |r AS (
+        |  SELECT item, nbr, n_ab, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY item
+        |      ORDER BY cosine DESC, nbr) AS rk
+        |  FROM sc)
+        |SELECT item, rk, nbr, n_ab, cosine FROM r
+        |WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
     "q_sketch_rollup" ->
       // day k-min synopses (rank-within-day over distinct fractions),
       // re-ranked per week over the UNION of synopses — the same

@@ -161,4 +161,28 @@ class Round11fOperatorsSpec extends SparkSpec {
     // the floor must actually engage somewhere on real data
     assert(out.exists(_._5 == 1L), "no stockout day — fixture too easy")
   }
+
+  test("item cf: hand-computed cosine neighbor lists from planted baskets") {
+    import spark.implicits._
+    // baskets: {1,2,3} {1,2} {1,2} {3} {1,3}
+    // n: item1=4, item2=3, item3=3; pairs: (1,2)=3, (1,3)=2, (2,3)=1 pruned
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L),
+      (5L, 1L), (5L, 3L))
+    val dir = Files.createTempDirectory("graft_icf").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.queries.Agg.qItemCf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // cos(1,2) = 3/sqrt(4*3) = 0.866025; cos(1,3) = 2/sqrt(4*3) = 0.57735
+    assert(out.toSeq == Seq(
+      (1L, 1, 2L, 3L, 0.866025),
+      (1L, 2, 3L, 2L, 0.57735),
+      (2L, 1, 1L, 3L, 0.866025),
+      (3L, 1, 1L, 2L, 0.57735)), out.mkString(";"))
+  }
 }
