@@ -2041,6 +2041,114 @@ object Events {
       .orderBy(col("t_days"))
   }
 
+  /** Unrolled absorption rounds for q_events_attribution_markov — the
+    * q_events_stationary fixed-iteration discipline (journeys longer
+    * than 8 touches contribute negligibly, and the SAME rounding runs
+    * in both engines so the output hash-matches regardless of
+    * convergence). */
+  val MarkovRounds = 8
+
+  /** The touchpoint taxonomy for Markov attribution — configuration,
+    * not data-derived: the oracle unrolls one removal variant per
+    * channel, so the set must be static. Purchase is the conversion
+    * event, never a channel. */
+  val AttributionChannels = Seq("click", "error", "signup", "view")
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven rung of the
+    * attribution ladder above first/last-touch (q_events_attribution)
+    * and position-free linear credit (q_events_attribution_credit):
+    * build the first-order journey chain START → touches → CONV/NULL
+    * (a purchase closes a journey; trailing touch-only journeys
+    * absorb to NULL), compute the conversion probability from START,
+    * then re-compute it with each channel REMOVED (its transitions
+    * die to NULL) — a channel's credit is its normalized removal
+    * effect 1 − P(conv | channel removed)/P(conv) (Anderl et al.
+    * 2016's Markov graph attribution).
+    *
+    * All chain math is integer ppm with round-half-up division (the
+    * q_events_stationary discipline) over MarkovRounds unrolled
+    * absorption iterations — no float, hash-exact. Scale: the only
+    * corpus-sized work is the journey windows (user-partitioned, the
+    * sessionize shape) and ONE transition aggregate; the chain itself
+    * is ≤ (channels+2)² rows, and every removal variant iterates on
+    * that broadcast-sized matrix, localCheckpointed once. */
+  def qEventsAttributionMarkov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .where(col("event_type")
+        .isInCollection(AttributionChannels :+ "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+    // journey id = purchases BEFORE this event; the closing purchase
+    // belongs to the journey it converts
+    val j = ev.withColumn("journey",
+      coalesce(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).over(wPrev), lit(0L)))
+    val wj = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wjDesc = Window.partitionBy(col("user_id"), col("journey"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val wjAll = Window.partitionBy(col("user_id"), col("journey"))
+    val sq = j
+      .withColumn("prev", lag(col("event_type"), 1).over(wj))
+      .withColumn("rk_last", row_number().over(wjDesc))
+      .withColumn("np_j",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wjAll))
+    val trans = sq.select(
+      coalesce(col("prev"), lit("START")).as("from_state"),
+      when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")).as("to_state"))
+      .unionByName(sq
+        .where(col("rk_last") === 1 && col("np_j") === 0L)
+        .select(col("event_type").as("from_state"),
+          lit("NULL").as("to_state")))
+    val cnt = trans.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_state")).agg(sum(col("n")).as("t"))
+    val m = cnt.join(tot, "from_state")
+      .select(col("from_state"), col("to_state"),
+        expr("CAST((2000000 * n + t) DIV (2 * t) AS BIGINT)").as("np"))
+      .localCheckpoint()
+
+    def conv = Seq(("CONV", 1000000L)).toDF("st", "p")
+    def absorb(mv: DataFrame): DataFrame = {
+      var p = conv
+      for (_ <- 1 to MarkovRounds) {
+        p = mv.as("f")
+          .join(p.as("pp"), col("f.to_state") === col("pp.st"), "left")
+          .groupBy(col("f.from_state"))
+          .agg(expr(
+            "CAST((2 * SUM(np * COALESCE(p, 0)) + 1000000)" +
+              " DIV 2000000 AS BIGINT)").as("p"))
+          .select(col("from_state").as("st"), col("p"))
+          .unionByName(conv)
+      }
+      p.where(col("st") === "START").select(col("p"))
+    }
+    val pFull = absorb(m).select(col("p").as("p_full_ppm"))
+    val removed = AttributionChannels.map { c =>
+      absorb(m.where(col("from_state") =!= c && col("to_state") =!= c))
+        .select(lit(c).as("channel"), col("p").as("p_removed_ppm"))
+    }.reduce(_ unionByName _)
+    val re = removed.crossJoin(broadcast(pFull))
+      .withColumn("removal_ppm",
+        greatest(lit(1000000L) - expr(
+          "CAST((1000000 * p_removed_ppm) DIV GREATEST(p_full_ppm, 1)" +
+            " AS BIGINT)"), lit(0L)))
+    val sumRe = re.agg(sum(col("removal_ppm")).as("sre"))
+    re.crossJoin(broadcast(sumRe))
+      .select(col("channel"), col("p_full_ppm"), col("p_removed_ppm"),
+        col("removal_ppm"),
+        expr("CAST((1000000 * removal_ppm) DIV GREATEST(sre, 1) AS BIGINT)")
+          .as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
   /** TIME-WEIGHTED AVERAGE VALUE (TWAP) per day — the duration-
     * weighted mean the OHLC family doesn't give: each event's value
     * holds from its own timestamp until the user's next event or the
@@ -2088,6 +2196,7 @@ object Events {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_attribution_markov" -> (qEventsAttributionMarkov _),
     "q_events_twap" -> (qEventsTwap _),
     "q_events_survival" -> (qEventsSurvival _),
     "q_session_native" -> (qSessionNative _),
@@ -2176,7 +2285,91 @@ object Events {
        |ORDER BY t.event_type""".stripMargin
   }
 
+  /** DuckDB twin of qEventsAttributionMarkov — the same journey chain
+    * and the same MarkovRounds unrolled ppm absorption, one CTE chain
+    * per removal variant, all GENERATED from the same constants. */
+  private def markovOracle: String = {
+    def variant(tag: String, filter: String): String = {
+      val mCte =
+        s"${tag}_m AS (SELECT from_state, to_state, np FROM m $filter)"
+      val p0 =
+        s"${tag}_p0 AS (SELECT 'CONV' AS st, CAST(1000000 AS BIGINT) AS p)"
+      val rounds = (1 to MarkovRounds).map { k =>
+        s"""${tag}_p$k AS (
+           |  SELECT st, p FROM (
+           |    SELECT f.from_state AS st,
+           |      CAST((2 * SUM(f.np * COALESCE(p.p, 0)) + 1000000)
+           |        // 2000000 AS BIGINT) AS p
+           |    FROM ${tag}_m f LEFT JOIN ${tag}_p${k - 1} p
+           |      ON p.st = f.to_state
+           |    GROUP BY 1)
+           |  UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT))""".stripMargin
+      }
+      (Seq(mCte, p0) ++ rounds).mkString(",\n")
+    }
+    val inList =
+      (AttributionChannels :+ "purchase").map(c => s"'$c'").mkString(", ")
+    val chains = (Seq("full" -> "") ++ AttributionChannels.map(c =>
+      s"rm_$c" -> s"WHERE from_state <> '$c' AND to_state <> '$c'"))
+      .map { case (t, f) => variant(t, f) }.mkString(",\n")
+    val res = AttributionChannels.map(c =>
+      s"SELECT '$c' AS channel, p AS p_removed FROM rm_${c}_p$MarkovRounds" +
+        s" WHERE st = 'START'").mkString("\n  UNION ALL\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events WHERE event_type IN ($inList)),
+       |jn AS (
+       |  SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS journey
+       |  FROM ev),
+       |sq AS (
+       |  SELECT user_id, journey, ts_us, event_id, event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id, journey
+       |      ORDER BY ts_us, event_id) AS prev,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, journey
+       |      ORDER BY ts_us DESC, event_id DESC) AS rk_last,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id, journey) AS np_j
+       |  FROM jn),
+       |trans AS (
+       |  SELECT COALESCE(prev, 'START') AS from_state,
+       |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |      ELSE event_type END AS to_state
+       |  FROM sq
+       |  UNION ALL
+       |  SELECT event_type, 'NULL' FROM sq
+       |  WHERE rk_last = 1 AND np_j = 0),
+       |cnt AS (
+       |  SELECT from_state, to_state, COUNT(*) AS n
+       |  FROM trans GROUP BY 1, 2),
+       |tt AS (SELECT from_state, SUM(n) AS t FROM cnt GROUP BY 1),
+       |m AS (
+       |  SELECT c.from_state, c.to_state,
+       |    CAST((2000000 * c.n + t.t) // (2 * t.t) AS BIGINT) AS np
+       |  FROM cnt c JOIN tt t USING (from_state)),
+       |$chains,
+       |pf AS (SELECT p AS p_full FROM full_p$MarkovRounds
+       |  WHERE st = 'START'),
+       |res AS (
+       |  $res),
+       |re AS (
+       |  SELECT channel, pf.p_full AS p_full_ppm,
+       |    p_removed AS p_removed_ppm,
+       |    GREATEST(1000000 - CAST((1000000 * p_removed)
+       |      // GREATEST(pf.p_full, 1) AS BIGINT), 0) AS removal_ppm
+       |  FROM res CROSS JOIN pf),
+       |sr AS (SELECT SUM(removal_ppm) AS sre FROM re)
+       |SELECT channel, p_full_ppm, p_removed_ppm, removal_ppm,
+       |  CAST((1000000 * removal_ppm) // GREATEST(sre, 1) AS BIGINT)
+       |    AS credit_ppm
+       |FROM re CROSS JOIN sr ORDER BY channel""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_events_attribution_markov" -> markovOracle,
     "q_events_twap" ->
       // same integer-cents values, integer epoch-day boundary, exact
       // HUGEINT mass, and one floor division to micro-value units

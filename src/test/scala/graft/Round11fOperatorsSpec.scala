@@ -185,4 +185,32 @@ class Round11fOperatorsSpec extends SparkSpec {
       (2L, 1, 1L, 3L, 0.866025),
       (3L, 1, 1L, 2L, 0.57735)), out.mkString(";"))
   }
+
+  test("markov attribution: hand-derived removal effects on a 3-journey chain") {
+    import spark.implicits._
+    // u1: click -> purchase; u2: view -> purchase; u3: view (no conv)
+    // chain: START->{click 1/3, view 2/3}; click->CONV 1;
+    //        view->{CONV 1/2, NULL 1/2}
+    // P(conv) = round(333333*1.0 + 666667*0.5 ppm) = 666667
+    // remove click: P = round(666667 * 0.5) = 333334 -> removal 500000
+    // remove view:  P = 333333                        -> removal 500001
+    // error/signup absent from the chain -> removal 0
+    val rows = Seq(
+      (1L, ts(base), 1L, "click", 0.0),
+      (2L, ts(base + 60), 1L, "purchase", 5.0),
+      (3L, ts(base), 2L, "view", 0.0),
+      (4L, ts(base + 60), 2L, "purchase", 5.0),
+      (5L, ts(base), 3L, "view", 0.0))
+    val dir = Files.createTempDirectory("graft_mkv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Events.qEventsAttributionMarkov(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("click", 666667L, 333334L, 500000L, 499999L),
+      ("error", 666667L, 666667L, 0L, 0L),
+      ("signup", 666667L, 666667L, 0L, 0L),
+      ("view", 666667L, 333333L, 500001L, 500000L)), out.mkString(";"))
+  }
 }
