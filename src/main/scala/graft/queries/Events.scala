@@ -2130,7 +2130,10 @@ object Events {
       }
       p.where(col("st") === "START").select(col("p"))
     }
-    val pFull = absorb(m).select(col("p").as("p_full_ppm"))
+    // close the scalar through a global aggregate so the planner can
+    // PROVE maxRows=1 (the lint's broadcast-scalar-cross contract);
+    // START appears exactly once, so max == the value
+    val pFull = absorb(m).agg(max(col("p")).as("p_full_ppm"))
     val removed = AttributionChannels.map { c =>
       absorb(m.where(col("from_state") =!= c && col("to_state") =!= c))
         .select(lit(c).as("channel"), col("p").as("p_removed_ppm"))

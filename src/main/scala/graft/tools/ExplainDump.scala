@@ -273,7 +273,25 @@ object ExplainDump {
       "merge equals the strict-> sessionizer, same oracle CTE"),
     "q_pareto" -> ("concentration tiers: broadcast percentile_disc " +
       "boundaries + TEN conditional sums in ONE aggregate, unfolded " +
-      "by stack() — no global rank window, no self-join"))
+      "by stack() — no global rank window, no self-join"),
+    "q_events_survival" -> ("Nelson-Aalen life table: one per-user " +
+      "aggregate, then prefix-sum windows over the calendar-bounded " +
+      "distinct-duration table only; integer-ppb hazard"),
+    "q_events_twap" -> ("hold-to-next weighting via ONE user lead() " +
+      "+ map-side day rollup; DECIMAL(38,0) mass, one floor division " +
+      "close, no calendar fn in the hot path"),
+    "q_inventory_balance" -> ("Lindley closed form: clamped stock " +
+      "recursion as prefix-sum minus running-min — two stacked " +
+      "windows on one (part,day) partitioning, no sequential fold"),
+    "q_corpus_dsir" -> ("hashed-unigram importance LM: one tokenize " +
+      "pass into a 256-bucket conditional aggregate, both LMs " +
+      "broadcast back; 9dp decimal log-ratio sums"),
+    "q_sketch_rollup" -> ("weekly uniques from DAILY KMV synopses: " +
+      "bounded ObjectHashAggregate per day, explode+re-sketch per " +
+      "week — raw data read once, rollup mergeable forever"),
+    "q_events_attribution_markov" -> ("journey windows on user " +
+      "partitioning + ONE transition aggregate; 5 removal variants x " +
+      "8 unrolled ppm rounds iterate on the checkpointed tiny matrix"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
