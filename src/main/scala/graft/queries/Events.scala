@@ -2172,11 +2172,15 @@ object Events {
     * shape), then a map-side-combined per-day rollup; day boundaries
     * are pure integer arithmetic on epoch-μs (no calendar functions
     * in the hot path). */
-  def qEventsTwap(s: SparkSession, d: String): DataFrame = {
+  /** Hold-interval core of q_events_twap — one row per event with its
+    * finalized holding duration. Exposed separately so the streaming
+    * twin (EventsStream.twapStream) is spec-checked against the exact
+    * batch semantics. */
+  def twapHolds(ev0: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val dayUs = 86400000000L
-    Tables.events(s, d)
+    ev0
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_id"), col("ts_us"),
         to_date(col("ts")).as("day"),
@@ -2187,6 +2191,12 @@ object Events {
       .withColumn("dt_us",
         least(coalesce(col("nxt"), col("day_end")), col("day_end"))
           - col("ts_us"))
+      .select(col("user_id"), col("event_id"), col("day"), col("ts_us"),
+        col("val_c"), col("dt_us"))
+  }
+
+  def qEventsTwap(s: SparkSession, d: String): DataFrame = {
+    twapHolds(Tables.events(s, d))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("dt_us")).as("hold_us"),

@@ -79,6 +79,10 @@ case class RateCarry(
 case class HystCarry(
     pending: Seq[Long], open: Map[Long, Long], state: Int,
     lastEmitted: Long, started: Boolean, nLate: Long)
+case class TwapCarry(
+    pending: Seq[(Long, Long, Long)], lastHorizon: Long, nLate: Long)
+case class TwapHold(
+    user_id: Long, day_us: Long, ts_us: Long, val_c: Long, dt_us: Long)
 case class HystPoint(
     event_type: String, bucket_start: java.sql.Timestamp, x: Long,
     state: Int, opened: Boolean)
@@ -855,6 +859,73 @@ object EventsStream {
             state.setTimeoutTimestamp(
               math.max(hold.map(_._1).min / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of q_events_twap's HOLD-INTERVAL MATERIALIZATION —
+    * the ingest-time shape of time-weighted averaging: each event's
+    * value holds until the user's next event or the UTC-midnight cut,
+    * and the closed interval (user, day, val_c, held μs) emits exactly
+    * once, when the watermark proves the close can no longer move —
+    * close = min(successor ts, own day end) is final once the horizon
+    * passes it, because any later arrival at or below the horizon is
+    * late-by-definition and drops (the cusumStream rule). The daily
+    * TWAP downstream is a plain windowed SUM of these deltas. State
+    * per user = the unfinalized pending suffix, bounded by the
+    * watermark delay plus at most one open day; event-time timeouts
+    * close the final interval of a gone-quiet user at its day end.
+    * Spec-asserted equal to the batch hold table
+    * (queries.Events.twapHolds) on finalized rows under out-of-order
+    * arrival. */
+  def twapStream(
+      events: Dataset[CdcEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[TwapHold] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapCarry, TwapHold](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[TwapCarry]) =>
+          def tsUs(r: CdcEvent): Long =
+            r.ts.getTime * 1000L + (r.ts.getNanos / 1000L) % 1000L
+          val prev = state.getOption.getOrElse(
+            TwapCarry(Nil, Long.MinValue, 0L))
+          val fresh = rows.map(r =>
+            (tsUs(r), r.event_id, math.round(r.value * 100))).toSeq
+          val (lateRows, ok) = fresh.partition(_._1 <= prev.lastHorizon)
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (prev.pending ++ ok).sortBy(t => (t._1, t._2))
+          // prefix emission: e_i is final when its close (successor ts
+          // or own day end) is at or below the horizon; e_i final
+          // implies e_{i-1} final, so the finalized set is a prefix
+          val out = scala.collection.mutable.ListBuffer.empty[TwapHold]
+          var keep = 0
+          var i = 0
+          while (i < all.length && keep == i) {
+            val (t, _, vc) = all(i)
+            val dayEnd = (t / dayUs + 1L) * dayUs
+            val close =
+              if (i + 1 < all.length) math.min(all(i + 1)._1, dayEnd)
+              else dayEnd
+            if (close <= horizonUs) {
+              out += TwapHold(uid, t / dayUs * dayUs, t, vc, close - t)
+              keep = i + 1
+            }
+            i += 1
+          }
+          val hold = all.drop(keep)
+          state.update(
+            TwapCarry(hold, horizonUs, prev.nLate + lateRows.size))
+          if (hold.nonEmpty) {
+            val headDayEnd = (hold.head._1 / dayUs + 1L) * dayUs
+            state.setTimeoutTimestamp(
+              math.max(headDayEnd / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
       }
   }

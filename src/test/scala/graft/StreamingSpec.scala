@@ -1395,4 +1395,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch verdict drift:\n$streamed\nvs\n$batch")
   }
+
+  test("streaming twap holds equal the batch hold table; late rows cannot rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CdcEvent, TwapHold}
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      CdcEvent(id, Timestamp.valueOf(t), uid, "view", v)
+    // u1: 1.00 held 6 h, 3.00 held to midnight (next event is next
+    // day), 2.00 held to ITS midnight; u2: single 2.00 closed at day
+    // end purely by the event-time timeout
+    val rows = Seq(
+      ev(1, 1, "2024-03-01 00:00:00", 1.0),
+      ev(2, 1, "2024-03-01 06:00:00", 3.0),
+      ev(3, 1, "2024-03-02 01:00:00", 2.0),
+      ev(4, 2, "2024-03-01 12:00:00", 2.0))
+    // 13 h watermark: the 6 h out-of-order delivery below must stay
+    // inside the lateness allowance or the ENGINE drops it pre-operator
+    val sentinel = ev(99, 99, "2024-03-04 12:00:00", 0.0)
+    val stream = MemoryStream[CdcEvent]
+    val q = EventsStream.twapStream(stream.toDS(), "13 hours")
+      .writeStream.format("memory").queryName("twap_out")
+      .outputMode("append").start()
+    try {
+      // out-of-order: the later events arrive first
+      stream.addData(rows(1), rows(3))
+      q.processAllAvailable()
+      stream.addData(rows(0), rows(2))
+      q.processAllAvailable()
+      stream.addData(sentinel)
+      q.processAllAvailable()
+      // empty batch: raised watermark fires the day-end timeouts
+      stream.addData(Seq.empty[CdcEvent])
+      q.processAllAvailable()
+      // late row INSIDE an already-finalized hold — must drop, else it
+      // would silently shorten event 1's emitted duration
+      stream.addData(ev(50, 1, "2024-03-01 03:00:00", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("twap_out").as[TwapHold].collect()
+      .map(h => (h.user_id, h.ts_us) -> ((h.val_c, h.dt_us))).toMap
+    assert(!streamed.valuesIterator.contains((900L, 10800000000L)),
+      "late row must not emit a hold")
+    assert(!streamed.keySet.exists(_._1 == 99L),
+      "unfinalized sentinel must not emit")
+    val batch = graft.queries.Events.twapHolds(
+      rows.map(r => (r.event_id, r.ts, r.user_id, r.event_type, r.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed == batch,
+      s"stream/batch hold drift:\n$streamed\nvs\n$batch")
+  }
 }
