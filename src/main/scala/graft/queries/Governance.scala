@@ -118,6 +118,73 @@ object Governance {
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
   }
 
+  /** Per-user contribution clip for q_dp_mean, in integer cents
+    * ($100). The clip IS the sensitivity bound: one user can move the
+    * released sum by at most this much. */
+  val DpClipCents = 10000L
+
+  /** USER-LEVEL DIFFERENTIALLY-PRIVATE MEAN — the sum/count release
+    * beside q_dp_histogram's count release, with the harder privacy
+    * unit: a USER (all their events), not a row. Per type, each
+    * user's value total is CLIPPED to DpClipCents (bounding user
+    * sensitivity — the step row-level DP skips and the one that
+    * actually protects a whale account), then the clipped sum is
+    * released with discrete-Laplace noise QUANTIZED to the clip
+    * (noise = clip · (Geom(½) − Geom(½)): adjacent databases differ
+    * by ≤ one clip, adjacent noise grid points differ by a 2× odds
+    * ratio → ε = ln 2), and the user count with the same mechanism at
+    * sensitivity 1. The DP mean is the client-side quotient of the
+    * two releases (floor division to cents here so it stays integer).
+    * Same md5-bit exact-integer coin arithmetic as q_dp_histogram —
+    * no float, both engines sample identical noise; true columns ride
+    * along because this run is the calibration AUDIT (a production
+    * release salts the md5 and drops them).
+    *
+    * Scale: one (type, user) map-side-combined aggregate, a |types|
+    * rollup, noise as projection work on the tiny release table. */
+  def qDpMean(s: SparkSession, d: String): DataFrame = {
+    def draw(tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(tag), col("event_type"))), 1, 13),
+        16, 10).cast("long")
+    val perUser = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("val_c"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("val_c")).as("s_u"))
+      .select(col("event_type"),
+        least(col("s_u"), lit(DpClipCents)).as("clip_c"))
+    perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users_true"),
+        sum(col("clip_c")).as("sum_clip_true_c"))
+      .withColumn("u1", draw("dpm1:"))
+      .withColumn("u2", draw("dpm2:"))
+      .withColumn("u3", draw("dpm3:"))
+      .withColumn("u4", draw("dpm4:"))
+      .withColumn("noise_sum",
+        (expr("CASE WHEN u1 = 0 THEN 52" +
+          " ELSE bit_count((u1 & -u1) - 1) END") -
+          expr("CASE WHEN u2 = 0 THEN 52" +
+            " ELSE bit_count((u2 & -u2) - 1) END")).cast("long")
+          * lit(DpClipCents))
+      .withColumn("noise_n",
+        (expr("CASE WHEN u3 = 0 THEN 52" +
+          " ELSE bit_count((u3 & -u3) - 1) END") -
+          expr("CASE WHEN u4 = 0 THEN 52" +
+            " ELSE bit_count((u4 & -u4) - 1) END")).cast("long"))
+      .select(col("event_type"), col("n_users_true"),
+        col("sum_clip_true_c"),
+        (col("sum_clip_true_c") + col("noise_sum")).as("sum_released_c"),
+        (col("n_users_true") + col("noise_n")).as("n_released"))
+      // post-processing (DP-safe): values are nonnegative, so a
+      // negative released sum carries no signal — floor at 0 keeps the
+      // quotient in both engines' shared nonnegative floor-division
+      // regime (DIV truncation == // floor only for nonnegatives)
+      .withColumn("dp_mean_c",
+        expr("CAST(GREATEST(sum_released_c, 0)" +
+          " DIV GREATEST(n_released, 1) AS BIGINT)"))
+      .orderBy(col("event_type"))
+  }
+
   /** T-CLOSENESS AUDIT — the third rung of the release-gate ladder
     * (Li, Li & Venkatasubramanian 2007) after q_kanon_audit and
     * q_ldiversity_audit: a class can be large (k) and varied (l) yet
@@ -181,10 +248,53 @@ object Governance {
     "q_kanon_audit" -> (qKanonAudit _),
     "q_ldiversity_audit" -> (qLdiversityAudit _),
     "q_dp_histogram" -> (qDpHistogram _),
+    "q_dp_mean" -> (qDpMean _),
     "q_tcloseness_audit" -> (qTclosenessAudit _),
     "q_gdpr_impact" -> (qGdprImpact _))
 
   def oracles: Map[String, String] = Map(
+    "q_dp_mean" ->
+      // same clip, same md5-bit geometric coins, same clip-quantized
+      // sum noise and unit count noise, same nonnegative floor close
+      s"""WITH pu AS (
+         |  SELECT event_type, user_id,
+         |    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s_u
+         |  FROM events GROUP BY 1, 2),
+         |cl AS (
+         |  SELECT event_type, LEAST(s_u, $DpClipCents) AS clip_c FROM pu),
+         |agg AS (
+         |  SELECT event_type, COUNT(*) AS n_users_true,
+         |    CAST(SUM(clip_c) AS BIGINT) AS sum_clip_true_c
+         |  FROM cl GROUP BY 1),
+         |u AS (
+         |  SELECT *,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('dpm1:' || event_type), 1, 13))
+         |      AS BIGINT) AS u1,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('dpm2:' || event_type), 1, 13))
+         |      AS BIGINT) AS u2,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('dpm3:' || event_type), 1, 13))
+         |      AS BIGINT) AS u3,
+         |    CAST(CONCAT('0x', SUBSTR(MD5('dpm4:' || event_type), 1, 13))
+         |      AS BIGINT) AS u4
+         |  FROM agg),
+         |g AS (
+         |  SELECT event_type, n_users_true, sum_clip_true_c,
+         |    ((CASE WHEN u1 = 0 THEN 52
+         |        ELSE bit_count((u1 & -u1) - 1) END) -
+         |     (CASE WHEN u2 = 0 THEN 52
+         |        ELSE bit_count((u2 & -u2) - 1) END)) * $DpClipCents
+         |      AS noise_sum,
+         |    (CASE WHEN u3 = 0 THEN 52
+         |        ELSE bit_count((u3 & -u3) - 1) END) -
+         |    (CASE WHEN u4 = 0 THEN 52
+         |        ELSE bit_count((u4 & -u4) - 1) END) AS noise_n
+         |  FROM u)
+         |SELECT event_type, n_users_true, sum_clip_true_c,
+         |  CAST(sum_clip_true_c + noise_sum AS BIGINT) AS sum_released_c,
+         |  CAST(n_users_true + noise_n AS BIGINT) AS n_released,
+         |  CAST(GREATEST(sum_clip_true_c + noise_sum, 0)
+         |    // GREATEST(n_users_true + noise_n, 1) AS BIGINT) AS dp_mean_c
+         |FROM g ORDER BY event_type""".stripMargin,
     "q_dp_histogram" ->
       """WITH h AS (
         |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_true

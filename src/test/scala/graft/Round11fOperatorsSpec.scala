@@ -213,4 +213,30 @@ class Round11fOperatorsSpec extends SparkSpec {
       ("signup", 666667L, 666667L, 0L, 0L),
       ("view", 666667L, 333333L, 500001L, 500000L)), out.mkString(";"))
   }
+
+  test("dp mean: whale clipped to the sensitivity bound, noise on the clip grid") {
+    import spark.implicits._
+    // user 1 is a whale: 30 x $500 -> raw 1,500,000 cents, clipped to
+    // 10,000; user 2 contributes 200 cents unclipped
+    val rows = (1 to 30).map(k =>
+      (k.toLong, ts(base + k * 60), 1L, "view", 500.0)) ++
+      Seq((100L, ts(base), 2L, "view", 1.0),
+        (101L, ts(base + 60), 2L, "view", 1.0))
+    val dir = Files.createTempDirectory("graft_dpm").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Governance.qDpMean(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nTrue, sumTrue, sumRel, nRel, mean) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nTrue == 2L && sumTrue == 10200L, r.toString)
+    // sum noise is quantized to whole clips and bounded by the coin
+    // width; count noise is unit-grid
+    val clip = graft.queries.Governance.DpClipCents
+    assert((sumRel - sumTrue) % clip == 0L, r.toString)
+    assert(math.abs(sumRel - sumTrue) / clip <= 52L, r.toString)
+    assert(math.abs(nRel - nTrue) <= 52L, r.toString)
+    assert(mean == math.max(sumRel, 0L) / math.max(nRel, 1L), r.toString)
+  }
 }
