@@ -450,7 +450,10 @@ object Events {
     * on user_id so the stage join-backs stay co-partitioned and
     * exchange reuse collapses the event scans; the output is one row
     * of stage counts + conversion rates. */
-  def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+  /** The funnel min-chain (first view → first later click → first
+    * later purchase per user) — shared by q_events_funnel's conversion
+    * rollup and q_events_funnel_latency's stage-latency report. */
+  private def funnelTimes(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
       .select(col("user_id"), col("event_type"), col("ts_us"))
@@ -460,11 +463,14 @@ object Events {
       .groupBy(col("user_id"), col("t_view"))
       .agg(min(when(col("event_type") === "click" &&
         col("ts_us") > col("t_view"), col("ts_us"))).as("t_click"))
-    val s3 = ev.join(s2, "user_id")
+    ev.join(s2, "user_id")
       .groupBy(col("user_id"), col("t_view"), col("t_click"))
       .agg(min(when(col("event_type") === "purchase" &&
         col("ts_us") > col("t_click"), col("ts_us"))).as("t_purchase"))
-    s3.agg(
+  }
+
+  def qEventsFunnel(s: SparkSession, d: String): DataFrame = {
+    funnelTimes(s, d).agg(
       count(lit(1)).as("n_users"),
       count(col("t_view")).as("n_view"),
       count(col("t_click")).as("n_click"),
@@ -473,6 +479,43 @@ object Events {
         count(col("t_view")), 6).as("view_to_click"),
       round(count(col("t_purchase")).cast("double") /
         count(col("t_click")), 6).as("click_to_purchase"))
+  }
+
+  /** FUNNEL STAGE-LATENCY REPORT — how long each conversion step
+    * takes: per converting user the view→click and click→purchase
+    * delays, reported as exact discrete percentiles per stage. The
+    * scale shape is the q_events_hist_quantiles discipline: latencies
+    * QUANTIZE to whole seconds and aggregate into a per-(stage, sec)
+    * histogram first, so the percentile pass runs over the bounded
+    * histogram (distinct observed seconds — duration-bounded, never
+    * user-count-bounded) instead of sorting every user's latency;
+    * p_q = smallest second whose cumulative count reaches ⌈q·n/100⌉,
+    * i.e. percentile_disc over the quantized values. All integers. */
+  def qEventsFunnelLatency(s: SparkSession, d: String): DataFrame = {
+    val t = funnelTimes(s, d)
+    val lat = t.select(lit("1_view_to_click").as("stage"),
+        (col("t_click") - col("t_view")).as("lat_us"))
+      .where(col("lat_us").isNotNull)
+      .unionByName(t.select(lit("2_click_to_purchase").as("stage"),
+        (col("t_purchase") - col("t_click")).as("lat_us"))
+        .where(col("lat_us").isNotNull))
+    val hist = lat
+      .groupBy(col("stage"), expr("CAST(lat_us DIV 1000000 AS BIGINT)")
+        .as("sec"))
+      .agg(count(lit(1)).as("c"))
+    val wS = Window.partitionBy(col("stage")).orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wS))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("stage"))))
+    def pct(q: Int) =
+      min(when(col("cum") * 100 >= col("n") * q, col("sec")))
+        .as(s"p${q}_s")
+    cum.groupBy(col("stage"))
+      .agg(max(col("n")).as("n"), min(col("sec")).as("min_s"),
+        pct(25), pct(50), pct(75), pct(90),
+        max(col("sec")).as("max_s"))
+      .orderBy(col("stage"))
   }
 
   /** TIME-BOUNDED FUNNEL — q_events_funnel with CONVERSION WINDOWS
@@ -2210,6 +2253,7 @@ object Events {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_attribution_markov" -> (qEventsAttributionMarkov _),
+    "q_events_funnel_latency" -> (qEventsFunnelLatency _),
     "q_events_twap" -> (qEventsTwap _),
     "q_events_survival" -> (qEventsSurvival _),
     "q_session_native" -> (qSessionNative _),
@@ -3306,6 +3350,51 @@ object Events {
         |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
         |WHERE a.day - c.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_funnel_latency" ->
+      // same min-chain CTEs as q_events_funnel, then the quantized-
+      // histogram percentile (smallest second whose cumulative count
+      // reaches q% of n — percentile_disc over whole-second latencies)
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view
+        |  FROM ev GROUP BY user_id),
+        |s2 AS (
+        |  SELECT ev.user_id, s1.t_view,
+        |    MIN(CASE WHEN event_type = 'click' AND ts_us > t_view
+        |        THEN ts_us END) AS t_click
+        |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        |  GROUP BY ev.user_id, s1.t_view),
+        |s3 AS (
+        |  SELECT ev.user_id, s2.t_view, s2.t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click
+        |        THEN ts_us END) AS t_purchase
+        |  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |  GROUP BY ev.user_id, s2.t_view, s2.t_click),
+        |lat AS (
+        |  SELECT '1_view_to_click' AS stage, t_click - t_view AS lat_us
+        |  FROM s3 WHERE t_click IS NOT NULL
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', t_purchase - t_click
+        |  FROM s3 WHERE t_purchase IS NOT NULL),
+        |hist AS (
+        |  SELECT stage, CAST(lat_us // 1000000 AS BIGINT) AS sec,
+        |    COUNT(*) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT stage, sec, c,
+        |    SUM(c) OVER (PARTITION BY stage ORDER BY sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY stage) AS n
+        |  FROM hist)
+        |SELECT stage, CAST(MAX(n) AS BIGINT) AS n, MIN(sec) AS min_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 25 THEN sec END) AS p25_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 50 THEN sec END) AS p50_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 75 THEN sec END) AS p75_s,
+        |  MIN(CASE WHEN cum * 100 >= n * 90 THEN sec END) AS p90_s,
+        |  MAX(sec) AS max_s
+        |FROM cum GROUP BY stage ORDER BY stage""".stripMargin,
     "q_events_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

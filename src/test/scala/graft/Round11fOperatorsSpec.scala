@@ -239,4 +239,31 @@ class Round11fOperatorsSpec extends SparkSpec {
     assert(math.abs(nRel - nTrue) <= 52L, r.toString)
     assert(mean == math.max(sumRel, 0L) / math.max(nRel, 1L), r.toString)
   }
+
+  test("funnel latency: discrete percentiles over planted stage delays") {
+    import spark.implicits._
+    var id = 0L
+    def ev(uid: Long, off: Long, t: String) = {
+      id += 1; (id, ts(base + off), uid, t, 1.0)
+    }
+    // four users convert view->click after 10/20/30/40 s; only user 1
+    // continues click->purchase after 5 s
+    val rows = Seq(
+      ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 15, "purchase"),
+      ev(2, 0, "view"), ev(2, 20, "click"),
+      ev(3, 0, "view"), ev(3, 30, "click"),
+      ev(4, 0, "view"), ev(4, 40, "click"))
+    val dir = Files.createTempDirectory("graft_flat").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Events.qEventsFunnelLatency(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    // {10,20,30,40}: p25=10 (cum 1 >= 1), p50=20, p75=30, p90=40
+    assert(out.toSeq == Seq(
+      ("1_view_to_click", 4L, 10L, 10L, 20L, 30L, 40L, 40L),
+      ("2_click_to_purchase", 1L, 5L, 5L, 5L, 5L, 5L, 5L)),
+      out.mkString(";"))
+  }
 }
