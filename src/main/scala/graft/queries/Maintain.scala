@@ -339,6 +339,59 @@ object Maintain {
         col("sv").cast("double").as("sum_value"))
       .orderBy(col("event_type"), col("day"))
 
+  /** Per-(type, user) exact-cents totals — the base aggregate the
+    * top-k view maintains over. Counts and integer-cent sums are a
+    * commutative monoid (state ⊕ batch ≡ rebuild). */
+  def userTotals(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_c"))
+
+  /** Top-3 leaderboard per type via the bounded-heap TopK aggregate —
+    * map-side-combined, never a per-type rank-window sort of the full
+    * user list. Cent totals ride the heap as doubles (exact below
+    * 2^53 cents ≈ $90 T per user — documented envelope). */
+  def leaderboard(totals: DataFrame): DataFrame = {
+    val topk = graft.operators.TopK.topk(3)
+    totals
+      .groupBy(col("event_type"))
+      .agg(topk(col("sum_c").cast("double"), col("user_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "s")))
+      .select(col("event_type"), (col("i") + 1).cast("int").as("rk"),
+        col("s.id").as("user_id"), col("s.value").cast("long").as("sum_c"))
+  }
+
+  /** Incremental TOP-K maintenance — the leaderboard-shaped FOURTH
+    * member of the IVM family (intervals / sums / histograms / now
+    * ranked views): the materialized "top 3 users by lifetime value
+    * per type" is kept current by merging the per-(type, user) totals
+    * state with the batch's partial aggregate, then RE-RANKING ONLY
+    * THE TYPES THE BATCH TOUCHED — untouched leaderboards carry over
+    * verbatim. Ranking is not a monoid (one user's delta can reorder
+    * a whole leaderboard), which is exactly why the maintained state
+    * is the TOTALS table and the leaderboard recomputes per touched
+    * group — bounded by the batch's key footprint, never the corpus.
+    * Oracle IS the full rebuild (the q_scd2_incremental discipline);
+    * the spec sweeps cutoffs and plants a batch that flips one type's
+    * podium while another type stays untouched. */
+  def qIncrementalTopk(s: SparkSession, d: String): DataFrame = {
+    val cutoff = expr(s"timestamp'$Scd2Cutoff'")
+    val ev = Tables.events(s, d)
+    val state = userTotals(ev.where(col("ts") < cutoff))
+    val delta = userTotals(ev.where(col("ts") >= cutoff))
+    val touched = delta.select(col("event_type")).distinct()
+    val merged = state.unionByName(delta)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
+    val lbNew = leaderboard(
+      merged.join(touched, Seq("event_type"), "left_semi"))
+    val lbOld = leaderboard(state)
+      .join(touched, Seq("event_type"), "left_anti")
+    lbOld.unionByName(lbNew)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Incremental HISTOGRAM maintenance — the distribution-shaped third
     * member of the IVM family (q_scd2_incremental: interval algebra;
     * q_incremental_agg: sums; this: bucket counts). The maintained
@@ -1004,6 +1057,7 @@ object Maintain {
     "q_scd2_incremental" -> (qScd2Incremental _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_incremental_hist" -> (qIncrementalHist _),
+    "q_incremental_topk" -> (qIncrementalTopk _),
     "q_events_enrich" -> (qEventsEnrich _),
     "q_quality_audit" -> (qQualityAudit _))
 
@@ -1431,6 +1485,22 @@ object Maintain {
         |ORDER BY b.event_id""".stripMargin,
     // the incremental histogram must reproduce the full rebuild —
     // grid generated from the shared Events.Hist* constants
+    "q_incremental_topk" ->
+      // oracle = the FULL REBUILD leaderboard (no second
+      // implementation of the incremental path)
+      """WITH ut AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, sum_c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY sum_c DESC, user_id) AS rk
+        |  FROM ut)
+        |SELECT event_type, CAST(rk AS INTEGER) AS rk, user_id, sum_c
+        |FROM r WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin,
     "q_incremental_hist" -> {
       val lo = graft.queries.Events.HistLo
       val k = graft.queries.Events.HistBuckets

@@ -266,4 +266,36 @@ class Round11fOperatorsSpec extends SparkSpec {
       ("2_click_to_purchase", 1L, 5L, 5L, 5L, 5L, 5L, 5L)),
       out.mkString(";"))
   }
+
+  test("incremental topk: batch flips one podium, untouched type carries, equals rebuild") {
+    import spark.implicits._
+    // cutoff is 2024-01-24: type A pre-cutoff has u1=100.00 > u2=90.00;
+    // the batch adds u2 +20.00 (A) flipping the podium; type B exists
+    // ONLY pre-cutoff and must carry over untouched
+    val pre = "2024-01-10 00:00:00"
+    val post = "2024-02-10 00:00:00"
+    val rows = Seq(
+      (1L, Timestamp.valueOf(pre), 1L, "A", 100.0),
+      (2L, Timestamp.valueOf(pre), 2L, "A", 90.0),
+      (3L, Timestamp.valueOf(pre), 3L, "B", 50.0),
+      (4L, Timestamp.valueOf(pre), 4L, "B", 40.0),
+      (5L, Timestamp.valueOf(post), 2L, "A", 20.0))
+    val dir = Files.createTempDirectory("graft_itk").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val inc = graft.queries.Maintain.qIncrementalTopk(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(inc.toSeq == Seq(
+      ("A", 1, 2L, 11000L), ("A", 2, 1L, 10000L),
+      ("B", 1, 3L, 5000L), ("B", 2, 4L, 4000L)), inc.mkString(";"))
+    // rebuild equivalence: the full leaderboard over everything
+    val rebuild = graft.queries.Maintain.leaderboard(
+      graft.queries.Maintain.userTotals(
+        spark.read.parquet(s"$dir/events.parquet")))
+      .orderBy(col("event_type"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(inc.toSeq == rebuild.toSeq, s"${inc.toSeq} vs ${rebuild.toSeq}")
+  }
 }
