@@ -481,7 +481,59 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** CORPUS DISTRIBUTION-SHIFT AUDIT — KL(p_slice ‖ p_en) over the
+    * same hashed-unigram buckets as q_corpus_dsir: how far each
+    * language slice's token distribution sits from the target, the
+    * number a mixture designer watches when a new source is added
+    * (and the aggregate form of DSIR's per-doc weight: KL is the
+    * expected log-ratio under the slice). Add-one smoothing keeps
+    * every bucket finite; per-bucket terms p_s·ln(p_s/p_t) round at
+    * 9 dp and sum as DECIMAL (the perplexity portable-LN rule). The
+    * model stays O(B): one tokenize pass → a (lang, bucket)
+    * conditional aggregate (≤ |langs|·B rows), target LM broadcast
+    * back — nothing corpus-sized past the first aggregate. */
+  def qCorpusKl(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 8),
+          16, 10).cast("long"), lit(DsirBuckets.toLong)))
+    val byLang = tok.groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val tgt = byLang.where(col("lang") === "en")
+      .select(col("b"), col("c").as("ct"))
+    val tgtTot = tgt.agg(sum(col("ct")).as("tt"))
+    val slice = byLang.where(col("lang") =!= "en")
+    val sliceTot = slice.groupBy(col("lang")).agg(sum(col("c")).as("ts"))
+    // DENSE (lang × bucket) grid: buckets the slice never hit still
+    // carry smoothed mass 1/(ts+B) and must contribute their term, or
+    // the KL is silently truncated
+    val grid = sliceTot
+      .select(col("lang"), col("ts"),
+        explode(sequence(lit(0L), lit(DsirBuckets - 1L))).as("b"))
+    grid
+      .join(slice, Seq("lang", "b"), "left")
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(tgtTot))
+      .select(col("lang"), col("ts"),
+        round(
+          ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("ts") + lit(DsirBuckets)).cast("double")) *
+            log(((coalesce(col("c"), lit(0L)) + 1).cast("double") *
+              (col("tt") + lit(DsirBuckets)).cast("double")) /
+              ((coalesce(col("ct"), lit(0L)) + 1).cast("double") *
+                (col("ts") + lit(DsirBuckets)).cast("double"))), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("lang"), col("ts").as("n_tokens"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl_nats"))
+      .select(col("lang"), col("n_tokens"), col("kl_nats"))
+      .orderBy(col("lang"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_kl" -> (qCorpusKl _),
     "q_corpus_dsir" -> (qCorpusDsir _),
     "q_shard_assign" -> (qShardAssign _),
     "q_chunk_index" -> (qChunkIndex _),
@@ -498,6 +550,45 @@ object Corpus {
     s"CAST(CONCAT('0x', SUBSTR(MD5('$j:' || $tok), 1, 6)) AS BIGINT) % $CmsWidth"
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_kl" ->
+      // same buckets/smoothing as the Spark side, dense grid via
+      // generate_series so zero-hit buckets contribute their term
+      s"""WITH tok AS (
+         |  SELECT lang, CAST(CONCAT('0x',
+         |    SUBSTR(MD5(CONCAT('dsir:', tok)), 1, 8)) AS BIGINT)
+         |    % $DsirBuckets AS b
+         |  FROM (SELECT lang,
+         |    UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |bl AS (SELECT lang, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |tgt AS (SELECT b, c AS ct FROM bl WHERE lang = 'en'),
+         |tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgt),
+         |sl AS (SELECT lang, b, c FROM bl WHERE lang <> 'en'),
+         |st AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ts
+         |  FROM sl GROUP BY 1),
+         |grid AS (
+         |  SELECT st.lang, st.ts, gs.b
+         |  FROM st CROSS JOIN (
+         |    SELECT UNNEST(GENERATE_SERIES(0, ${DsirBuckets - 1})) AS b
+         |  ) gs),
+         |terms AS (
+         |  SELECT g.lang, g.ts,
+         |    CAST(ROUND(
+         |      (CAST(COALESCE(s.c, 0) + 1 AS DOUBLE) /
+         |        CAST(g.ts + $DsirBuckets AS DOUBLE)) *
+         |      LN((CAST(COALESCE(s.c, 0) + 1 AS DOUBLE) *
+         |          CAST(tt.tt + $DsirBuckets AS DOUBLE)) /
+         |        (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) *
+         |          CAST(g.ts + $DsirBuckets AS DOUBLE))), 9)
+         |      AS DECIMAL(18,9)) AS term
+         |  FROM grid g
+         |  LEFT JOIN sl s ON s.lang = g.lang AND s.b = g.b
+         |  LEFT JOIN tgt t ON t.b = g.b
+         |  CROSS JOIN tt)
+         |SELECT lang, ts AS n_tokens,
+         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl_nats
+         |FROM terms GROUP BY lang, ts ORDER BY lang""".stripMargin,
     "q_corpus_dsir" ->
       // same 'dsir:'-prefixed md5 buckets, add-one smoothing, and
       // 9-dp-rounded decimal log-ratio sum as the Spark side

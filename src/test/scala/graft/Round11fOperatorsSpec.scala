@@ -298,4 +298,24 @@ class Round11fOperatorsSpec extends SparkSpec {
         r.getLong(3)))
     assert(inc.toSeq == rebuild.toSeq, s"${inc.toSeq} vs ${rebuild.toSeq}")
   }
+
+  test("corpus kl: identical slice scores exactly zero, alien vocabulary positive") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta"
+    val z = "zulu yankee xray whiskey"
+    // de repeats the en corpus verbatim -> every bucket ratio is
+    // exactly 1 (same counts, same totals) -> KL = 0.0 bit-exactly;
+    // fr uses a disjoint vocabulary -> KL > 0
+    val docsRows = (1L to 5L).map(i => (i, a, "en", "s", a.length.toLong)) ++
+      (11L to 15L).map(i => (i, a, "de", "s", a.length.toLong)) ++
+      (21L to 25L).map(i => (i, z, "fr", "s", z.length.toLong))
+    val dir = Files.createTempDirectory("graft_kl").toString
+    docsRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Corpus.qCorpusKl(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("de") == ((20L, 0.0)), out.toString)
+    assert(out("fr")._1 == 20L && out("fr")._2 > 0.0, out.toString)
+  }
 }
