@@ -1371,6 +1371,47 @@ object Events {
     * close on the integer half-up ppm grid and the z-statistic is one
     * fixed IEEE sequence at 6 dp over the exact counts (the pooled
     * variance form), so every number is engine-identical. */
+  /** z_{0.975} + z_{0.80} — the 5%-two-sided / 80%-power constant of
+    * the standard two-sample MDE formula, injected as the SAME
+    * round-trip literal into both engines (the NdcgDiscountPpb rule:
+    * no inverse-normal is ever evaluated cross-engine). */
+  val PowerZSum = 2.8015852181129683
+
+  /** Per-arm sample sizes swept by q_events_power. */
+  val PowerNs = Seq(1000L, 10000L, 100000L)
+
+  /** EXPERIMENT-DESIGN MDE SWEEP — the question asked BEFORE
+    * q_events_ab_test's readout: at n users per arm, what relative
+    * lift is detectable at 5% two-sided significance and 80% power?
+    * MDE% = (z_α/2+z_β)·√(2σ²/n)/μ·100 per event type, for
+    * n ∈ {10³,10⁴,10⁵} — the table that decides how long an
+    * experiment must run. σ²/μ come from EXACT integer-cents moment
+    * sums (Σv, Σv² as DECIMAL(38,0)/HUGEINT — order-free), closed in
+    * ONE mirrored IEEE sequence (the burstiness discipline) with the
+    * z-constant a shared literal; the sweep is a 3-row broadcast
+    * cross on the |types| moment table. One map-side-combined
+    * aggregate is the only corpus-sized work. */
+  def qEventsPower(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mom = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("v").cast("decimal(38,0)")).as("s1"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+    val mean = col("s1").cast("double") / col("n_obs")
+    val vr = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n_obs")) /
+      (col("n_obs") - 1)
+    mom.crossJoin(broadcast(PowerNs.toDF("n_arm")))
+      .select(col("event_type"), col("n_arm"), col("n_obs"),
+        when(col("n_obs") > 1,
+          round(lit(PowerZSum) * sqrt(vr * lit(2.0) / col("n_arm")) /
+            mean * lit(100.0), 6)).as("mde_pct"))
+      .orderBy(col("event_type"), col("n_arm"))
+  }
+
   def qEventsAbTest(s: SparkSession, d: String): DataFrame = {
     val perUser = Tables.events(s, d)
       .groupBy(col("user_id"))
@@ -2292,6 +2333,7 @@ object Events {
     "q_events_transitions" -> (qEventsTransitions _),
     "q_events_stationary" -> (qEventsStationary _),
     "q_events_ab_test" -> (qEventsAbTest _),
+    "q_events_power" -> (qEventsPower _),
     "q_events_autocorr" -> (qEventsAutocorr _),
     "q_events_seasonality" -> (qEventsSeasonality _),
     "q_events_xcorr" -> (qEventsXcorr _),
@@ -2442,6 +2484,30 @@ object Events {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_events_power" -> {
+      val nsVals = PowerNs.map(n => s"(CAST($n AS BIGINT))").mkString(", ")
+      // same exact moment sums, same shared z literal, same mirrored
+      // IEEE close sequence
+      s"""WITH b AS (
+         |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, COUNT(*) AS n_obs,
+         |    SUM(CAST(v AS HUGEINT)) AS s1,
+         |    SUM(CAST(v AS HUGEINT) * v) AS s2
+         |  FROM b GROUP BY 1),
+         |ns(n_arm) AS (VALUES $nsVals)
+         |SELECT event_type, n_arm, n_obs,
+         |  CASE WHEN n_obs > 1 THEN
+         |    ROUND($PowerZSum * SQRT(
+         |      ((CAST(s2 AS DOUBLE) -
+         |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_obs) /
+         |        (n_obs - 1)) * 2.0 / n_arm) /
+         |      (CAST(s1 AS DOUBLE) / n_obs) * 100.0, 6)
+         |  END AS mde_pct
+         |FROM m CROSS JOIN ns
+         |ORDER BY event_type, n_arm""".stripMargin
+    },
     "q_events_attribution_markov" -> markovOracle,
     "q_events_twap" ->
       // same integer-cents values, integer epoch-day boundary, exact

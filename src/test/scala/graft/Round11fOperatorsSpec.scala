@@ -318,4 +318,24 @@ class Round11fOperatorsSpec extends SparkSpec {
     assert(out("de") == ((20L, 0.0)), out.toString)
     assert(out("fr")._1 == 20L && out("fr")._2 > 0.0, out.toString)
   }
+
+  test("power sweep: MDE matches the closed-form formula on planted moments") {
+    import spark.implicits._
+    // values {1.00, 3.00, 1.00, 3.00}: mean 200 c, sample var 40000/3
+    val rows = Seq(1.0, 3.0, 1.0, 3.0).zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, ts(base + i * 60), 1L, "view", v)
+    }
+    val dir = Files.createTempDirectory("graft_pw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Events.qEventsPower(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val z = graft.queries.Events.PowerZSum
+    val (mean, vr) = (800.0 / 4, (200000.0 - 800.0 * 800.0 / 4) / 3)
+    graft.queries.Events.PowerNs.foreach { n =>
+      val want = BigDecimal(z * math.sqrt(vr * 2.0 / n) / mean * 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(n) == want, s"n=$n: ${out(n)} != $want")
+    }
+  }
 }
