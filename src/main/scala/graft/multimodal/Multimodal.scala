@@ -78,42 +78,70 @@ object Multimodal {
     }
   }
 
-  case class MediaHash(
+  case class MediaPHash(
       media_id: Long,
       modality: String,
       n_bytes: Int,
-      phash: Long)
+      ahash: Long,
+      dhash: Long)
 
-  /** AVERAGE-HASH perceptual fingerprint (the aHash family: bit i set
-    * iff component i sits strictly above the mean) over the stub
-    * decoder's 8-bin byte histogram — the real algorithm on the stub
-    * feature, so the hash survives byte-order-preserving perturbations
-    * (any permutation of the payload hashes identically, the stand-in
-    * for "same image, different encoder run"). INTEGER-EXACT: bit i is
-    * `8·h[i] > n` — no float mean, so the oracle reproduces every bit
-    * from character counts alone. */
-  def phashStub(rec: MediaRecord): MediaHash = {
-    val bytes = rec.payload
-    val hist = new Array[Int](8)
-    var i = 0
-    while (i < bytes.length) {
-      hist((bytes(i) & 0xff) % 8) += 1
-      i += 1
+  /** Planted-image dimensions: 16×16 → 2×2 blocks under the 8×8 hash
+    * grid. */
+  val BmpDim: Int = 16
+
+  /** Deterministic planted grayscale pixels for doc `d` — the
+    * driver-planted image corpus the BMP pipeline runs on. Class
+    * structure: 7 pixel-pattern classes keyed by d % 7 (the affine
+    * ramp base*i + 3x + 5y mod 256 — nonlinear enough across classes
+    * that all 7 aHashes are distinct), and a +1 single-pixel jitter on
+    * half of each class (d % 14 ≥ 7) that perturbs the payload md5 but
+    * provably flips no aHash bit (block margins ≥ 256 against a ±1
+    * change; spec-pinned per class) — the "same image, different
+    * encoder run" near-dup the perceptual hash exists to catch. Pure
+    * integer arithmetic, so the oracle replants identical pixels. */
+  def plantedPixels(d: Long): Array[Int] = {
+    val base = (d % 7) * 17 + 1
+    val pix = Array.tabulate(BmpDim * BmpDim) { i =>
+      val x = i % BmpDim
+      val y = i / BmpDim
+      ((base * i + 3 * x + 5 * y) % 256).toInt
     }
-    var ph = 0L
-    var b = 0
-    while (b < 8) {
-      if (8L * hist(b) > bytes.length) ph |= (1L << b)
-      b += 1
+    if (d % 14 >= 7) {
+      val j = 3 * BmpDim + 5
+      pix(j) = (pix(j) + 1) % 256
     }
-    MediaHash(rec.media_id, rec.modality, bytes.length, ph)
+    pix
   }
 
-  /** Perceptual hashing as the same typed per-partition pipeline shape
-    * as extractFeatures. */
-  def perceptualHash(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+  /** Media table with REAL 24-bpp BMP payloads: each document plants a
+    * deterministic 16×16 grayscale image, encoded through the real
+    * codec — so everything downstream (decode, hash, dedup) operates
+    * on genuine image bytes with headers, bottom-up rows and padding,
+    * not on a stand-in. Same typed mapPartitions shape as the other
+    * media stages. */
+  def bmpMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(phashStub))
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { d =>
+        val modality =
+          if (d % 3 == 0) "image" else if (d % 3 == 1) "audio" else "video"
+        MediaRecord(d, modality, Bmp.encodeGray(BmpDim, BmpDim, plantedPixels(d)),
+          BmpDim, BmpDim, "bmp")
+      }
+    }
+  }
+
+  /** REAL perceptual hashing: decode the BMP payload (header parse,
+    * bottom-up rows, padding), then aHash + dHash over the decoded
+    * pixels — the typed per-partition pipeline a production image
+    * pipeline runs, with codec init amortized per partition. */
+  def perceptualHashBmp(spark: SparkSession, media: DataFrame): Dataset[MediaPHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { rec =>
+      val img = Bmp.decodeGray(rec.payload)
+      MediaPHash(rec.media_id, rec.modality, rec.payload.length,
+        Bmp.aHash(img), Bmp.dHash(img))
+    })
   }
 
   /** STUB resize: a real pipeline decodes + bilinear-resamples the

@@ -431,6 +431,128 @@ object Maintain {
       .agg(sum(col("n")).as("n"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** The grid-percentile levels read off the histogram synopses, in
+    * integer percent (shared with the oracle generator). */
+  val QuantileRollupPcts: Seq[Int] = Seq(50, 95, 99)
+
+  /** DAILY histogram synopsis — q_incremental_hist's maintained view
+    * with the day key kept: per (event_type, day, bucket) counts on
+    * the shared Events.HistLo/HistHi/HistBuckets grid. A few KB per
+    * day per type — the persisted state a lake keeps beside the raw
+    * data. */
+  def dailyValueHist(events: DataFrame): DataFrame = {
+    val w = (graft.queries.Events.HistHi - graft.queries.Events.HistLo) /
+      graft.queries.Events.HistBuckets
+    events.where(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        least(greatest(
+          floor((col("value") - lit(graft.queries.Events.HistLo)) / lit(w))
+            .cast("long"), lit(0L)),
+          lit(graft.queries.Events.HistBuckets - 1L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** MERGEABLE QUANTILE-SYNOPSIS ROLLUP — the percentile half of the
+    * synopsis family (q_sketch_rollup covers distinct counts with KMV;
+    * this covers quantiles with fixed-grid histograms): weekly
+    * p50/p95/p99 of event value per type re-aggregated FROM THE DAILY
+    * HISTOGRAM SYNOPSES, never from raw data. Bucket counts are a
+    * commutative monoid, so the weekly histogram is EXACTLY the sum of
+    * its days' synopses and the grid percentile read off the rollup
+    * equals the read off a direct one-pass weekly histogram —
+    * spec-proven, not approximate-on-approximate. At 100 TB: any
+    * later week/month/year percentile is a few-KB synopsis union, and
+    * a backfill touches only the affected days' rows of the view.
+    * The percentile read is percentile_disc ON THE GRID: the smallest
+    * bucket whose cumulative count reaches ceil(p·n/100), reported as
+    * the bucket's lower bound — all-integer (100·cum ≥ p·n), so the
+    * oracle matches bit-for-bit. The cum window is bounded by the
+    * 25-bucket grid per (type, week), never by data volume; the
+    * closing min-bucket reads are conditional MINs in ONE aggregate
+    * that reuses the window's partitioning (zero extra exchange). */
+  def qQuantileRollup(s: SparkSession, d: String): DataFrame = {
+    val wGrid = (graft.queries.Events.HistHi - graft.queries.Events.HistLo) /
+      graft.queries.Events.HistBuckets
+    val daily = dailyValueHist(Tables.events(s, d))
+    val weekly = daily
+      .groupBy(col("event_type"),
+        date_trunc("week", col("day")).cast("date").as("week"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val byWeek = Window.partitionBy(col("event_type"), col("week"))
+    val cumW = byWeek.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pctCols = QuantileRollupPcts.map { p =>
+      min(when(col("cum") * 100L >= lit(p.toLong) * col("total"),
+        (lit(graft.queries.Events.HistLo) +
+          col("bucket") * lit(wGrid)).cast("long"))).as(s"p$p")
+    }
+    weekly
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("total", sum(col("n")).over(byWeek))
+      .groupBy(col("event_type"), col("week"))
+      .agg(max(col("total")).as("n_events"), pctCols: _*)
+      .select(col("event_type") +: col("week") +: col("n_events") +:
+        QuantileRollupPcts.map(p => col(s"p$p")): _*)
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  /** Day cutoff for the partition-pruning audit — reads 6 of the
+    * corpus's 30 days at every SF. */
+  val PruneCutoffDay: String = "2024-01-25"
+
+  /** Scratch root for queries that exercise a write-then-read path.
+    * Inside the repo's build dir (never the read-only testdata), keyed
+    * by the source dir so sf0.01 and sf0.1 runs don't collide;
+    * overwrite mode keeps bench re-runs idempotent. */
+  private[graft] def scratchDir(tag: String, d: String): String =
+    new java.io.File(s"target/scratch/${tag}_" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+
+  /** HIVE-PARTITION PRUNING END-TO-END — the most common real-lake
+    * read-path optimization, exercised against a real written layout
+    * (q_zonemap_prune audits row-group stats arithmetic; this query
+    * writes day-partitioned parquet, reads it back with a day
+    * predicate, and reports the scan's OWN file-index numbers): events
+    * are written `partitionBy("day")` with one file per day (the
+    * upstream repartition puts each day in exactly one task, so the
+    * 30-day corpus lays out as 30 files — deterministic, which is what
+    * makes the measured counts oracle-checkable; a production-sized
+    * table uses Sources.writeParquetSized's range-clustered sizing
+    * instead, spec-covered in SourcesSpec), then read back filtered to
+    * `day >= PruneCutoffDay`. n_files_read comes from the physical
+    * scan's post-pruning file listing (FileSourceScanLike
+    * .selectedPartitions — driver-side metadata, bounded by
+    * |partitions|) and n_files_total from the unfiltered file index,
+    * so the 6-of-30 answer is the scan's, not an assumption;
+    * PartitionPruneSpec additionally asserts the partitionFilters are
+    * present and the pruned listing shrank. At 100 TB the same
+    * predicate skips the same 80% of the table at the METADATA level —
+    * zero data tasks ever launch for pruned days. */
+  def qPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val scratch = scratchDir("partition_prune", d)
+    val ev = Tables.events(s, d)
+      .where(col("ts").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    graft.sources.Sources.writeParquet(
+      ev.repartition(col("day")), scratch, partitionBy = Seq("day"))
+    val pruned = s.read.parquet(scratch)
+      .where(col("day") >= lit(PruneCutoffDay).cast("date"))
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanLike => f }
+      .getOrElse(sys.error("q_partition_prune: no file scan in plan"))
+    val filesRead = scan.selectedPartitions.totalNumberOfFiles
+    val filesTotal = scan.relation.location.inputFiles.length.toLong
+    pruned
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("day"), col("n_events"), col("sum_cents"),
+        lit(filesRead).as("n_files_read"),
+        lit(filesTotal).as("n_files_total"))
+      .orderBy(col("day"))
+  }
+
   /** The apply core: merge `batch` (events schema) into `hist` (a
     * qScd2History output). */
   def scd2Apply(hist: DataFrame, batch: DataFrame): DataFrame = {
@@ -1058,6 +1180,8 @@ object Maintain {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_incremental_hist" -> (qIncrementalHist _),
     "q_incremental_topk" -> (qIncrementalTopk _),
+    "q_quantile_rollup" -> (qQuantileRollup _),
+    "q_partition_prune" -> (qPartitionPrune _),
     "q_events_enrich" -> (qEventsEnrich _),
     "q_quality_audit" -> (qQualityAudit _))
 
@@ -1512,6 +1636,50 @@ object Maintain {
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "q_quantile_rollup" -> {
+      val lo = graft.queries.Events.HistLo
+      val k = graft.queries.Events.HistBuckets
+      val w = (graft.queries.Events.HistHi - lo) / k
+      val pctSel = QuantileRollupPcts.map(p =>
+        s"""MIN(CASE WHEN cum * 100 >= $p * total
+           |    THEN CAST($lo + bucket * $w AS BIGINT) END) AS p$p""".stripMargin)
+        .mkString(",\n  ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    LEAST(GREATEST(CAST(FLOOR((value - $lo) / $w) AS BIGINT), 0),
+         |      ${k - 1}) AS bucket,
+         |    COUNT(*) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |weekly AS (
+         |  SELECT event_type, CAST(DATE_TRUNC('week', day) AS DATE) AS week,
+         |    bucket, SUM(n) AS n
+         |  FROM daily GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT event_type, week, bucket, n,
+         |    SUM(n) OVER (PARTITION BY event_type, week
+         |      ORDER BY bucket) AS cum,
+         |    SUM(n) OVER (PARTITION BY event_type, week) AS total
+         |  FROM weekly)
+         |SELECT event_type, week, CAST(MAX(total) AS BIGINT) AS n_events,
+         |  $pctSel
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q_partition_prune" ->
+      s"""WITH f AS (
+         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS sum_cents
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         |t AS (
+         |  SELECT COUNT(*) AS n_total,
+         |    SUM(CASE WHEN day >= DATE '$PruneCutoffDay' THEN 1 ELSE 0 END)
+         |      AS n_read
+         |  FROM f)
+         |SELECT f.day, f.n_events, f.sum_cents,
+         |  CAST(t.n_read AS BIGINT) AS n_files_read,
+         |  CAST(t.n_total AS BIGINT) AS n_files_total
+         |FROM f, t WHERE f.day >= DATE '$PruneCutoffDay'
+         |ORDER BY f.day""".stripMargin,
     "q_incremental_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  COUNT(*) AS n_events,

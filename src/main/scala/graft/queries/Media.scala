@@ -72,27 +72,36 @@ object Media {
       .orderBy(col("media_id"))
   }
 
-  /** PERCEPTUAL-HASH near-dup — the aHash shape real image dedup runs
-    * (exact-match on a content-derived fingerprint, NOT pairwise
-    * similarity): each record's average-hash over the stub decoder's
-    * byte histogram, grouped per (modality, phash). Unlike the exact
-    * dedup's md5 groups, a phash bucket is NOT bounded (every solid-
-    * color image shares one hash — the boilerplate-chunk problem), so
-    * the canonical pick is a min AGGREGATE + join-back (map-side
-    * partials, no per-group sort task), never a window over the hash.
-    * Only (id, modality, 8-byte hash) shuffles; payload bytes stay at
-    * the scan. Superset property spec-asserted: byte-identical
-    * payloads always share a phash group. */
+  /** PERCEPTUAL-HASH near-dup over REAL decoded pixels — the aHash
+    * shape real image dedup runs (exact-match on a content-derived
+    * fingerprint, NOT pairwise similarity): every document plants a
+    * deterministic 16×16 grayscale image ENCODED AS A REAL 24-bpp BMP
+    * (headers, bottom-up rows, 4-byte row padding), the pipeline
+    * DECODES those bytes with the real codec (multimodal.Bmp) and
+    * computes aHash + dHash over the decoded pixels, then groups per
+    * (modality, ahash). The planted corpus has 7 pixel classes plus a
+    * single-pixel jitter on half of each class: the jitter changes the
+    * payload bytes (and so the exact-dedup md5) but no aHash bit —
+    * exactly the "same image, re-encoded" near-dup a perceptual hash
+    * exists to catch, spec-pinned in BmpSpec. Unlike the exact dedup's
+    * md5 groups, a phash bucket is NOT bounded (every solid-color
+    * image shares one hash — the boilerplate-chunk problem), so the
+    * canonical pick is a min AGGREGATE + join-back (map-side partials,
+    * no per-group sort task), never a window over the hash. Only (id,
+    * modality, two 8-byte hashes) shuffles; payload bytes stay at the
+    * decode stage. The oracle replants the same pixels arithmetically
+    * and reconstructs both hashes bit-for-bit (signed bit-63 via
+    * two's-complement summation). */
   def qMediaPhashDedup(s: SparkSession, d: String): DataFrame = {
-    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-    val hashes = Multimodal.perceptualHash(s, media).toDF()
-    val canon = hashes.groupBy(col("modality"), col("phash"))
+    val media = Multimodal.bmpMediaFromDocuments(s, Tables.documents(s, d))
+    val hashes = Multimodal.perceptualHashBmp(s, media.toDF()).toDF()
+    val canon = hashes.groupBy(col("modality"), col("ahash"))
       .agg(min(col("media_id")).as("canonical_id"),
         count(lit(1)).as("n_members"))
-    hashes.join(canon, Seq("modality", "phash"))
+    hashes.join(canon, Seq("modality", "ahash"))
       .select(col("media_id"), col("modality"),
-        col("n_bytes").cast("long").as("n_bytes"), col("phash"),
-        col("canonical_id"),
+        col("n_bytes").cast("long").as("n_bytes"), col("ahash"),
+        col("dhash"), col("canonical_id"),
         (col("media_id") === col("canonical_id")).as("is_canonical"),
         col("n_members"))
       .orderBy(col("media_id"))
@@ -105,35 +114,66 @@ object Media {
     "q_media_phash_dedup" -> (qMediaPhashDedup _))
 
   def oracles: Map[String, String] = Map(
-    // the corpus is pure ASCII, so char counts == byte counts and the
-    // 8-bin histogram rebuilds from UNICODE(ch) % 8; bit i of the
-    // average hash is the integer test 8·h_i > n_bytes
-    "q_media_phash_dedup" ->
-      """WITH chars AS (
-        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch
-        |  FROM documents),
-        |hist AS (
-        |  SELECT doc_id, UNICODE(ch) % 8 AS b, COUNT(*) AS h
-        |  FROM chars GROUP BY 1, 2),
-        |ph AS (
-        |  SELECT d.doc_id AS media_id,
-        |    CASE WHEN d.doc_id % 3 = 0 THEN 'image'
-        |      WHEN d.doc_id % 3 = 1 THEN 'audio'
-        |      ELSE 'video' END AS modality,
-        |    CAST(LENGTH(d.text) AS BIGINT) AS n_bytes,
-        |    CAST(COALESCE(SUM(CASE WHEN 8 * h.h > LENGTH(d.text)
-        |      THEN 1 << h.b END), 0) AS BIGINT) AS phash
-        |  FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
-        |  GROUP BY 1, 2, 3),
-        |canon AS (
-        |  SELECT modality, phash, MIN(media_id) AS canonical_id,
-        |    COUNT(*) AS n_members
-        |  FROM ph GROUP BY 1, 2)
-        |SELECT p.media_id, p.modality, p.n_bytes, p.phash,
-        |  c.canonical_id, p.media_id = c.canonical_id AS is_canonical,
-        |  c.n_members
-        |FROM ph p JOIN canon c USING (modality, phash)
-        |ORDER BY p.media_id""".stripMargin,
+    // replant the pixel arithmetic (pure integers), rebuild block sums
+    // on the 8x8 grid (2x2 blocks of the 16x16 image), and reconstruct
+    // both hashes; the Spark side instead ENCODES these pixels as a
+    // real BMP and DECODES the bytes back — agreement proves the codec
+    // round-trips exactly. Signed bit 63 rebuilds via two's-complement
+    // summation (-2^63 weight). n_bytes is the BMP's encoded size:
+    // 54-byte headers + 16 rows x 48-byte stride = 822.
+    "q_media_phash_dedup" -> {
+      val dim = graft.multimodal.Multimodal.BmpDim
+      val nBytes = graft.multimodal.Bmp.encodedSize(dim, dim)
+      val jitterIdx = 3 * dim + 5
+      s"""WITH px AS (
+         |  SELECT d.doc_id, i.i,
+         |    (((d.doc_id % 7) * 17 + 1) * i.i
+         |      + 3 * (i.i % $dim) + 5 * (i.i // $dim)) % 256
+         |      + CASE WHEN d.doc_id % 14 >= 7 AND i.i = $jitterIdx
+         |        THEN 1 ELSE 0 END AS p0
+         |  FROM documents d,
+         |    (SELECT UNNEST(GENERATE_SERIES(0, ${dim * dim - 1})) AS i) i),
+         |pxm AS (SELECT doc_id, i, p0 % 256 AS p FROM px),
+         |blk AS (
+         |  SELECT doc_id,
+         |    (i // ${2 * dim}) * 8 + (i % $dim) // 2 AS b,
+         |    SUM(p) AS s
+         |  FROM pxm GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, SUM(p) AS total FROM pxm GROUP BY 1),
+         |dn AS (
+         |  SELECT doc_id, b, s,
+         |    LEAD(s) OVER (PARTITION BY doc_id, b // 8 ORDER BY b) AS s_next
+         |  FROM blk),
+         |ph AS (
+         |  SELECT blk.doc_id AS media_id,
+         |    CAST(COALESCE(SUM(CASE WHEN 64 * blk.s > tot.total THEN
+         |      CASE WHEN blk.b = 63 THEN -9223372036854775807 - 1
+         |        ELSE 1::BIGINT << blk.b END ELSE 0 END), 0) AS BIGINT)
+         |      AS ahash
+         |  FROM blk JOIN tot USING (doc_id) GROUP BY 1),
+         |dh AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(COALESCE(SUM(CASE WHEN b % 8 < 7 AND s_next > s
+         |      THEN 1::BIGINT << ((b // 8) * 7 + b % 8) ELSE 0 END), 0)
+         |      AS BIGINT) AS dhash
+         |  FROM dn GROUP BY 1),
+         |m AS (
+         |  SELECT ph.media_id,
+         |    CASE WHEN ph.media_id % 3 = 0 THEN 'image'
+         |      WHEN ph.media_id % 3 = 1 THEN 'audio'
+         |      ELSE 'video' END AS modality,
+         |    CAST($nBytes AS BIGINT) AS n_bytes, ph.ahash, dh.dhash
+         |  FROM ph JOIN dh USING (media_id)),
+         |canon AS (
+         |  SELECT modality, ahash, MIN(media_id) AS canonical_id,
+         |    COUNT(*) AS n_members
+         |  FROM m GROUP BY 1, 2)
+         |SELECT m.media_id, m.modality, m.n_bytes, m.ahash, m.dhash,
+         |  c.canonical_id, m.media_id = c.canonical_id AS is_canonical,
+         |  c.n_members
+         |FROM m JOIN canon c USING (modality, ahash)
+         |ORDER BY m.media_id""".stripMargin
+    },
     // payload = the utf-8 text bytes, so MD5(text) IS the payload hash
     "q_multimodal_dedup" ->
       """WITH m AS (

@@ -244,6 +244,73 @@ object Text {
     decided.unionByName(onBoundary).orderBy(col("doc_id"))
   }
 
+  /** Per-source document cap for q_corpus_cap. */
+  val CorpusCapPerSource: Int = 20
+
+  /** The cap core over a (doc_id, source, quality, n_toks) table —
+    * split out so the spec can plant a source that exceeds the cap.
+    * Selection runs on the bounded-heap TopK aggregate (map-side
+    * combinable: each task surfaces at most `cap` candidates per
+    * source, so only |sources|·cap rows reach the shuffle), NEVER a
+    * per-source rank window, which would sort every document of a
+    * dominant crawl domain into one task. The heap's (value DESC,
+    * id ASC) total order must reproduce the oracle's ORDER BY quality
+    * DESC, doc_id ASC, so both keys pack into ONE exact double:
+    * quality is 6-dp-rounded, so round(quality·10⁶) is an exact
+    * integer ≤ 2²⁰, and with doc_id < 2²⁴ the pack
+    * q_ppm·2²⁴ + (2²⁴−1−doc_id) stays below 2⁴⁵ — exactly
+    * representable. Mixture shares close on the truncating integer-ppm
+    * grid with the numerator widened through DECIMAL(38,0) (the
+    * q_pareto discipline — a 100 TB corpus's token count overflows
+    * ppm-scaled BIGINT). */
+  def corpusCap(scored: DataFrame, cap: Int): DataFrame = {
+    val topk = graft.operators.TopK.topk(cap)
+    val ranked = scored.withColumn("rank_v",
+      (round(col("quality") * 1000000L).cast("long") * lit(1L << 24) +
+        (lit((1L << 24) - 1) - col("doc_id"))).cast("double"))
+    val kept = ranked
+      .groupBy(col("source"))
+      .agg(topk(col("rank_v"), col("doc_id")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id").as("doc_id"), lit(1L).as("is_kept"))
+    val per = scored
+      .join(broadcast(kept), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_kept"), lit(0L))).as("n_kept"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_kept").isNotNull, col("n_toks")).otherwise(0L))
+          .as("n_tokens_kept"))
+    val tot = per.agg(sum(col("n_tokens")).as("t_pre"),
+      sum(col("n_tokens_kept")).as("t_post"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("n_tokens"), col("n_tokens_kept"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div t_pre")
+          .as("share_pre_ppm"),
+        expr("CAST(n_tokens_kept AS DECIMAL(38,0)) * 1000000 div t_post")
+          .as("share_post_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** PER-SOURCE CONTRIBUTION CAP — the C4/RefinedWeb "no domain
+    * dominates" curation step the per-document filters can't express:
+    * each source keeps at most CorpusCapPerSource documents, selected
+    * by quality (quality DESC, doc_id ASC — the q_text_quality
+    * backbone's score), and the report shows what the cap did to the
+    * mixture: per source, docs/tokens before and after, dropped
+    * count, and the corpus share in ppm pre vs post. On this corpus's
+    * uniform 20-source layout every source caps equally; on a real
+    * crawl the head domain's share collapses toward the cap while
+    * tail sources grow proportionally. */
+  def qCorpusCap(s: SparkSession, d: String): DataFrame =
+    corpusCap(
+      scoredDocs(s, d).join(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id")),
+      CorpusCapPerSource)
+
   /** Marker-word language ID (NOT the `lang` label — the heuristic).
     * The CASE chain references `greatest(hits…)` per language, but the
     * hits are aggregated int columns here, so the re-inlined expansion
@@ -1130,6 +1197,7 @@ object Text {
     "q_text_quality" -> (qTextQuality _),
     "q_quality_sweep" -> (qQualitySweep _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_corpus_cap" -> (qCorpusCap _),
     "q_text_langid" -> (qTextLangid _),
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_nb_langid" -> (qNbLangid _),
@@ -1778,6 +1846,34 @@ object Text {
          |SELECT doc_id, quality, quality >= 0.5 AS keep
          |FROM qsc ORDER BY doc_id""".stripMargin,
     "q_quality_sweep" -> qualitySweepOracle,
+    "q_corpus_cap" -> {
+      val n = CorpusCapPerSource
+      s"""WITH $scoredQualityCte,
+         |sc AS (
+         |  SELECT q.doc_id, d.source, q.quality, q.n_toks,
+         |    ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality DESC, q.doc_id) AS rk
+         |  FROM qsc q JOIN documents d USING (doc_id)),
+         |per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN rk <= $n THEN 1 ELSE 0 END) AS n_kept,
+         |    SUM(n_toks) AS n_tokens,
+         |    SUM(CASE WHEN rk <= $n THEN n_toks ELSE 0 END) AS n_tokens_kept
+         |  FROM sc GROUP BY source),
+         |tot AS (
+         |  SELECT SUM(n_tokens) AS t_pre, SUM(n_tokens_kept) AS t_post
+         |  FROM per)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(n_docs - n_kept AS BIGINT) AS n_dropped,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens_kept AS BIGINT) AS n_tokens_kept,
+         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // t_pre AS BIGINT)
+         |    AS share_pre_ppm,
+         |  CAST(CAST(n_tokens_kept AS HUGEINT) * 1000000 // t_post AS BIGINT)
+         |    AS share_post_ppm
+         |FROM per, tot ORDER BY source""".stripMargin
+    },
     "q_token_budget" ->
       s"""WITH $scoredQualityCte,
          |tot AS (SELECT SUM(n_toks) // 2 AS budget FROM qsc),

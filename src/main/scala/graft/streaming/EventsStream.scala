@@ -234,6 +234,30 @@ object EventsStream {
         col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of queries.Events.qSessionNative (the 20th twin):
+    * gap sessions on Spark's native session_window STATE with a real
+    * watermark — adjacent windows within the gap MERGE in the session
+    * state store as events arrive in any order, and APPEND mode emits
+    * a session only once the watermark proves nothing can extend it.
+    * Output schema matches the batch query exactly: one row per
+    * finalized session with integer-μs bounds, s_end_us = last event's
+    * time (window.end − gap). The 600 s merge boundary is INCLUSIVE
+    * (599 s and exactly-600 s gaps merge, 601 s splits) — identical to
+    * the batch sessionizer's strict-> split rule, spec-asserted under
+    * out-of-order arrival in StreamingSpec. */
+  def sessionNativeStream(events: DataFrame, gapSeconds: Long = 600L,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("s_start_us"),
+        (unix_micros(col("sw.end")) - lit(gapSeconds * 1000000L))
+          .as("s_end_us"),
+        col("n_events"))
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * held in explicit GroupState — the API for state machines that
     * windowed aggregation can't express (per-key counters, custom

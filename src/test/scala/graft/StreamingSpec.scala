@@ -97,6 +97,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 3, "expected 3 sessions (2 for user 1)")
   }
 
+  test("streaming session twin: append-mode finalized sessions equal batch " +
+    "under out-of-order arrival, 599/600/601 boundary pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000L
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // gap fixtures: user 1 -> 599 s (merges), user 2 -> exactly 600 s
+    // (merges — the INCLUSIVE boundary), user 3 -> 601 s (splits)
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventsStream.sessionNativeStream(
+      stream.toDF().toDF("user_id", "ts", "value"),
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("session_native_out")
+      .outputMode("append").start()
+    try {
+      // OUT OF ORDER: each user's later event lands a batch before (or
+      // after) its earlier one; all inside the 1 h watermark
+      stream.addData((1L, ts(t0 + 599), 0.0), (3L, ts(t0 + 601), 0.0),
+        (2L, ts(t0), 0.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts(t0), 0.0), (2L, ts(t0 + 600), 0.0),
+        (3L, ts(t0), 0.0))
+      q.processAllAvailable()
+      // sentinel advances the watermark past every session end so the
+      // store evicts + emits; a second batch carries the eviction out
+      stream.addData((99L, ts(t0 + 7200), 0.0))
+      q.processAllAvailable()
+      stream.addData((99L, ts(t0 + 7201), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_native_out")
+      .where(col("user_id") =!= 99L)
+      .orderBy("user_id", "s_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val us = 1000000L
+    assert(streamed.toSeq == Seq(
+      (1L, t0 * us, (t0 + 599) * us, 2L),
+      (2L, t0 * us, (t0 + 600) * us, 2L),
+      (3L, t0 * us, t0 * us, 1L),
+      (3L, (t0 + 601) * us, (t0 + 601) * us, 1L)), streamed.mkString(";"))
+    // and the batch sessionizer (q_session_native, itself oracle-equal
+    // to the lag-CTE sessionizer) agrees row-for-row on the same events
+    val dir = java.nio.file.Files.createTempDirectory("graft_snstream").toString
+    Seq((1L, ts(t0 + 599), 1L, "view", 0.0), (3L, ts(t0 + 601), 2L, "view", 0.0),
+      (2L, ts(t0), 3L, "view", 0.0), (1L, ts(t0), 4L, "view", 0.0),
+      (2L, ts(t0 + 600), 5L, "view", 0.0), (3L, ts(t0), 6L, "view", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Events.qSessionNative(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq == streamed.toSeq,
+      s"batch ${batch.mkString(";")} vs streamed ${streamed.mkString(";")}")
+  }
+
   test("stream-stream interval join attributes clicks to purchases") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
