@@ -158,6 +158,51 @@ object Bmp {
     bits
   }
 
+  /** REAL resize over decoded pixels. Integer-exact kernels so results
+    * are reproducible bit-for-bit across engines and runs: BOX-MEAN
+    * (floor) when both dimensions divide evenly — the standard
+    * antialiased downsample; NEAREST-NEIGHBOR index mapping
+    * (src = floor(dst·srcDim/dstDim)) otherwise. */
+  def resizeGray(img: GrayImage, w2: Int, h2: Int): GrayImage = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    val out = new Array[Int](w2 * h2)
+    if (img.width % w2 == 0 && img.height % h2 == 0) {
+      val bw = img.width / w2
+      val bh = img.height / h2
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var s = 0
+          var dy = 0
+          while (dy < bh) {
+            var dx = 0
+            while (dx < bw) {
+              s += img.pix((y * bh + dy) * img.width + (x * bw + dx))
+              dx += 1
+            }
+            dy += 1
+          }
+          out(y * w2 + x) = s / (bw * bh)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h2) {
+        val sy = y * img.height / h2
+        var x = 0
+        while (x < w2) {
+          out(y * w2 + x) = img.pix(sy * img.width + (x * img.width / w2))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    GrayImage(w2, h2, out)
+  }
+
   /** 8×8 grid of block pixel sums + the global sum. */
   private def blockSums(img: GrayImage): (Array[Long], Long) = {
     require(img.width % 8 == 0 && img.height % 8 == 0,

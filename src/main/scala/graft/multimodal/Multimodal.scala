@@ -144,6 +144,23 @@ object Multimodal {
     })
   }
 
+  /** REAL resize for BMP payloads: decode → integer-exact resample
+    * (box-mean downsample / nearest-neighbor otherwise, Bmp.resizeGray)
+    * → re-encode, as the same typed per-partition pipeline — the
+    * resize stage of a production image pipeline running on genuinely
+    * decoded pixels (BmpSpec pins the kernel against hand-computed
+    * block means). The generic `resizeStub` below remains the
+    * metadata-only path for the codecs absent in this environment. */
+  def resizeBmp(
+      spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { rec =>
+      val img = Bmp.resizeGray(Bmp.decodeGray(rec.payload), w, h)
+      rec.copy(payload = Bmp.encodeGray(w, h, img.pix),
+        width = w, height = h, codec = rec.codec)
+    })
+  }
+
   /** STUB resize: a real pipeline decodes + bilinear-resamples the
     * image here. The stub scales the metadata and re-tags the codec —
     * deterministic, so the plumbing (schema in = schema out, per-

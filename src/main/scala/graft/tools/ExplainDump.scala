@@ -291,7 +291,25 @@ object ExplainDump {
       "week — raw data read once, rollup mergeable forever"),
     "q_events_attribution_markov" -> ("journey windows on user " +
       "partitioning + ONE transition aggregate; 5 removal variants x " +
-      "8 unrolled ppm rounds iterate on the checkpointed tiny matrix"))
+      "8 unrolled ppm rounds iterate on the checkpointed tiny matrix"),
+    "q_quantile_rollup" -> ("quantile-synopsis rollup: daily grid " +
+      "histogram aggregate (map-side partials) → weekly synopsis-sum " +
+      "aggregate; cum window bounded by the 25-bucket grid per " +
+      "(type, week); the closing conditional-MIN aggregate reuses the " +
+      "window's partitioning — raw values are scanned exactly once"),
+    "q_corpus_cap" -> ("per-source cap: bounded TopKAggregator " +
+      "ObjectHashAggregate (≤ cap candidates per source per task " +
+      "reach the shuffle — never a per-source rank window); kept ids " +
+      "broadcast back; mixture totals via a provably-1-row broadcast " +
+      "cross"),
+    "q_partition_prune" -> ("hive-partition pruning: the read-back " +
+      "scan carries PartitionFilters (day >= cutoff) — pruned days " +
+      "never become tasks; PushedFilters empty because the predicate " +
+      "resolves at the METADATA level"),
+    "q_media_phash_dedup" -> ("BMP perceptual dedup: typed " +
+      "mapPartitions plant→encode→decode→hash chain (codec init " +
+      "amortized per partition), then min-aggregate + join-back on " +
+      "(modality, ahash) — no window over the unbounded hash groups"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

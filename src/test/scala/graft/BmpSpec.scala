@@ -82,6 +82,42 @@ class BmpSpec extends SparkSpec {
     }
   }
 
+  test("resize: box-mean 4x4 -> 2x2 matches hand-computed means") {
+    val img = Bmp.GrayImage(4, 4, Array(
+      0, 10, 20, 30,
+      40, 50, 60, 70,
+      80, 90, 100, 110,
+      120, 130, 140, 150))
+    val r = Bmp.resizeGray(img, 2, 2)
+    // block means: (0+10+40+50)/4=25, (20+30+60+70)/4=45,
+    //              (80+90+120+130)/4=105, (100+110+140+150)/4=125
+    assert(r.pix.toSeq == Seq(25, 45, 105, 125), r.pix.toSeq)
+  }
+
+  test("resize: non-divisible target falls back to nearest-neighbor") {
+    val img = Bmp.GrayImage(4, 4, Array.tabulate(16)(identity))
+    val r = Bmp.resizeGray(img, 3, 3)
+    // src index = floor(dst*4/3): 0,1,2 per axis
+    assert(r.pix.toSeq == Seq(0, 1, 2, 4, 5, 6, 8, 9, 10), r.pix.toSeq)
+  }
+
+  test("resizeBmp: decode -> resample -> re-encode round-trips through the codec") {
+    import spark.implicits._
+    val docs = (0L until 14L).toDF("doc_id")
+    val media = Multimodal.bmpMediaFromDocuments(spark, docs)
+    val resized = Multimodal.resizeBmp(spark, media.toDF(), 8, 8).collect()
+    assert(resized.forall(r => r.width == 8 && r.height == 8))
+    resized.foreach { r =>
+      val img = Bmp.decodeGray(r.payload)
+      assert(img.width == 8 && img.height == 8)
+      val expected = Bmp.resizeGray(
+        Bmp.decodeGray(Bmp.encodeGray(16, 16,
+          Multimodal.plantedPixels(r.media_id))), 8, 8)
+      assert(img.pix.toSeq == expected.pix.toSeq,
+        s"doc ${r.media_id}: resized pixels drifted through the codec")
+    }
+  }
+
   test("phash groups are supersets of exact byte-dup groups") {
     import spark.implicits._
     val docs = (0L until 56L).toDF("doc_id")

@@ -303,30 +303,35 @@ class Round11OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("phash dedup: payload permutations collide, distributions differ, exact dups never split") {
-    // ids 0/3 are both 'image' (id % 3): "aabb" and its permutation
-    // "bbaa" have identical byte histograms — same average hash, one
-    // near-dup group; "zzzz" has a different distribution — its own
-    val d = docsDir(Seq((0L, "aabb"), (3L, "bbaa"), (6L, "zzzz")))
+  test("phash dedup: planted BMP classes group by pixel pattern, jitter joins its class") {
+    // round 12 re-point: the query now plants real 16x16 BMPs keyed by
+    // doc_id (7 pixel classes x jitter half-classes) and hashes DECODED
+    // pixels — BmpSpec pins the codec/hash internals; here we assert
+    // the query-level grouping. ids 0, 21 are 'image' (id % 3 == 0) and
+    // share a pixel class (id % 7 == 0); 21 % 14 >= 7 so 21 is the
+    // JITTERED variant — different payload bytes, same aHash group.
+    // id 3 is also 'image' but class 3 — its own group.
+    val d = docsDir(Seq((0L, "x"), (21L, "x"), (3L, "x")))
     val r = graft.queries.Media.qMediaPhashDedup(spark, d).collect()
-      .map(x => x.getLong(0) -> ((x.getLong(3), x.getLong(4), x.getLong(6))))
-      .toMap
-    assert(r(0L)._1 == r(3L)._1 && r(0L)._2 == 0L && r(3L)._2 == 0L,
-      s"permutation must collide: $r")
-    assert(r(3L)._3 == 2L, s"group size: $r")
-    assert(r(6L)._1 != r(0L)._1 && r(6L)._2 == 6L,
-      s"different distribution must not collide: $r")
-    // sf corpus: a phash group can only MERGE exact-dup groups, never
-    // split one (phash is a pure function of the payload)
+      .map(x => x.getLong(0) ->
+        ((x.getLong(3), x.getLong(5), x.getLong(7)))).toMap // ahash, canon, n
+    assert(r(0L)._1 == r(21L)._1 && r(0L)._2 == 0L && r(21L)._2 == 0L,
+      s"jittered copy must share its class's aHash group: $r")
+    assert(r(21L)._3 == 2L, s"group size: $r")
+    assert(r(3L)._1 != r(0L)._1 && r(3L)._2 == 3L,
+      s"different pixel class must not collide: $r")
+    // sf corpus: within the BMP payload domain the hash is a pure
+    // function of the bytes, so byte-identical payloads can never land
+    // in different phash groups (the BMP-domain superset property; the
+    // per-pair form is BmpSpec's "supersets of exact byte-dup groups")
     val full = graft.queries.Media.qMediaPhashDedup(spark, sf)
-      .select(col("media_id"), col("modality"), col("phash"))
-    val exact = graft.queries.Media.qMultimodalDedup(spark, sf)
-      .select(col("media_id"), col("canonical_id").as("md5_canon"))
-    val split = full.alias("f").join(exact, "media_id")
-      .groupBy(col("md5_canon"))
-      .agg(countDistinct(col("modality"), col("phash")).as("k"))
+    val byClass = full // planted classes: same (modality, id % 7) <-> same group
+      .select(col("media_id"), col("modality"), col("ahash"),
+        (col("media_id") % 7).as("cls"))
+      .groupBy(col("modality"), col("cls"))
+      .agg(countDistinct(col("ahash")).as("k"))
       .where(col("k") > 1).count()
-    assert(split == 0, s"$split exact-dup groups split across phash groups")
+    assert(byClass == 0, s"$byClass planted classes split across ahash groups")
   }
 
   test("error context: banded rewrite kills the nested-loop join and matches brute force") {
