@@ -94,16 +94,33 @@ object Graph {
       .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
       .select(
         when(aLower, col("pa")).otherwise(col("pb")).as("u"),
-        when(aLower, col("pb")).otherwise(col("pa")).as("v"),
-        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+        when(aLower, col("pb")).otherwise(col("pa")).as("v"))
       .localCheckpoint()
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") &&
-          (col("e1.dv") < col("e2.dv") ||
-            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
-      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
-    val closed = wedges
-      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // Closed wedges by ADJACENCY-LIST INTERSECTION, not a wedge
+    // self-join (round 12, after the measured 30×/100× scale runs): a
+    // triangle {u,x,y} in orientation order is u→x, u→y, x→y, and the
+    // closure edge x→y EXISTS only when (deg,id) orders x before y —
+    // so closed = {(u,x,y) : x ∈ N⁺(u), y ∈ N⁺(u) ∩ N⁺(x)}, i.e. one
+    // sorted-array intersection per oriented edge. The old form
+    // materialized every oriented wedge (Σ outdeg² rows — 72M at
+    // sf0.1, 2.2B at 30×, where its two sort-merge passes hit the
+    // single-box spill-disk ceiling at 100×) through TWO shuffles;
+    // this form shuffles each out-neighbor array once per incident
+    // edge (the same asymptotic bytes — wedge work is wedge work) but
+    // never SORTS wedge rows and never re-shuffles them for the
+    // closure probe: the intersection closes edge-locally and explode
+    // emits exactly the |triangles| surviving rows. Out-arrays are
+    // bounded by the orientation's O(√m) out-degree cap (222-degree
+    // max here), the same guarantee the wedge join relied on.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      // inner join: an edge whose head has no out-neighbors closes
+      // nothing, exactly as it produced no closure match before
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v").as("x"),
+        explode(array_intersect(col("nu"), col("nv"))).as("y"))
     (edges, deg, closed)
   }
 

@@ -20,9 +20,13 @@ object ScaleBench {
     val names = args(2).split(",").toSeq
     val passes = if (args.length > 3) args(3).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions scale with DATA, not cores, on a big derived SF — the
+    // spill-aware sizing every real deployment does (SURVEY §4); defaults
+    // to cores for parity with Bench at sf0.1
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

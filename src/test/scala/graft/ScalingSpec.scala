@@ -84,6 +84,24 @@ class ScalingSpec extends SparkSpec {
       s"kcore shuffle grew ${ratio}x on ~13x edges ($small -> $big)")
   }
 
+  test("triangle census shuffle grows linearly with the edge volume") {
+    // degree-ordered orientation bounds every wedge center's fan-out;
+    // the round-12 100x wall-time run hit the SINGLE BOX's free-disk
+    // ceiling on this query's (linearly grown) spill volume — this
+    // gate is the evidence that the growth is volume, not a quadratic:
+    // shuffle records must track edges, never edge pairs
+    val small = shuffleRecordsOf(
+      graft.queries.Graph.qGraphTriangles(spark, sfSmall))
+    val big = shuffleRecordsOf(
+      graft.queries.Graph.qGraphTriangles(spark, sfBig))
+    assert(small > 0, "listener captured nothing")
+    val ratio = big.toDouble / small
+    // same ~13x edge growth + headroom budget as the kcore gate; an
+    // |E|^2 wedge explosion would be ~169x
+    assert(ratio < 40.0,
+      s"triangles shuffle grew ${ratio}x on ~13x edges ($small -> $big)")
+  }
+
   test("paths trigram shuffle grows linearly with the event volume") {
     // one user-partitioned window over the fact plus a |types|³-
     // bounded count table — shuffle ∝ events, never sequences²
