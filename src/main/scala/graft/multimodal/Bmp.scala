@@ -97,6 +97,11 @@ object Bmp {
     val compression = getI32(bytes, 30)
     require(bpp == 24, s"only 24-bpp BMP supported, got $bpp")
     require(compression == 0, s"only uncompressed BMP supported, got $compression")
+    require(width > 0 && rawHeight != 0,
+      s"BMP dimensions out of range: ${width}x$rawHeight")
+    require(dataOffset >= FileHeaderSize + InfoHeaderSize &&
+      dataOffset <= bytes.length,
+      s"BMP data offset out of range: $dataOffset of ${bytes.length} bytes")
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     val stride = rowStride(width)

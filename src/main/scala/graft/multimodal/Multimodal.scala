@@ -198,4 +198,71 @@ object Multimodal {
       if (r.modality == "video") frameSampleStub(r, stride) else r
     })
   }
+
+  // ------------------------------------------------------------- audio
+
+  /** Planted-audio sample rate (kept low so the corpus stays small). */
+  val WavRate: Int = 8000
+
+  /** Deterministic planted PCM-16 samples for doc `d` — the audio
+    * analog of [[plantedPixels]]. Layout: every 5th doc is STEREO
+    * (interleaved frames), the rest mono; 64 + 2·(d % 32) total
+    * samples (always even, so stereo frame counts stay integral);
+    * sample i = ((d%7+1)·7919·i + d%997) mod 2¹⁶ − 2¹⁵ — the
+    * multiplier wraps the 16-bit range several times per clip, so
+    * every class has real sign crossings. Pure integer arithmetic,
+    * replanted verbatim by the DuckDB oracle. */
+  def plantedSamples(d: Long): Array[Short] = {
+    val a = (d % 7 + 1) * 7919L
+    val b = d % 997
+    val n = (64 + 2 * (d % 32)).toInt
+    Array.tabulate(n)(i => (((a * i + b) % 65536L) - 32768L).toShort)
+  }
+
+  def plantedChannels(d: Long): Int = if (d % 5 == 0) 2 else 1
+
+  /** Media table with REAL WAV payloads: each document plants a
+    * deterministic PCM-16 clip encoded through the real codec
+    * (RIFF/fmt/data chunks, little-endian interleaved samples) — the
+    * audio twin of [[bmpMediaFromDocuments]]. width carries channels,
+    * height the total sample count. */
+  def wavMediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { d =>
+        val samples = plantedSamples(d)
+        MediaRecord(d, "audio",
+          Wav.encodePcm16(WavRate, plantedChannels(d), samples),
+          plantedChannels(d), samples.length, "wav")
+      }
+    }
+  }
+
+  final case class MediaAudioFeatures(
+      media_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      n_bytes: Int,
+      n_samples: Int,
+      duration_ms: Long,
+      peak: Long,
+      energy: Long,
+      zero_cross: Long,
+      rms: Double)
+
+  /** REAL audio feature extraction: decode the WAV payload (chunk
+    * walk, PCM-16 validation, channel interleave) and compute the
+    * signal features — typed per-partition pipeline, codec init
+    * amortized per partition, only (id, small feature row) leaves the
+    * decode stage; payload bytes never shuffle. */
+  def audioFeaturesWav(spark: SparkSession, media: DataFrame): Dataset[MediaAudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { rec =>
+      val audio = Wav.decodePcm16(rec.payload)
+      val f = Wav.features(audio)
+      MediaAudioFeatures(rec.media_id, f.channels, f.sampleRate,
+        rec.payload.length, f.nSamples, f.durationMs, f.peak, f.energy,
+        f.zeroCross, f.rms)
+    })
+  }
 }

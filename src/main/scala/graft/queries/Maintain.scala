@@ -503,10 +503,14 @@ object Maintain {
   /** Scratch root for queries that exercise a write-then-read path.
     * Inside the repo's build dir (never the read-only testdata), keyed
     * by the source dir so sf0.01 and sf0.1 runs don't collide;
-    * overwrite mode keeps bench re-runs idempotent. */
+    * overwrite mode keeps bench re-runs idempotent. A hash of the RAW
+    * path rides along so two dirs that sanitize to the same name
+    * (/a/sf0.1 vs /a_sf0.1) stay injective (ADVICE r12 item 4). */
   private[graft] def scratchDir(tag: String, d: String): String =
     new java.io.File(s"target/scratch/${tag}_" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      (scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
+        .toHexString).getAbsolutePath
 
   /** HIVE-PARTITION PRUNING END-TO-END — the most common real-lake
     * read-path optimization, exercised against a real written layout

@@ -107,13 +107,91 @@ object Media {
       .orderBy(col("media_id"))
   }
 
+  /** REAL AUDIO FEATURE EXTRACTION over REAL WAV bytes (round 13 —
+    * the second genuinely-decoded modality, after round 12's BMP):
+    * every document plants a deterministic PCM-16 clip (every 5th doc
+    * stereo) ENCODED AS A REAL RIFF/WAVE FILE, the pipeline DECODES
+    * those bytes with the real chunk-walking codec (multimodal.Wav)
+    * and computes the signal features a training-data audio filter
+    * runs — duration, peak amplitude, energy, zero-crossing rate, RMS
+    * level (the silence / clipped-clip screens). Every feature is
+    * integer-exact (peak/energy/zero-cross as longs; duration by
+    * integer floor division) except rms = one ÷ + one √, both
+    * correctly-rounded IEEE ops, closed with round-6dp at the query
+    * layer in both engines. The oracle replants the same samples
+    * arithmetically ((d%7+1)·7919·i + d%997 mod 2¹⁶ − 2¹⁵) and
+    * reconstructs every column — agreement proves the WAV encode →
+    * decode → interleave round-trip is byte-exact. At 100 TB: decode
+    * runs next to the scan in a typed mapPartitions (codec init per
+    * partition), only the ~70-byte feature row ever shuffles, never
+    * payload bytes. */
+  def qAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.wavMediaFromDocuments(s, Tables.documents(s, d))
+    Multimodal.audioFeaturesWav(s, media.toDF()).toDF()
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("n_samples").cast("long").as("n_samples"),
+        col("duration_ms"), col("peak"), col("energy"), col("zero_cross"),
+        round(col("rms"), 6).as("rms"))
+      .orderBy(col("media_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_pipeline" -> (qMultimodalPipeline _),
     "q_multimodal_dedup" -> (qMultimodalDedup _),
-    "q_media_phash_dedup" -> (qMediaPhashDedup _))
+    "q_media_phash_dedup" -> (qMediaPhashDedup _),
+    "q_audio_features" -> (qAudioFeatures _))
 
   def oracles: Map[String, String] = Map(
+    // replant the PCM samples arithmetically and rebuild every feature;
+    // the Spark side instead ENCODES them as a real WAV and DECODES the
+    // bytes back — agreement proves the RIFF round-trip byte-exact.
+    // zero crossings are channel-0 only (i % ch = 0), strict sign
+    // product; n_bytes = 44-byte canonical header + 2 bytes/sample.
+    "q_audio_features" -> {
+      val rate = graft.multimodal.Multimodal.WavRate
+      s"""WITH par AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS ch,
+         |    64 + 2 * (doc_id % 32) AS n,
+         |    (doc_id % 7 + 1) * 7919 AS a,
+         |    doc_id % 997 AS b
+         |  FROM documents),
+         |smp AS (
+         |  SELECT doc_id, ch, n,
+         |    UNNEST(GENERATE_SERIES(0, n - 1)) AS i, a, b
+         |  FROM par),
+         |sv AS (
+         |  SELECT doc_id, ch, n, i,
+         |    (a * i + b) % 65536 - 32768 AS s
+         |  FROM smp),
+         |agg AS (
+         |  SELECT doc_id, MAX(ch) AS ch, MAX(n) AS n,
+         |    MAX(ABS(s)) AS peak, SUM(s * s) AS energy
+         |  FROM sv GROUP BY 1),
+         |c0 AS (
+         |  SELECT doc_id, s,
+         |    LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         |  FROM sv WHERE i % ch = 0),
+         |zc AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END), 0)
+         |      AS zero_cross
+         |  FROM c0 GROUP BY 1)
+         |SELECT a.doc_id AS media_id,
+         |  CAST(a.ch AS INT) AS channels,
+         |  CAST($rate AS INT) AS sample_rate,
+         |  CAST(44 + 2 * a.n AS BIGINT) AS n_bytes,
+         |  CAST(a.n AS BIGINT) AS n_samples,
+         |  CAST((a.n // a.ch) * 1000 // $rate AS BIGINT) AS duration_ms,
+         |  CAST(a.peak AS BIGINT) AS peak,
+         |  CAST(a.energy AS BIGINT) AS energy,
+         |  CAST(zc.zero_cross AS BIGINT) AS zero_cross,
+         |  ROUND(SQRT(CAST(a.energy AS DOUBLE) / a.n), 6) AS rms
+         |FROM agg a JOIN zc USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin
+    },
     // replant the pixel arithmetic (pure integers), rebuild block sums
     // on the 8x8 grid (2x2 blocks of the 16x16 image), and reconstruct
     // both hashes; the Spark side instead ENCODES these pixels as a

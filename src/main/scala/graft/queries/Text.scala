@@ -254,20 +254,20 @@ object Text {
     * source, so only |sources|·cap rows reach the shuffle), NEVER a
     * per-source rank window, which would sort every document of a
     * dominant crawl domain into one task. The heap's (value DESC,
-    * id ASC) total order must reproduce the oracle's ORDER BY quality
-    * DESC, doc_id ASC, so both keys pack into ONE exact double:
-    * quality is 6-dp-rounded, so round(quality·10⁶) is an exact
-    * integer ≤ 2²⁰, and with doc_id < 2²⁴ the pack
-    * q_ppm·2²⁴ + (2²⁴−1−doc_id) stays below 2⁴⁵ — exactly
-    * representable. Mixture shares close on the truncating integer-ppm
-    * grid with the numerator widened through DECIMAL(38,0) (the
-    * q_pareto discipline — a 100 TB corpus's token count overflows
-    * ppm-scaled BIGINT). */
+    * id ASC) total order IS the oracle's ORDER BY quality DESC,
+    * doc_id ASC, so quality goes in as the value and doc_id as the
+    * id — no packing. Quality is 6-dp-rounded, so round(quality·10⁶)
+    * is an exact integer ≤ 2²⁰, exactly representable as the heap's
+    * double value with NO ceiling on doc_id (the r12 pack silently
+    * corrupted the keep set once doc_id ≥ 2²⁴ — any ≥2× ScaleGen
+    * copy; ADVICE r12 item 2). Mixture shares close on the
+    * truncating integer-ppm grid with the numerator widened through
+    * DECIMAL(38,0) (the q_pareto discipline — a 100 TB corpus's
+    * token count overflows ppm-scaled BIGINT). */
   def corpusCap(scored: DataFrame, cap: Int): DataFrame = {
     val topk = graft.operators.TopK.topk(cap)
     val ranked = scored.withColumn("rank_v",
-      (round(col("quality") * 1000000L).cast("long") * lit(1L << 24) +
-        (lit((1L << 24) - 1) - col("doc_id"))).cast("double"))
+      round(col("quality") * 1000000L).cast("double"))
     val kept = ranked
       .groupBy(col("source"))
       .agg(topk(col("rank_v"), col("doc_id")).as("top"))

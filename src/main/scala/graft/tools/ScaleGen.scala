@@ -78,10 +78,50 @@ object ScaleGen {
     (0 until factor).map(copyK(name, base, _)).reduce(_.unionByName(_))
   }
 
+  /** SKEW MODE (round 13; VERDICT r12 item 1): the uniform key-offset
+    * union replicates the source's key-frequency distribution, so no
+    * measured point exercised a HOT KEY — the single most common way
+    * real 100 TB jobs die. Skewify plants one: every `every`-th row
+    * (deterministic, by row identity mod `every` — 5% at the default
+    * 20) has its grouping/join key remapped to copy-0's key 1, which
+    * exists in every dimension copy, so referential integrity holds
+    * while one user owns 5% of all events, one customer 5% of all
+    * orders, and one part 5% of all lineitems. That is the shape that
+    * breaks per-key windows (one task gets 5% of the table) and
+    * un-mitigated shuffle joins (one reducer gets the hot key's whole
+    * build side). Results CHANGE vs the uniform derivation by design —
+    * the skewed dir is for wall-time measurement and for oracle runs
+    * against ITS OWN DuckDB answers, never for cross-checking against
+    * uniform-run output. */
+  def skewify(name: String, df: DataFrame, every: Int): DataFrame = {
+    def remap(d: DataFrame, idCol: String, keyCol: String): DataFrame =
+      d.withColumn(keyCol,
+        when(pmod(col(idCol), lit(every)) === lit(every - 1), lit(1L))
+          .otherwise(col(keyCol))
+          .cast(d.schema(keyCol).dataType))
+    name match {
+      case "events" => remap(df, "event_id", "user_id")
+      case "orders" => remap(df, "o_orderkey", "o_custkey")
+      case "lineitem" =>
+        remap(remap(df, "l_orderkey", "l_partkey"), "l_orderkey", "l_suppkey")
+      case "documents" =>
+        // one dominant crawl domain: 5% of docs collapse onto copy-0's
+        // first source value (a constant string, no key arithmetic)
+        df.withColumn("source",
+          when(pmod(col("doc_id"), lit(every)) === lit(every - 1),
+            lit("src0")).otherwise(col("source")))
+      case _ => df
+    }
+  }
+
+  /** Hot-row share denominator for skew mode: 1/20 = 5%. */
+  val SkewEvery: Int = 20
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    val skew = args.length > 3 && args(3) == "--skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,9 +131,11 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.all.foreach { t =>
-      replicate(spark, src, t, factor)
+      val df = replicate(spark, src, t, factor)
+      (if (skew) skewify(t, df, SkewEvery) else df)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scalegen] wrote $out/$t.parquet x$factor")
+      println(s"[scalegen] wrote $out/$t.parquet x$factor" +
+        (if (skew) s" skew(1/$SkewEvery)" else ""))
     }
     spark.stop()
   }
