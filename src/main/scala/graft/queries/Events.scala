@@ -1629,16 +1629,8 @@ object Events {
   /** MARKETING ATTRIBUTION (first-touch / last-touch): every purchase
     * tagged with the first and last 'click' in its user's trailing
     * 72-hour lookback, plus the click count — the table a
-    * multi-touch-attribution model trains on. ONE user-partitioned
-    * RANGE window over event time does all three measures (min / max /
-    * count of the click timestamps inside [t−72h, t]); range frames
-    * include timestamp peers on both engines, and min/max/count are
-    * order-insensitive within the frame, so ties cost nothing. The
-    * purchase filter happens AFTER the window but the window is
-    * computed over every event row once — at 100 TB this is the
-    * sessionize shuffle shape (hash by user_id, sort by time), no
-    * joins, no self-join lookback; NULL first/last = organic purchase
-    * (no click in window). */
+    * multi-touch-attribution model trains on. NULL first/last =
+    * organic purchase (no click in window). */
   def qEventsAttribution(s: SparkSession, d: String): DataFrame =
     attributionOver(
       Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))))
@@ -1646,18 +1638,91 @@ object Events {
 
   /** The attribution core over any frame with (event_id, user_id,
     * event_type, ts_us) — split out so the streaming twin's
-    * equivalence spec can run it on a planted frame. */
+    * equivalence spec can run it on a planted frame.
+    *
+    * REWRITTEN round 13 after the skewed-scale curve caught the
+    * original plan (ONE user-partitioned RANGE window computing
+    * min/max/count of click timestamps in [t−72h, t]) at 3.0× wall
+    * under a 5% hot user: Spark evaluates sliding min/max frames by
+    * RE-AGGREGATING the frame per row (no inverse for min/max), so the
+    * hot task pays O(n_hot · frame_rows) — quadratic in the hot key's
+    * share, the classic window-skew death. The replacement is the
+    * slidingRangeSum union-merge discipline, O(n log n) with
+    * streaming-frame windows only and NO bounded frame anywhere:
+    *
+    *   1. each purchase contributes TWO probe rows into a per-user
+    *      merge with the clicks: one at t−72h (tag 0, sorting BEFORE
+    *      equal-key clicks → its running click count is the
+    *      strictly-before count, so the inclusive window boundary is
+    *      exact) and one at t (tag 2, sorting AFTER equal-key clicks →
+    *      the count includes ts-peers, matching RANGE-frame peer
+    *      semantics);
+    *   2. one shuffle by user and two sorts evaluate three STREAMING
+    *      frames: a forward running click count and running max
+    *      click-ts (unboundedPreceding→current), and the "next click"
+    *      as a running min over the REVERSED sort order — also
+    *      unboundedPreceding→current, because Spark's
+    *      unbounded-FOLLOWING frame re-aggregates [current, end] per
+    *      row (O(n²) on a hot key; measured 16 s vs 1.3 s on this
+    *      very query before the reversal). No bounded or following
+    *      frame ever re-aggregates; the second sort reuses the first
+    *      shuffle's partitioning;
+    *   3. per purchase: n = cnt(hi) − cnt(lo); first click in window
+    *      = the lo probe's NEXT click ts (in window whenever n > 0);
+    *      last = the hi probe's running-max click ts (same masking).
+    *      A single hash aggregate on p_id pivots the two probe rows —
+    *      no join anywhere in the plan.
+    *
+    * Measured at 10× data with a 5% hot user: the hot task does
+    * n log n sort work instead of n·frame re-aggregation; wall time
+    * returns to parity with the uniform dataset (3.6 → ~1.3 s) and
+    * the uniform time is unchanged. Identical output — the oracle and
+    * the streaming-equivalence spec are untouched. */
   def attributionOver(ev: DataFrame): DataFrame = {
-    val look = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      .rangeBetween(-AttrWindowUs, Window.currentRow)
-    val clickTs = when(col("event_type") === "click", col("ts_us"))
-    ev
-      .withColumn("first_click_us", min(clickTs).over(look))
-      .withColumn("last_click_us", max(clickTs).over(look))
-      .withColumn("n_clicks_win", count(clickTs).over(look))
-      .where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("first_click_us"), col("last_click_us"), col("n_clicks_win"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("_k"), lit(1).as("_tag"),
+        lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("p_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val loProbe = purchases.select(col("user_id"),
+      (col("ts_us") - lit(AttrWindowUs)).as("_k"), lit(0).as("_tag"),
+      col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    val hiProbe = purchases.select(col("user_id"), col("ts_us").as("_k"),
+      lit(2).as("_tag"), col("event_id").as("p_id"),
+      col("ts_us").as("p_ts"))
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("_k"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reverse order: running min over (k desc, tag desc) = min over
+    // rows at-or-after (k, tag) in the forward order. Equal-key rows:
+    // clicks (tag 1) sort before a lo probe (tag 0) in reverse, so the
+    // inclusive window-start boundary is preserved; equal-key peers of
+    // the same tag are all probes (clickK null) — order among them
+    // cannot change the min.
+    val rev = Window.partitionBy(col("user_id"))
+      .orderBy(col("_k").desc, col("_tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickK = when(col("_tag") === 1, col("_k"))
+    clicks.unionByName(loProbe).unionByName(hiProbe)
+      .withColumn("_pc",
+        sum(when(col("_tag") === 1, 1L).otherwise(0L)).over(fwd))
+      .withColumn("_runmax", max(clickK).over(fwd))
+      .withColumn("_next", min(clickK).over(rev))
+      .where(col("_tag") =!= 1)
+      .groupBy(col("p_id"))
+      .agg(
+        max(col("user_id")).as("user_id"),
+        max(col("p_ts")).as("_ts_us"),
+        (max(when(col("_tag") === 2, col("_pc"))) -
+          max(when(col("_tag") === 0, col("_pc")))).as("n_clicks_win"),
+        max(when(col("_tag") === 0, col("_next"))).as("_first"),
+        max(when(col("_tag") === 2, col("_runmax"))).as("_last"))
+      .select(col("p_id").as("event_id"), col("user_id"),
+        col("_ts_us").as("ts_us"),
+        when(col("n_clicks_win") > 0, col("_first")).as("first_click_us"),
+        when(col("n_clicks_win") > 0, col("_last")).as("last_click_us"),
+        col("n_clicks_win"))
   }
 
   /** LINEAR MULTI-TOUCH CREDIT — the model half of the attribution
@@ -1667,10 +1732,17 @@ object Events {
     * media-mix budget reads). EXACT BY CONSTRUCTION: click i of n gets
     * the telescoped share ⌊10⁶·i/n⌋ − ⌊10⁶·(i−1)/n⌋ — integers only,
     * per-purchase shares sum to 10⁶ identically, no remainder
-    * special-case. Joins are user-equi with the lookback as residual
-    * (the enrich shape — shuffles on user_id, never a cross join);
-    * the per-purchase rank window is bounded by clicks-per-72 h.
-    * Clicks that never converted report zeros via the left join-back. */
+    * special-case. The credit join is banded-equi on
+    * (user_id, 72 h-time-bin) — round 13: user-only equi keying let a
+    * hot user's every (purchase, click) pair through the sort-merge
+    * enumeration before the lookback residual filtered them (measured
+    * 2.3× wall under a 5% hot user); with the purchase side expanded
+    * to its two candidate bins (a click in [t−72h, t] sits in exactly
+    * one of bin(t), bin(t)−1 — never both, so no dedup needed) the
+    * join enumerates only a 2×-window slice per key while the hot
+    * user's rows spread across all their time bins. The per-purchase
+    * rank window stays bounded by clicks-per-72 h. Clicks that never
+    * converted report zeros via the left join-back. */
   def qEventsAttributionCredit(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
@@ -1682,7 +1754,12 @@ object Events {
         col("ts_us").as("c_ts"))
     val byPurchase = Window.partitionBy(col("p_id"))
       .orderBy(col("c_ts"), col("c_id"))
-    val credited = purchases.join(clicks, Seq("user_id"))
+    val pBanded = purchases.withColumn("_bin",
+      explode(array(expr(s"p_ts div ${AttrWindowUs}L") - 1L,
+        expr(s"p_ts div ${AttrWindowUs}L"))))
+    val cBanded = clicks.withColumn("_bin",
+      expr(s"c_ts div ${AttrWindowUs}L"))
+    val credited = pBanded.join(cBanded, Seq("user_id", "_bin"))
       .where(col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - lit(AttrWindowUs))
       .withColumn("rn", row_number().over(byPurchase))

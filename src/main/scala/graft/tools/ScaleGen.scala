@@ -103,7 +103,17 @@ object ScaleGen {
       case "events" => remap(df, "event_id", "user_id")
       case "orders" => remap(df, "o_orderkey", "o_custkey")
       case "lineitem" =>
-        remap(remap(df, "l_orderkey", "l_partkey"), "l_orderkey", "l_suppkey")
+        // the hot flag derives from the ORIGINAL orderkey once, then all
+        // three FK columns remap together: order 1 / part 1 / supplier 1
+        // each own 5% of all lineitems (PK columns never remap — a
+        // duplicated dimension key would turn joins into cross products)
+        Seq("l_orderkey", "l_partkey", "l_suppkey").foldLeft(
+          df.withColumn("_hot",
+            pmod(col("l_orderkey"), lit(every)) === lit(every - 1))) {
+          (d, c) =>
+            d.withColumn(c, when(col("_hot"), lit(1L)).otherwise(col(c))
+              .cast(d.schema(c).dataType))
+        }.drop("_hot")
       case "documents" =>
         // one dominant crawl domain: 5% of docs collapse onto copy-0's
         // first source value (a constant string, no key arithmetic)

@@ -102,8 +102,11 @@ def main(sf_dir, out_dir, only=None):
     out = Path(out_dir)
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).is_dir():  # ScaleGen-derived dirs are multi-part
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((out / "oracle_sql.json").read_text())
     names = sorted(oracle)
     if only:
