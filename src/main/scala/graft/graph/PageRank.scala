@@ -22,17 +22,31 @@ import org.apache.spark.sql.functions._
   * production graph engine.
   *
   * Engine portability (what lets q_graph_pagerank carry a full
-  * hash-checked oracle): per-edge contributions are computed in double
-  * (IEEE division is bit-identical cross-engine), ROUNDed to 12 dp and
-  * SUMmed as DECIMAL(28,12) — exact and order-independent — then each
-  * new rank is re-rounded to 12 dp. Every iteration is therefore
-  * bit-identical across partitionings AND engines; the oracle SQL is
-  * GENERATED from the same constants (queries.Graph).
+  * hash-checked oracle): rank state is an INTEGER in pico-units
+  * (1e-12 of total mass) and every step is floor division — per-edge
+  * contribution rp div deg, damped close (85·Σ) div 100 + teleport
+  * 15·10¹⁰ div n — so each iteration is EXACT integer arithmetic,
+  * identical across partitionings and engines with no rounding grid
+  * anywhere. (Round 13: the previous discipline — double ops ROUNDed
+  * to 12 dp per iteration — was knife-edged: Spark's and DuckDB's
+  * ROUND(double) can differ by 1 ulp when a value lands within an ulp
+  * of the half boundary, and the 10× correctness gate caught exactly
+  * one node doing so after 10⁶ roundings. Floor of an exact integer
+  * quotient has no boundary to disagree on.) The final 8-dp rank is
+  * a half-up integer rescale, (rp + 5000) div 10⁴, closed by one
+  * exact double division by 1e8; the oracle SQL is GENERATED from the
+  * same constants (queries.Graph).
   */
 object PageRank {
 
   val Damping = 0.85
   val DefaultIters = 3
+
+  /** Rank-mass unit: 10¹² pico-units = total probability 1. */
+  val Pico = 1000000000000L
+
+  /** Teleport mass per node in pico-units: (1 − 0.85) · 10¹². */
+  val TeleportPico = 150000000000L
 
   /** Ranks after `iters` fixed iterations on the UNDIRECTED graph of
     * `edges` (each input edge contributes both directions; duplicate
@@ -72,25 +86,23 @@ object PageRank {
     // node count as a broadcast 1-row aggregate — no driver action
     val nn = deg.agg(count(lit(1)).as("n"))
     val nodes = deg.select(col("src").as("node"), col("sdeg").as("deg"))
-    def snap(c: Column): Column = round(c, 12).cast("decimal(28,12)")
     var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"),
-        snap(lit(1.0) / col("n").cast("double")).as("r"))
+      .select(col("node"), expr(s"${Pico}L div n").as("rp"))
     for (_ <- 1 to iters) {
       ranks = e
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst").as("node"),
-          snap(col("r").cast("double") / col("sdeg")).as("c"))
+        .join(ranks.select(col("node").as("src"), col("rp")), "src")
+        .select(col("dst").as("node"), expr("rp div sdeg").as("c"))
         .groupBy(col("node"))
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(col("c")).as("sp"))
         .crossJoin(broadcast(nn))
         .select(col("node"),
-          snap(lit(1.0 - Damping) / col("n").cast("double") +
-            lit(Damping) * col("s").cast("double")).as("r"))
+          (expr(s"${TeleportPico}L div n") +
+            expr("(85L * sp) div 100")).as("rp"))
     }
     ranks.join(nodes, "node")
       .select(col("node"), col("deg"),
-        round(col("r").cast("double"), 8).as("rank"))
+        (expr("(rp + 5000L) div 10000").cast("double") / lit(1e8))
+          .as("rank"))
   }
 
   /** Checkpointed variant for deep iteration counts: the degree-
@@ -119,24 +131,22 @@ object PageRank {
     val nodes = e.groupBy(col("src")).agg(first(col("sdeg")).as("deg"))
       .select(col("src").as("node"), col("deg"))
     val nn = e.agg(countDistinct(col("src")).as("n"))
-    def snap(c: Column): Column = round(c, 12).cast("decimal(28,12)")
     var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("node"),
-        snap(lit(1.0) / col("n").cast("double")).as("r"))
+      .select(col("node"), expr(s"${Pico}L div n").as("rp"))
     for (_ <- 1 to iters) {
       ranks = e
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst").as("node"),
-          snap(col("r").cast("double") / col("sdeg")).as("c"))
+        .join(ranks.select(col("node").as("src"), col("rp")), "src")
+        .select(col("dst").as("node"), expr("rp div sdeg").as("c"))
         .groupBy(col("node"))
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(col("c")).as("sp"))
         .crossJoin(broadcast(nn))
         .select(col("node"),
-          snap(lit(1.0 - Damping) / col("n").cast("double") +
-            lit(Damping) * col("s").cast("double")).as("r"))
+          (expr(s"${TeleportPico}L div n") +
+            expr("(85L * sp) div 100")).as("rp"))
     }
     ranks.join(nodes, "node")
       .select(col("node"), col("deg"),
-        round(col("r").cast("double"), 8).as("rank"))
+        (expr("(rp + 5000L) div 10000").cast("double") / lit(1e8))
+          .as("rank"))
   }
 }
