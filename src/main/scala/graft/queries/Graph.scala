@@ -599,23 +599,30 @@ object Graph {
     "q_graph_clustering" -> (qGraphClustering _),
     "q_graph_common_neighbors" -> (qGraphCommonNeighbors _))
 
-  /** DuckDB twin GENERATED from PageRank's constants: the same
-    * damping, iteration count, and double-round-12 → DECIMAL(28,12)
-    * quantization, unrolled once per iteration so the two engines run
-    * literally the same arithmetic. */
+  /** DuckDB twin GENERATED from PageRank's constants, in the SAME
+    * integer pico-unit discipline as graph/PageRank.scala (round 13
+    * engine rewrite): rank state is a BIGINT in 1e-12 units, every
+    * step is floor division on positive integers (DuckDB `//` ==
+    * Spark `div` for positive operands), unrolled once per iteration
+    * so the two engines run literally the same arithmetic — seed
+    * Pico // n, per-edge contribution rp // deg, damped close
+    * (TeleportPico // n) + (dampNum·Σ) // 100, final half-up rescale
+    * (rp + 5000) // 10000 closed by one exact double division by 1e8.
+    * No ROUND, no DECIMAL quantization grid anywhere: floor of an
+    * exact integer quotient has no half-boundary to disagree on. */
   private def pagerankOracle: String = {
-    val d = PageRank.Damping
     val iters = PageRank.DefaultIters
+    val pico = PageRank.Pico
+    val tele = PageRank.TeleportPico
+    val dampNum = math.round(PageRank.Damping * 100) // 85
     def iterBlock(i: Int): String = {
       val prev = s"r${i - 1}"
       s"""c$i AS (
-         |  SELECT e.dst AS node,
-         |    SUM(CAST(ROUND(CAST(p.r AS DOUBLE) / p.deg, 12) AS DECIMAL(28,12))) AS s
+         |  SELECT e.dst AS node, SUM(p.rp // p.deg) AS sp
          |  FROM e JOIN $prev p ON e.src = p.node GROUP BY 1),
          |r$i AS (
          |  SELECT deg.node, deg.deg, nn.n,
-         |    CAST(ROUND(${1.0 - d} / nn.n + $d * CAST(c$i.s AS DOUBLE), 12)
-         |      AS DECIMAL(28,12)) AS r
+         |    ($tele // nn.n) + (($dampNum * c$i.sp) // 100) AS rp
          |  FROM deg JOIN c$i ON deg.node = c$i.node CROSS JOIN nn),""".stripMargin
     }
     val blocks = (1 to iters).map(iterBlock).mkString("\n")
@@ -629,11 +636,11 @@ object Graph {
        |  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM deg),
        |r0 AS (
-       |  SELECT node, deg, nn.n,
-       |    CAST(ROUND(1.0 / nn.n, 12) AS DECIMAL(28,12)) AS r
+       |  SELECT node, deg, nn.n, $pico // nn.n AS rp
        |  FROM deg CROSS JOIN nn),
        |$blocks
-       |fin AS (SELECT node, deg, ROUND(CAST(r AS DOUBLE), 8) AS rank
+       |fin AS (SELECT node, deg,
+       |          CAST((rp + 5000) // 10000 AS DOUBLE) / 1e8 AS rank
        |        FROM r$iters)
        |SELECT node, deg, rank FROM fin ORDER BY node""".stripMargin
   }

@@ -39,4 +39,21 @@ class GraphSpec extends SparkSpec {
     // leaves are symmetric → identical ranks
     assert((2L to 5L).forall(l => r(l) == r(1L)), s"leaf asymmetry: $r")
   }
+
+  test("pagerank oracle runs the engine's integer pico arithmetic") {
+    // round-14 contract pin: the generated DuckDB oracle must embed
+    // the SAME constants as graph/PageRank.scala and use only integer
+    // floor division — no double ROUND grid, no DECIMAL quantization
+    // (the round-13 drift this guards against: VERDICT r13 item 1)
+    val o = graft.queries.Graph.oracles("q_graph_pagerank")
+    assert(o.contains(s"${PageRank.Pico} // nn.n"),
+      "oracle missing the Pico seed")
+    assert(o.contains(s"${PageRank.TeleportPico} // nn.n"),
+      "oracle missing the TeleportPico close")
+    assert(o.contains("(85 * c"), "oracle missing the damped close")
+    assert(o.contains("(rp + 5000) // 10000"),
+      "oracle missing the half-up final rescale")
+    assert(!o.contains("ROUND") && !o.contains("DECIMAL"),
+      "oracle reintroduced a rounding grid")
+  }
 }
