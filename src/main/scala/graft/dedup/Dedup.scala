@@ -9,14 +9,29 @@ import org.apache.spark.sql.functions._
   * they extend its relational surface with the operators a 100 TB
   * corpus cleanup actually needs.
   *
-  * ARCHITECTURE (SURVEY.md §3.5): the hot pipelines are fully
-  * RELATIONAL — `posexplode` tokens (the regex split runs once, in the
-  * Generate node), shingle hashes via `lead()` windows, MinHash as 64
-  * codegen'd `min()` aggregates, SimHash as 64 codegen'd conditional
-  * `sum()`s. No higher-order array functions in hot paths: those are
-  * CodegenFallback (interpreted) AND Catalyst freely re-inlines their
-  * subtrees into every consumer (profiled: the array-based MinHash
-  * spent 657s where this shape spends ~2s at sf0.1).
+  * ARCHITECTURE (SURVEY.md §3.5, revised round 14): shingles are
+  * built PER DOCUMENT by array transforms over one materialized words
+  * column and exploded to rows; from the explode down the pipelines
+  * are fully RELATIONAL — MinHash as 64 codegen'd `min()` aggregates,
+  * SimHash as 64 codegen'd conditional `sum()`s. The r1–r13 shape
+  * instead shipped every token row through a `lead()`-over-(id, pos)
+  * window — a full Exchange + sort per pipeline — to look up
+  * neighbors that are adjacent in the document's own word array
+  * (interleaved A/B at sf0.1: window shape 1.4–1.5 s per shingle
+  * pass, array shape 0.25–0.36 s; tools/AbShingle).
+  *
+  * Two hard-won rules for array expressions in hot paths (the r7
+  * array-based MinHash spent 657s where the relational shape spends
+  * ~2s, and round 14's first draft regressed q_pipeline_train 5×):
+  *   1. NEVER leave a non-trivial subtree (split, transform) inlined
+  *      where it is referenced more than once — Catalyst expressions
+  *      are trees, not DAGs, so `element_at(split(text), i + k)`
+  *      re-runs the regex split per element access. Materialize it
+  *      as its own projection column first.
+  *   2. Explode to rows BEFORE any consumer that references the
+  *      per-element values repeatedly (the 64 family hashes read the
+  *      exploded s_id rows through codegen'd aggregates, never 64
+  *      array_min(transform(...)) copies).
   *
   * Scale design: every variant is linear-scan + shuffle-by-key. The
   * quadratic work (pair comparison) only ever happens inside small
@@ -75,21 +90,34 @@ object Dedup {
 
   /** One row per DISTINCT n-gram shingle: (id, blockCols…, h3) where
     * h3 = xxhash64 over n consecutive word hashes (set-identical to
-    * hashing the string shingle, no concatenation). The neighbor
-    * lookup is `lead()` over (id, pos) — one shuffle on id, then a
-    * codegen'd window pass. */
+    * hashing the string shingle, no concatenation).
+    *
+    * Round 14: built per DOCUMENT from one split + two array
+    * transforms, then exploded — a word's shingle neighbors are
+    * adjacent in the document's own word array, so the old
+    * lead()-over-(id, pos) window paid a full Exchange + sort of
+    * every token row for a lookup the row already had locally. The
+    * h3 values are identical (same xxhash64 over the same n word
+    * hashes), and the per-doc array_distinct reproduces the old
+    * row-level distinct exactly (ids are unique per document), so
+    * every consumer's output is unchanged; each pipeline's plan
+    * loses one Exchange + Sort (plans/r14/). The two projections
+    * stay separate on purpose: `_hs` is referenced n times per
+    * shingle, so CollapseProject would otherwise inline (and
+    * re-evaluate) the split+hash per reference. */
   def shingleRows(
-      tok: DataFrame, blockCols: Seq[String], n: Int): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = col("h") +: (1 until n).map(k => lead(col("h"), k).over(w))
-    tok
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .withColumn("h3", xxhash64(parts: _*))
-      // xxhash64 skips NULL inputs rather than nulling out, so trailing
-      // positions (where lead() is null) must be filtered by position
-      .where(col("pos") <= col("np") - n)
-      .select((col("id") +: blockCols.map(col)) :+ col("h3"): _*)
-      .distinct()
+      docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int): DataFrame = {
+    val hsCol = transform(split(col(textCol), "\\s+"), w => xxhash64(w))
+    // sequence(1, k) with k < 1 would DESCEND in Spark; guard short docs
+    val sh = when(size(col("_hs")) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(col("_hs")) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(col("_hs"), i + k)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    docs
+      .select((col(idCol).as("id") +: blockCols.map(col)) :+ hsCol.as("_hs"): _*)
+      .select((col("id") +: blockCols.map(col)) :+ explode(sh).as("h3"): _*)
   }
 
   /** Document-frequency cap for `ngramJaccardPairs`: shingles shared
@@ -156,7 +184,7 @@ object Dedup {
   private def cappedPairCounts(
       docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, dfCap: Int): DataFrame = {
-    val shRows = shingleRows(tokenRows(docs, idCol, textCol, blockCols), blockCols, n)
+    val shRows = shingleRows(docs, idCol, textCol, blockCols, n)
     // block document frequency per shingle (rows are distinct per
     // (id, block, shingle), so count(*) IS the doc count) — a map-side
     // partial aggregate on the same key the self-join shuffles on
@@ -213,25 +241,42 @@ object Dedup {
     * the first 15 md5 hex digits of the shingle STRING (collision odds
     * ~n²/2^61 — negligible; the 31-bit reduction happens only inside
     * the family hash where collisions merely perturb the signature).
-    * Words ride as strings through one lead() window; concat + md5
-    * run once per shingle in the projection. */
+    *
+    * Round 14: shingle strings come from the per-document `shingles`
+    * array (identical concat_ws(" ", …) strings), md5+conv map each
+    * to its 60-bit id inside one more transform, and the per-doc
+    * array_distinct OVER THE IDS reproduces the old row-level
+    * distinct exactly (including the negligible-but-contractual
+    * 60-bit collision dedup). The old posexplode + lead() window
+    * paid a full Exchange + sort of every token row to look up
+    * neighbors that are adjacent in the document's own word array;
+    * this shape has no exchange at all before the signature
+    * aggregate (plans/r14/). Two projections on purpose — `_sh` is
+    * referenced twice, so CollapseProject would otherwise inline the
+    * split per reference. */
   def minhashShingleRows(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // the words array MUST be its own projection: embedded in the
+    // shingle lambda (the `shingles` column convenience) the split
+    // subtree re-executes per element_at — O(words·n) regex splits
+    // per document (measured 5× on q_pipeline_train). As a column it
+    // is evaluated once, and CollapseProject keeps the projections
+    // apart because `_w` is referenced n+2 times and split is not
+    // cheap; `_sh`'s single explode reference may inline, which is
+    // free (its references are to the materialized `_w`).
+    val sh = when(size(col("_w")) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(col("_w")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(col("_w"), i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
     docs
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .select(col("id"), col("pos"), col("np"),
-        concat_ws(" ",
-          col("word") +: (1 until n).map(k => lead(col("word"), k).over(byPos)): _*)
-          .as("sh"))
-      // concat_ws skips the NULL leads at partition end — filter by
-      // position so truncated shingles never appear
-      .where(col("pos") <= col("np") - n)
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .select(col("id"), sh.as("_sh"))
       .select(col("id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("s_id"))
-      .distinct()
+        explode(array_distinct(transform(col("_sh"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+          .as("s_id"))
   }
 
   /** MinHash signatures as a WIDE table (id, sz, m0…m63): the i-th
@@ -486,38 +531,57 @@ object Dedup {
   def duplicatedSpanStats(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = SpanK): DataFrame = {
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
-    val spans = tok
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .select(col("id"), col("pos"), col("np"),
-        concat_ws(" ",
-          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
-          .as("sp"))
-      .where(col("pos") <= col("np") - k)
-      .select(col("id"), col("pos"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+    // round 14: spans are array-built per document (spanRows) — the
+    // old lead() window shipped every token row through an Exchange +
+    // sort twice (span build, then the next-start lookup); now the
+    // only shuffles are the s_id aggregate/join and one per-doc starts
+    // rollup, and the interval-union length is a per-doc array
+    // expression (spans never start past np−k, so [s, s+k) never
+    // clips — size(distinct ∪ sequences) IS the old Σ min(k, next−s))
+    val spans = spanRows(docs, idCol, textCol, k)
     // spans in ≥2 distinct docs (cross-document duplication; within-doc
     // repetition is q_text_repetition's signal)
     val dup = spans.select(col("s_id"), col("id")).distinct()
       .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("s_id"))
     val starts = spans.join(dup, "s_id")
-    val cov = starts
-      .withColumn("c",
-        least(lit(k), coalesce(
-          lead(col("pos"), 1).over(byPos) - col("pos"), lit(k))))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("dup_starts"),
-        sum(col("c")).cast("long").as("covered_tokens"))
-    val ntok = tok.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
-    ntok.join(cov, Seq("id"), "left")
+        sort_array(collect_list(col("pos"))).as("st"))
+    docs
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), "\\s+")).cast("long").as("n_tokens"))
+      .join(starts, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("n_tokens"),
         coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double"), 6).as("dup_frac"))
+        coalesce(size(array_distinct(flatten(transform(col("st"),
+          s => sequence(s, s + lit(k) - 1))))).cast("long"), lit(0L))
+          .as("covered_tokens"))
+      .withColumn("dup_frac",
+        round(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
+  /** (id, pos, s_id) span rows, array-built per document (round 14):
+    * same 0-based positions and portable md5-15 ids as the old
+    * lead()-window builder, with the words array materialized as its
+    * own column so the split runs once per document (the
+    * q_pipeline_train lesson — an embedded split re-executes per
+    * element_at). */
+  private def spanRows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sp = when(size(col("_w")) >= k,
+      transform(
+        sequence(lit(0), size(col("_w")) - k),
+        i => struct(i.as("pos"),
+          conv(substring(md5(concat_ws(" ",
+            (0 until k).map(j => element_at(col("_w"), i + j + 1)): _*)),
+            1, 15), 16, 10).cast("long").as("s_id"))))
+      .otherwise(array().cast("array<struct<pos:int,s_id:bigint>>"))
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .select(col("id"), explode(sp).as("ps"))
+      .select(col("id"), col("ps.pos").as("pos"), col("ps.s_id").as("s_id"))
   }
 
   /** Per-row positioned k-span ids: array of (pos, s_id) structs with
@@ -544,23 +608,12 @@ object Dedup {
     * spanRemoval derives it from its own input corpus. */
   def duplicatedSpanIds(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = SpanK): DataFrame = {
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
-    tok
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .select(col("id"), col("pos"), col("np"),
-        concat_ws(" ",
-          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
-          .as("sp"))
-      .where(col("pos") <= col("np") - k)
-      .select(col("id"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+      k: Int = SpanK): DataFrame =
+    spanRows(docs, idCol, textCol, k)
+      .select(col("id"), col("s_id"))
       .distinct()
       .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("s_id"))
-  }
 
   /** Exact-substring DELETION — the removal step of exact-substring
     * dedup (Lee et al. 2022 delete every occurrence of a duplicated
@@ -580,41 +633,39 @@ object Dedup {
   def spanRemoval(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = SpanK): DataFrame = {
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
-    val spans = tok
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .select(col("id"), col("pos"), col("np"),
-        concat_ws(" ",
-          col("word") +: (1 until k).map(j => lead(col("word"), j).over(byPos)): _*)
-          .as("sp"))
-      .where(col("pos") <= col("np") - k)
-      .select(col("id"), col("pos"),
-        conv(substring(md5(col("sp")), 1, 15), 16, 10).cast("long").as("s_id"))
+    // round 14: array-built spans (spanRows) + per-document interval
+    // union. The old shape shipped every token row through THREE
+    // doc-keyed passes (span window, cumulative-max window, ordered
+    // collect_list reassembly); now the duplicated START POSITIONS
+    // come back to each doc as one small sorted array and coverage /
+    // reassembly are per-doc array expressions: covered = ∪ [s, s+k)
+    // (array_distinct of flattened sequences — spans never start past
+    // np−k so no clipping), survivors = array_except of the position
+    // range (order-preserving), clean text = element_at over the
+    // materialized words column. Identical output — the cum-max
+    // `pos < last_start + k` test IS interval-union membership.
+    val spans = spanRows(docs, idCol, textCol, k)
     val dup = spans.select(col("s_id"), col("id")).distinct()
       .groupBy(col("s_id")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2).select(col("s_id"))
     val starts = spans.join(dup, "s_id")
-      .select(col("id"), col("pos"), lit(1).as("is_start"))
-    val wcum = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tok.join(starts, Seq("id", "pos"), "left")
-      .withColumn("ls",
-        max(when(col("is_start") === 1, col("pos"))).over(wcum))
-      .withColumn("covered",
-        col("ls").isNotNull && col("pos") < col("ls") + k)
       .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        count(when(col("covered"), lit(1))).as("n_removed"),
+      .agg(sort_array(collect_list(col("pos"))).as("st"))
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .join(starts, Seq("id"), "left")
+      .select(col("id"), col("_w"),
+        array_distinct(flatten(transform(
+          coalesce(col("st"), array().cast("array<int>")),
+          s => sequence(s, s + lit(k) - 1)))).as("cov"))
+      .select(col("id").as("doc_id"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        round((size(col("_w")) - size(col("cov"))).cast("double") /
+          size(col("_w")).cast("double"), 6).as("keep_frac"),
         array_join(transform(
-          array_sort(collect_list(when(!col("covered"),
-            struct(col("pos").as("p"), col("word").as("w"))))),
-          x => x.getField("w")), " ").as("clean_text"))
-      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
-        round((col("n_tokens") - col("n_removed")).cast("double") /
-          col("n_tokens").cast("double"), 6).as("keep_frac"),
-        col("clean_text"))
+          array_except(sequence(lit(0), size(col("_w")) - 1), col("cov")),
+          p => element_at(col("_w"), p + 1)), " ").as("clean_text"))
   }
 
   // ---- content-defined chunking --------------------------------------

@@ -170,14 +170,17 @@ object Agg {
     * ITEM — peers are that item's co-purchased neighbors, bounded by
     * catalog behavior, never corpus size. */
   def qItemCf(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val freq = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    // round 14: shared array-rollup backbone (operators.BasketPairs)
+    // — see q_basket_pairs; pair multiset identical, self-join gone
+    val ordArr = graft.operators.BasketPairs.groupArrays(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val freq = ordArr.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = ordArr
+      .select(explode(graft.operators.BasketPairs.orderedPairs(col("ps")))
+        .as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 2)
     val sym = pairs
@@ -621,17 +624,22 @@ object Agg {
     * the double division is bit-identical cross-engine. Top-50 by
     * (support desc, pair) under TakeOrderedAndProject. */
   def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = items.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
-    val freq = items.groupBy(col("l_partkey"))
+    // round 14: all three consumers (order count, part frequency,
+    // pair counts) read the ONE per-order sorted-distinct item-array
+    // rollup (operators.BasketPairs) instead of each re-deriving the
+    // distinct item table; the pair generator becomes a per-row array
+    // expression over the rollup — no self-join, no second exchange,
+    // identical pair multiset (sorted distinct array ⇒ a < b pairs)
+    val ordArr = graft.operators.BasketPairs.groupArrays(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val nOrders = ordArr.agg(count(lit(1)).as("n_orders"))
+    val freq = ordArr.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_p"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val pairs = ordArr
+      .select(explode(graft.operators.BasketPairs.orderedPairs(col("ps")))
+        .as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 2)
     pairs
@@ -658,17 +666,17 @@ object Agg {
     * under TakeOrderedAndProject with a total (conf, ante, cons)
     * order. */
   def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val nOrders = items.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
-    val freq = items.groupBy(col("l_partkey"))
+    // round 14: same shared array-rollup backbone as q_basket_pairs
+    val ordArr = graft.operators.BasketPairs.groupArrays(
+      Tables.lineitem(spark, dir), "l_orderkey", "l_partkey")
+    val nOrders = ordArr.agg(count(lit(1)).as("n_orders"))
+    val freq = ordArr.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_p"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val pairs = ordArr
+      .select(explode(graft.operators.BasketPairs.orderedPairs(col("ps")))
+        .as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= 2)
     val rules = pairs

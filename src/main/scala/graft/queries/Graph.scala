@@ -65,16 +65,23 @@ object Graph {
     * wedges carry all three triangle corners (center u, leaves x, y)
     * so the census and the per-node coefficient share one plan. */
   /** (edges, deg) of the part co-purchase graph — shared by the
-    * triangle family and link prediction. */
+    * triangle family and link prediction.
+    *
+    * Round 14: pairs are generated from ONE per-order sorted distinct
+    * item array (hash(l_orderkey) exchange + collect_set, pairs via a
+    * per-row array expression — sortedness gives pa < pb for free),
+    * then de-duplicated across orders. The old shape (items distinct
+    * → round-robin repartition → self-join on l_orderkey → pair
+    * distinct) paid four exchanges plus the SMJ sorts for the same
+    * pair set; this one pays two (order rollup, pair distinct). Order
+    * baskets are boundedly small (the q_basket_pairs argument), so
+    * the per-order pair array never explodes a task. Same output:
+    * distinct items per order == collect_set, ascending array ⇒
+    * (ps[i], ps[j]) i<j enumerates exactly the a.part < b.part join. */
   private def edgeParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .repartition(s.sparkContext.defaultParallelism)
-    val edges = items.as("a").join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    val edges = graft.operators.BasketPairs.pairRows(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey")
       .distinct()
     (edges, degreesOf(edges))
   }
@@ -336,9 +343,17 @@ object Graph {
     * generated SQL. R is summed as an exact int (order-independent),
     * clamped at 50 per register, so every step is deterministic. */
   def qGraphAnf(s: SparkSession, d: String): DataFrame = {
+    // round 14: adj is checkpointed ALREADY PARTITIONED on v — the
+    // per-round join key — and the register side of each round is the
+    // SHUFFLE_HASH build side, for the same reason as lpaLabels: the
+    // checkpoint carries the build plan's size estimate, and the r14
+    // array edge build's realistic small estimate otherwise lets the
+    // static planner broadcast the million-row ADJACENCY side of the
+    // iteration joins (the unbounded side at scale).
     val edges = edgeParts(s, d)._1.localCheckpoint()
     val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+      .repartition(col("v"))
       .localCheckpoint()
     val m0 = adj.select(col("u").as("node")).distinct()
       .select(col("node"),
@@ -351,7 +366,8 @@ object Graph {
         expr("shiftleft(CAST(1 AS BIGINT), " +
           "LEAST(CAST(bit_count((h & -h) - 1) AS INT), 62))").as("m"))
     def orRound(prev: DataFrame): DataFrame =
-      adj.join(prev.select(col("node").as("v"), col("reg"), col("m")), "v")
+      adj.join(prev.select(col("node").as("v"), col("reg"), col("m"))
+          .hint("shuffle_hash"), "v")
         .select(col("u").as("node"), col("reg"), col("m"))
         .unionAll(prev)
         .groupBy(col("node"), col("reg")).agg(expr("bit_or(m)").as("m"))
@@ -370,8 +386,12 @@ object Graph {
           / lit(0.77351), 6).as("est2"))
     val seeds = adj.where(col("u") <= LinkQueryCap)
       .select(col("u").as("a"), col("v").as("w"))
+    // the seed frontier is the bounded query set (|Q|·deg rows by
+    // construction) — broadcast it explicitly so the misestimated
+    // adjacency can never become the broadcast side
     val ball2 = seeds.select(col("a"), col("w").as("node"))
-      .unionAll(seeds.join(adj.select(col("u").as("u2"), col("v")),
+      .unionAll(broadcast(seeds)
+        .join(adj.select(col("u").as("u2"), col("v")),
           col("w") === col("u2"))
         .select(col("a"), col("v").as("node")))
       .where(col("node") =!= col("a"))
@@ -517,14 +537,28 @@ object Graph {
   private def lpaLabels(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val (edges, _) = edgeParts(s, d)
+    // round 14: the edge list is checkpointed ALREADY PARTITIONED on
+    // dst — the per-round join key — so every round's join reads it
+    // with no exchange and no sort (LogicalRDD preserves the
+    // partitioning), and the label side is hinted SHUFFLE_HASH: the
+    // labels shuffle (|nodes| rows) and build the per-partition hash
+    // table, the edges stream. Deliberate strategy (guide §3.1)
+    // because localCheckpoint carries the BUILD plan's size ESTIMATE
+    // as the checkpoint's stats: the r14 array edge build estimates
+    // ~1.5 MB where the old self-join estimated ~3 TB, and that
+    // underestimate made the static planner broadcast the 1.6M-row
+    // EDGE side of every round (measured 2× on the whole query) — a
+    // plan no scale wants: the edge table is the unbounded side.
     val e = edges.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(edges.select(col("pb").as("src"), col("pa").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var lab = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpaRounds) {
       val counts = e
-        .join(lab.select(col("node").as("dst"), col("label")), "dst")
+        .join(lab.select(col("node").as("dst"), col("label"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       lab = counts.groupBy(col("src"))
@@ -561,17 +595,26 @@ object Graph {
   def qGraphModularity(s: SparkSession, d: String): DataFrame = {
     val (e, lab) = lpaLabels(s, d)
     // m = |undirected edges| = |symmetrized| / 2; intra counted on the
-    // symmetrized list and halved the same way
+    // symmetrized list and halved the same way.
+    // Round 14: join on dst FIRST — e is checkpointed hash(dst)-
+    // partitioned (lpaLabels), so the first label attach reads it
+    // exchange-free and only the joined rows re-shuffle on src; both
+    // label sides are SHUFFLE_HASH build sides for the same reason as
+    // the LPA rounds (the checkpoint's carried size estimate must
+    // never let the planner broadcast the edge side).
     val labeled = e
-      .join(lab.select(col("node").as("src"), col("label").as("la")), "src")
-      .join(lab.select(col("node").as("dst"), col("label").as("lb")), "dst")
+      .join(lab.select(col("node").as("dst"), col("label").as("lb"))
+        .hint("shuffle_hash"), "dst")
+      .join(lab.select(col("node").as("src"), col("label").as("la"))
+        .hint("shuffle_hash"), "src")
     val intra = labeled
       .agg((count(lit(1)) / 2).cast("long").as("m_edges_x2_half"),
         (sum(when(col("la") === col("lb"), 1L).otherwise(0L)) / 2)
           .cast("long").as("n_intra"))
     // dc = Σ degrees inside community c; Σc dc² via per-community sums
     val dsq = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .join(lab.select(col("node").as("src"), col("label")), "src")
+      .join(lab.select(col("node").as("src"), col("label"))
+        .hint("shuffle_hash"), "src")
       .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("dc") * col("dc")).as("sum_dc_sq"))

@@ -511,14 +511,18 @@ object Text {
     * only the per-language count table reaches the rank window. */
   def qTextTopkNgrams(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs(s, d).select(col("doc_id"), col("lang"),
-      posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bigrams = tok
-      .withColumn("w2", lead(col("word"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("lang"),
-        concat_ws(" ", col("word"), col("w2")).as("bigram"))
+    // round 14: adjacent-pair bigrams from the document's own words
+    // array (zip_with of the two shifted slices — the perplexity_
+    // bigram pattern) instead of a lead() window, which shuffled and
+    // sorted every token row to look up a neighbor the row already
+    // had locally; identical bigram multiset
+    val bigrams = docs(s, d)
+      .select(col("lang"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("lang"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
     val counts = bigrams.groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
     val rw = Window.partitionBy(col("lang"))
@@ -543,27 +547,34 @@ object Text {
     * vocabulary-sized tables (|V| and |V|² rows, data-volume-free);
     * the two unigram joins broadcast. */
   def qTextPmi(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // drop the zero-length tokens a leading/trailing-whitespace split
     // emits BEFORE counting: an empty "word" would enter both the
-    // bigram table and the M/N totals (the backbone's n_toks fix)
-    val tok = docs(s, d).select(col("doc_id"),
-      posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
-      .where(length(col("word")) > 0)
+    // bigram table and the M/N totals (the backbone's n_toks fix).
+    // Round 14: the checkpointed shared table is the per-doc FILTERED
+    // words ARRAY (one row per doc) instead of the exploded token rows
+    // — bigrams come from the zip_with of two shifted slices (the old
+    // lead() window shuffled + sorted every token row), unigrams and
+    // the totals from per-doc explodes/sizes of the same arrays;
+    // adjacency over the filtered array == lead over filtered rows
+    val wt = docs(s, d).select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"),
+        w => length(w) > 0).as("toks"))
       .localCheckpoint()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = tok.withColumn("w2", lead(col("word"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("word").as("w1"), col("w2"))
+    val bi = wt.where(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cbg = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-    val cu = tok.groupBy(col("word")).agg(count(lit(1)).as("cu"))
-    // N = Σ(len−1) = M − |docs with ≥1 token| (both counted over the
-    // SAME filtered token table, so the identity survives the
-    // empty-token filter), so BOTH totals come from one token
-    // aggregate — a count over `bi` would re-run the whole bigram
-    // window subtree (expression trees, not DAGs)
-    val totals = tok.agg(count(lit(1)).as("m"),
-      (count(lit(1)) - countDistinct(col("doc_id"))).as("nb"))
+    val cu = wt.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cu"))
+    // N = Σ(len−1) = M − |docs with ≥1 token| (the identity survives
+    // the empty-token filter because both totals count the SAME
+    // filtered arrays)
+    val totals = wt.agg(sum(size(col("toks"))).as("m"),
+      (sum(size(col("toks"))) -
+        count(when(size(col("toks")) > 0, lit(1)))).as("nb"))
     cbg
       .join(broadcast(cu.select(col("word").as("w1"), col("cu").as("c_x"))),
         "w1")
@@ -698,6 +709,12 @@ object Text {
     * window pass for the n-gram neighbors, then per-doc aggregates —
     * every shuffle is on doc_id, so the stages stay co-partitioned. */
   def qTextRepetition(s: SparkSession, d: String): DataFrame = {
+    // round 14 note: the array-based gram rewrite (the topk_ngrams /
+    // pmi pattern) was tried and measured SLOWER here (1.3 → ~2.1 s
+    // at sf0.1): this query's three aggregate branches all reuse the
+    // ONE pre-window exchange (ReusedExchange), so the window costs
+    // one sort while the array form pays two interpreted gram
+    // transforms plus two extra (doc_id, g) exchanges. Kept as-is.
     import org.apache.spark.sql.expressions.Window
     val tok = docs(s, d).select(col("doc_id"),
       posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))

@@ -25,7 +25,7 @@ object Profile {
     time("warmup count")(docs.count())
     time("token rows")(Dedup.tokenRows(docs, "doc_id", "text").count())
     time("shingle rows")(
-      Dedup.shingleRows(Dedup.tokenRows(docs, "doc_id", "text"), Nil, 3).count())
+      Dedup.shingleRows(docs, "doc_id", "text", Nil, 3).count())
     time("minhash sig table")(
       Dedup.minhashSigTable(
         Dedup.minhashShingleRows(docs, "doc_id", "text", 3)).count())

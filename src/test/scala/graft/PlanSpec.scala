@@ -220,10 +220,11 @@ class PlanSpec extends SparkSpec {
     val pmi = plan(gq.Text.qTextPmi(spark, sf))
     assert(pmi.contains("TakeOrderedAndProject"),
       s"pmi top-20 lost its distributed top-k:\n$pmi")
-    // exactly ONE window — the per-doc bigram lead; a second would
-    // mean the cut regressed to a global rank
-    assert("\\bWindow\\b".r.findAllIn(pmi).length == 1,
-      s"pmi should have only the per-doc lead window:\n$pmi")
+    // round 14: ZERO windows — bigrams come from the per-doc words
+    // array (zip_with of shifted slices), so any Window here means the
+    // build regressed to the lead() token shuffle or a global rank
+    assert(!pmi.contains("Window"),
+      s"pmi grew a window (array bigram build or top-k regressed):\n$pmi")
     val paths = plan(gq.Events.qEventsPaths(spark, sf))
     assert(paths.contains("TakeOrderedAndProject"),
       s"paths top-20 lost its distributed top-k:\n$paths")
