@@ -726,31 +726,19 @@ object Dedup {
     * exclusive prefix sum → one ordered reassembly aggregate. */
   def cdcChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      w: Int = CdcW, d: Int = CdcD): DataFrame = {
-    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val tok = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "word")))
-    val windowed = concat_ws(" ",
-      ((w - 1) to 1 by -1).map(j => lag(col("word"), j).over(byPos)) :+
-        col("word"): _*)
-    val flagged = tok.withColumn("cut",
-      when(col("pos") >= w - 1 &&
-        conv(substring(md5(windowed), 1, 15), 16, 10).cast("long") % d === 0,
-        lit(1)).otherwise(lit(0)))
-    flagged
-      .withColumn("chunk", coalesce(
-        sum(col("cut")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .groupBy(col("id"), col("chunk"))
-      .agg(count(lit(1)).as("c_toks"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos").as("p"),
-            col("word").as("w")))),
-          x => x.getField("w")), " ").as("c_text"))
-      .select(col("id"), col("chunk"), col("c_toks"),
-        conv(substring(md5(col("c_text")), 1, 15), 16, 10).cast("long")
-          .as("c_hash"))
-  }
+      w: Int = CdcW, d: Int = CdcD): DataFrame =
+    // round 14: the batch chunker IS the (spec-proven bit-identical)
+    // array twin over a materialized words column — the old relational
+    // shape paid a lag()-window for the boundary flags, a second
+    // window for the prefix-sum chunk index, and an ordered
+    // collect_list reassembly, i.e. an Exchange + sort of every token
+    // row for structure that is per-document by construction. chunk
+    // cast to long matches the old prefix-sum's type.
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("_w"))
+      .select(col("id"), explode(cdcChunksOfWords(col("_w"), w, d)).as("ck"))
+      .select(col("id"), col("ck.chunk").cast("long").as("chunk"),
+        col("ck.c_toks").cast("long").as("c_toks"), col("ck.c_hash"))
 
   def cdcChunkStats(
       docs: DataFrame, idCol: String, textCol: String,
@@ -814,8 +802,15 @@ object Dedup {
     * (the lag/prefix-sum windows of the relational builder don't run
     * on a stream). Returns array<struct<chunk:int, c_toks:int,
     * c_hash:long>>; spec-asserted chunk-identical to cdcChunks. */
-  def cdcChunksExpr(text: Column, w: Int = CdcW, d: Int = CdcD): Column = {
-    val words = split(text, "\\s+")
+  def cdcChunksExpr(text: Column, w: Int = CdcW, d: Int = CdcD): Column =
+    cdcChunksOfWords(split(text, "\\s+"), w, d)
+
+  /** cdcChunksExpr over a words-array column. Pass a MATERIALIZED
+    * column (not an inline split) from batch code: the expression
+    * references `words` once per element_at, and an inlined split
+    * subtree re-executes per reference (the round-14 rule #1 in the
+    * header). */
+  def cdcChunksOfWords(words: Column, w: Int = CdcW, d: Int = CdcD): Column = {
     val n = size(words)
     // cut flag per 0-based position: trailing w-token window hash
     val cuts = filter(sequence(lit(0), n - 1), i =>

@@ -718,10 +718,16 @@ object Agg {
     val bounds = li.agg(
       transform(graft.operators.ScaleRouting.percentileContArray(
         exact, "l_extendedprice", pcts), x => round(x, 4)).as("b"))
+    // round 14: the bucket index is 9 codegen'd comparisons instead of
+    // size(filter(...)) — higher-order functions are CodegenFallback,
+    // so the old form interpreted the 9-element scan per fact row;
+    // element_at on a bounded index is a plain codegen expression.
+    // Same value: 1 + |{k : price > b[k]}|.
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        (lit(1) + expr("size(filter(b, x -> l_extendedprice > x))"))
-          .cast("long"))
+        pcts.indices.map(k =>
+          (col("l_extendedprice") > element_at(col("b"), k + 1)).cast("int"))
+          .foldLeft(lit(1))(_ + _).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         round(min(col("l_extendedprice")), 4).as("lo"),

@@ -718,9 +718,16 @@ object Events {
     val wPrev = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // round 14: next-neighbor as a REVERSED-order running min — the
+    // [currentRow, unboundedFollowing) frame re-aggregates the whole
+    // tail per row (the r13 q_events_attribution lesson: O(rows·frame)
+    // per partition, ~1M min() re-evaluations per (type, day) grid),
+    // while the reversed growing frame is the O(n) incremental form.
+    // Exact: grid minutes are unique within (event_type, day), so the
+    // position frame over m DESC contains precisely the rows m' ≥ m.
     val wNext = Window.partitionBy(col("event_type"), col("day"))
-      .orderBy(col("m"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("m").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCp = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCn = Window.partitionBy(col("event_type")).orderBy(col("day"))

@@ -45,11 +45,18 @@ object StreamBench {
     import spark.implicits._
 
     // the feed: real corpus rows in event-time order, so watermarks
-    // advance the way a live topic's would
-    val feed: Array[Ev] = graft.Tables.events(spark, sfDir)
+    // advance the way a live topic's would. Materialized cluster-side
+    // ONCE (localCheckpoint) and streamed to the driver per twin via
+    // toLocalIterator — the driver holds one partition at a time, so a
+    // 10x/skewed dir cannot OOM it (ADVICE r13); a hard cap bounds the
+    // run regardless (env-overridable).
+    val maxFeed = sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_ROWS",
+      "2000000").toInt
+    val feedDf = graft.Tables.events(spark, sfDir)
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy("ts", "event_id").as[Ev].collect()
-    println(s"[streambench] feed: ${feed.length} rows from $sfDir")
+      .orderBy("ts", "event_id").limit(maxFeed).as[Ev].localCheckpoint()
+    val nFeed = feedDf.count()
+    println(s"[streambench] feed: $nFeed rows from $sfDir (cap $maxFeed)")
 
     val twins: Seq[(String, DataFrame => DataFrame)] = Seq(
       "tumbling_agg" -> (df => graft.streaming.EventsStream.tumblingAgg(df)),
@@ -69,20 +76,19 @@ object StreamBench {
       implicit val sqlCtx = spark.sqlContext
       val ms2 = MemoryStream[Ev]
       val out2 = twin(ms2.toDF())
+      val ckptDir = java.nio.file.Files.createTempDirectory(s"sb2_$name")
       val q2 = out2.writeStream
         .format("noop")
         .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(s"sb2_$name").toString)
+        .option("checkpointLocation", ckptDir.toString)
         .queryName(s"sb2_$name")
         .start()
       val t0 = System.nanoTime()
-      var fed = 0
-      while (fed < feed.length) {
-        val n = math.min(chunk, feed.length - fed)
-        ms2.addData(feed.slice(fed, fed + n).toIndexedSeq)
-        fed += n
-      }
+      // bounded driver memory: pull the checkpointed feed one chunk at
+      // a time (toLocalIterator fetches a partition at a time)
+      import scala.jdk.CollectionConverters._
+      feedDf.toLocalIterator().asScala.grouped(chunk)
+        .foreach(g => ms2.addData(g.toIndexedSeq))
       q2.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val progress = q2.recentProgress
@@ -96,8 +102,14 @@ object StreamBench {
             p.stateOperators.map(_.memoryUsedBytes).sum)
         }.getOrElse((0L, 0L))
       q2.stop()
-      val r = TwinResult(name, feed.length.toLong, wall,
-        feed.length / wall, batches, maxBatch, stRows, stBytes)
+      // temp checkpoint dirs otherwise accumulate across runs (ADVICE r13)
+      try {
+        java.nio.file.Files.walk(ckptDir).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      val r = TwinResult(name, nFeed, wall,
+        nFeed / wall, batches, maxBatch, stRows, stBytes)
       println(f"[streambench] $name%-16s ${r.rowsPerSec}%10.0f rows/s  " +
         f"wall ${r.wallSec}%6.2f s  batches ${r.batches}%3d  " +
         f"maxBatch ${r.maxBatchMs} ms  state ${r.stateRows} rows / " +
