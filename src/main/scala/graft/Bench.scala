@@ -65,6 +65,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
+    // Round 15 (VERDICT r14 item 2): the driver snapshots only the TAIL
+    // of the sbt output, and the ~8 KB per-query line above has been
+    // truncated mid-line in BENCH_r07/r13/r14 (parsed=null every time).
+    // Emit a SECOND, compact closing line — total/count/failures only,
+    // well under any tail window — so the driver's parse always finds
+    // at least one complete JSON line. The full per-query map stays in
+    // the big line (printed first, same format as every prior round)
+    // and in the bench.json file written below.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_of_3","n":${results.size},"n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}"""
+    println(compact)
     // ALSO persist to a file: the driver snapshots only the tail of
     // sbt output and has truncated the one-line JSON mid-line before
     // (BENCH_r07 parsed=null) — the file survives verbatim. The path

@@ -40,25 +40,37 @@ object Cluster {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    // both directions once; reused by every round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    // both directions once; reused by every round. Round 15 (guide
+    // §2.4): ONE explode scans the pair plan once (the union-of-two-
+    // projections form ran the full upstream pair pipeline twice when
+    // the caller had not checkpointed it), the dedup rides the same
+    // hash(src) exchange (subset rule — hash(src) clusters (src, dst)),
+    // and the checkpoint CARRIES that partitioning so every round's
+    // edge-side join needs no exchange and no sort (the r14 lpaLabels
+    // pattern).
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
-    // loop shuffles stay at spark.sql.shuffle.partitions; AQE coalesces
-    // the (usually tiny) per-round exchanges at runtime, so no explicit
-    // repartition pass — an extra eager materialization measured slower
-    // than letting AQE handle it.
 
     // one propagation round: each vertex takes min(label, neighbors')
-    // and carries a change flag, so convergence folds into the pass
+    // and carries a change flag, so convergence folds into the pass.
+    // The label side is the SHUFFLE_HASH build (|V| rows, bounded per
+    // partition) so the edge side streams off its checkpointed layout;
+    // nbrMin likewise builds against the streamed labels — no
+    // sort-merge sorts anywhere in a round.
     def propagate(labels: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min(col("label")).as("nbr_label"))
       labels
-        .join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .join(nbrMin.hint("shuffle_hash"),
+          labels("id") === nbrMin("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"),
@@ -67,9 +79,11 @@ object Cluster {
 
     // fused round 0: initialize each vertex straight to
     // min(id, min neighbor) — one aggregation instead of an identity
-    // init plus a full propagation round (cliques converge immediately)
-    var labels = edges.groupBy(col("dst").as("id"))
-      .agg(min(col("src")).as("_m"))
+    // init plus a full propagation round (cliques converge immediately).
+    // Grouped by SRC (≡ by dst on the symmetric list), so the aggregate
+    // reads the checkpointed hash(src) layout with no exchange at all.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_m"))
       .select(col("id"), least(col("id"), col("_m")).as("label"))
       .localCheckpoint()
     var converged = false

@@ -137,6 +137,12 @@ object Dedup {
   /** Near-dup pairs by exact Jaccard within blocking buckets —
     * the correctness baseline that MinHash-LSH approximates.
     *
+    * PRECONDITION (round 14 array backbone, all shingle-based entry
+    * points — jaccard/containment/minhash/span/CDC): `idCol` must be
+    * unique per document row. The per-document array_distinct stands
+    * in for the old global row-level distinct, which is only
+    * output-identical when no two rows share an id.
+    *
     * Distributed shape: self-join shingle rows on (block, shingle) — a
     * pair's match count IS its intersection size, and |A∪B| =
     * |A|+|B|−|A∩B|. One shuffle + one aggregation on the pair key;
@@ -554,8 +560,13 @@ object Dedup {
       .join(starts, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("n_tokens"),
         coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
-        coalesce(size(array_distinct(flatten(transform(col("st"),
-          s => sequence(s, s + lit(k) - 1))))).cast("long"), lit(0L))
+        // coalesce the ARRAY (not the size): size(NULL) is NULL only
+        // under the default spark.sql.legacy.sizeOfNull=false — under
+        // the legacy flag it is -1, which the outer coalesce would
+        // pass through. Same value (0) for no-dup docs either way.
+        size(array_distinct(flatten(transform(
+          coalesce(col("st"), array().cast("array<int>")),
+          s => sequence(s, s + lit(k) - 1))))).cast("long")
           .as("covered_tokens"))
       .withColumn("dup_frac",
         round(col("covered_tokens").cast("double") /

@@ -85,16 +85,31 @@ object AsofJoin {
       .foldLeft(right)((df, c) => df.withColumn(c, lit(null)))
       .withColumn("_side", lit(0))
       .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
-    val base = Window.partitionBy(col(keyCol))
+    val wb = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"))
-    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Round 15: the forward fill runs as a REVERSED-order growing frame
+    // (the q_events_interpolate rewrite): Spark evaluates a
+    // [currentRow, unboundedFollowing) frame by re-aggregating the
+    // whole tail per row — O(partition²) — while the growing frame is
+    // the O(n) incremental form. EXACT, no tie-break needed: the
+    // atomic struct is NULL on every left row, so only right rows can
+    // be picked, and rights are unique per (key, time) by this
+    // operator's contract — reversing (t ASC, _side ASC) to
+    // (t DESC, _side DESC) permutes only tied LEFT rows, which all
+    // read the same fill. At equal t the right row (_side 0) sorts
+    // AFTER the left row in the reversed order, reproducing the old
+    // following-frame's strict exclusion of same-time rights (which
+    // the backward fill captures at distance 0 anyway).
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one atomic struct per right row (see unionFill's rationale), with
     // the right time under _rt for the distance compare
     val atomic = when(col("_side") === 0,
       struct((col(timeCol).as("_rt") +: payloadCols.map(col)): _*))
     val pb = last(atomic, ignoreNulls = true).over(wb)
-    val pf = first(atomic, ignoreNulls = true).over(wf)
+    val pf = last(atomic, ignoreNulls = true).over(wf)
     val chosen = when(pb.isNull, pf).when(pf.isNull, pb)
       .otherwise(when(
         col(timeCol) - pb("_rt") <= pf("_rt") - col(timeCol), pb)
@@ -134,14 +149,28 @@ object AsofJoin {
       .withColumn("_side", lit(rightTag))
       .select((leftCols ++ payloadCols :+ "_side").map(col): _*)
 
-    val base = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("_side"))
+    // Round 15: BOTH directions run as growing [unboundedPreceding,
+    // currentRow] frames — the O(n)-incremental form — with the
+    // forward fill ordered in REVERSE (t DESC, _side DESC). Spark
+    // evaluates a [currentRow, unboundedFollowing) frame by
+    // re-aggregating the whole tail per row (O(partition²)); the
+    // reversal is exact with no tie-break key because the filled
+    // struct is NULL on every left row (tied left rows all read the
+    // same value) and right rows are unique per (key, time) by this
+    // operator's contract. At equal t the reversed (_side DESC) order
+    // keeps the right row INSIDE the left row's frame exactly when the
+    // old tag order did: forward's rightTag=1 sorts before leftTag=0
+    // in DESC, preserving the inclusive `>=`.
     val w =
-      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: Column): Column =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+      if (forward)
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(timeCol).desc, col("_side").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(timeCol), col("_side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: Column): Column = last(c, ignoreNulls = true).over(w)
     // Fill ONE struct of all payload columns, not each column
     // independently: a per-column ignoreNulls fill would source a
     // NULL payload field from a DIFFERENT right row than its

@@ -215,9 +215,11 @@ object DedupSim {
     * oracles verbatim. */
   def qDedupKeepBest(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
-    // materialize the pair table once: connectedComponents unions it in
-    // both directions, and without a checkpoint each union branch
-    // re-runs the full shingle-index join (the q_minhash_recall lesson)
+    // materialize the pair table once before CC: connectedComponents
+    // now scans its input only once (round-15 explode symmetrize), but
+    // keeping the checkpoint measured faster here — the CC edge job
+    // otherwise re-plans the whole shingle-index join inside its own
+    // eager materialization (tried without: 5.75 → 6.46 s; kept)
     val pairs = Dedup.ngramJaccardPairs(
       docs, "doc_id", "text",
       blockCols = Seq("lang", "source"), n = 3, threshold = 0.3)
@@ -919,18 +921,27 @@ object DedupSim {
     val sig = Dedup.minhashSigTable(sh).localCheckpoint()
     val truth = qDedupNgramJaccard(s, d).select(col("id_a"), col("id_b"))
       .localCheckpoint()
-    val candU = BandSweepRows.map { r =>
-      val b = Dedup.minhashBandsOfSig(sig, r)
-      b.as("x").join(b.as("y"),
-          col("x.band") === col("y.band") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-          col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-        .distinct()
-        .withColumn("rows_per_band", lit(r))
-        .withColumn("n_bands", lit(Dedup.NumHashes / r))
-    }.reduce(_ unionByName _).localCheckpoint()
+    // round 15 (guide §2.4): ONE self-join over the union of all three
+    // geometries' band tables, keyed on (rows_per_band, band, bucket),
+    // instead of one exchange + join + distinct PER geometry — the
+    // geometry key confines every match to its own sweep point, so the
+    // candidate sets are identical row for row while two of the three
+    // full band-table exchanges (and their join sorts) disappear.
+    val bandsAll = BandSweepRows.map { r =>
+      Dedup.minhashBandsOfSig(sig, r).withColumn("rows_per_band", lit(r))
+    }.reduce(_ unionByName _)
+    val candU = bandsAll.as("x").join(bandsAll.as("y"),
+        col("x.rows_per_band") === col("y.rows_per_band") &&
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.rows_per_band").as("rows_per_band"),
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .distinct()
+      .withColumn("n_bands",
+        (lit(Dedup.NumHashes) / col("rows_per_band")).cast("int"))
+      .localCheckpoint()
     // one exact-Jaccard verify over the DISTINCT pair union (uncapped
     // shingle sets — the minhash verify step, same as minhashDedup)
     val ver = candU.select("id_a", "id_b", "sz_a", "sz_b").distinct()
@@ -977,22 +988,58 @@ object DedupSim {
     * corresponding registered query verbatim, so the recall inherits
     * their engine portability and the DuckDB oracle recomputes it
     * end-to-end. */
+  /** The five approximate sub-pipelines of the ANN eval queries as ONE
+    * (method, query_id, vec_id, rk) table — round 15: the IVF coarse
+    * index (centroid pick + the K-cosines-per-row corpus assignment,
+    * the expensive linear pass) is built ONCE and checkpointed, shared
+    * by the ivf and ivfpq sub-pipelines through the delegating
+    * Similarity.*From* entry points, instead of re-derived per
+    * sub-pipeline. Each method's rows are identical to its registered
+    * standalone query (same centroids, same assignment, same search
+    * plan — the registered q_ann_ivf/q_ann_ivfpq run the same
+    * machinery with a private index build). */
+  private def annApproxRanked(s: SparkSession, d: String): DataFrame = {
+    val emb = embParallel(s, d)
+    val queries = emb.where(col("vec_id") < 20)
+    val cos = Similarity.cosineIn(s) _
+    // ONE materialized centroid pick serves both IVF-family pipelines
+    // (each private build repeats a corpus scan + top-K + fetch join).
+    // The corpus ASSIGNMENT stays lazy per pipeline on purpose:
+    // checkpointing it was measured 1.5× SLOWER end-to-end at sf0.1
+    // (q_ann_recall 5.5 → 8.2 s) — the K-cosine map pass is cheap at
+    // bench scale and the eager materialization of the full embedding
+    // column outweighed the saved recompute. (At true corpus scale the
+    // assignment pass dominates and ivfPqTopKFromAssign accepts a
+    // persisted assignment — the sharing seam exists; the bench keeps
+    // the measured-faster shape.)
+    val cents = Similarity.ivfCentroids(emb, derivedCells(s, d))
+      .localCheckpoint()
+    val asgIvf = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", 1, cos)
+    val asgPq = Similarity.ivfAssign(emb, cents, "vec_id", "embedding", 1, cos)
+    val ivf = Similarity.ivfTopKFromIndex(queries,
+      asgIvf.select(col("vec_id"), col("embedding").as("cv"), col("cell_id")),
+      cents, k = 5, nProbe = 4, cosineFn = cos)
+    val ivfpq = Similarity.ivfPqTopKFromAssign(queries, asgPq, cents, emb,
+      k = 5, nProbe = 4, cosineFn = cos)
+    ivf
+      .select(lit("ivf").as("method"), col("query_id"), col("vec_id"),
+        col("rk"))
+      .unionByName(qAnnLsh(s, d).select(lit("lsh").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(qAnnLshMulti(s, d).select(lit("lsh_multi").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(ivfpq.select(lit("ivfpq").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+      .unionByName(qEmbedBitsim(s, d).select(lit("bitsim").as("method"),
+        col("query_id"), col("vec_id"), col("rk")))
+  }
+
   def qAnnRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // checkpointed: the truth feeds both the semi-join and the totals
     val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
       .localCheckpoint()
-    val approx = qAnnIvf(s, d)
-      .select(lit("ivf").as("method"), col("query_id"), col("vec_id"))
-      .unionByName(qAnnLsh(s, d)
-        .select(lit("lsh").as("method"), col("query_id"), col("vec_id")))
-      .unionByName(qAnnLshMulti(s, d)
-        .select(lit("lsh_multi").as("method"), col("query_id"),
-          col("vec_id")))
-      .unionByName(qAnnIvfpq(s, d)
-        .select(lit("ivfpq").as("method"), col("query_id"), col("vec_id")))
-      .unionByName(qEmbedBitsim(s, d)
-        .select(lit("bitsim").as("method"), col("query_id"), col("vec_id")))
+    val approx = annApproxRanked(s, d).drop("rk")
     val hits = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("nhit"))
     // denominator = the brute-force row count itself (k rows per query
@@ -1035,17 +1082,7 @@ object DedupSim {
     import s.implicits._
     val bf = qAnnBruteforce(s, d).select(col("query_id"), col("vec_id"))
       .localCheckpoint()
-    val approx = qAnnIvf(s, d)
-      .select(lit("ivf").as("method"), col("query_id"), col("vec_id"),
-        col("rk"))
-      .unionByName(qAnnLsh(s, d).select(lit("lsh").as("method"),
-        col("query_id"), col("vec_id"), col("rk")))
-      .unionByName(qAnnLshMulti(s, d).select(lit("lsh_multi").as("method"),
-        col("query_id"), col("vec_id"), col("rk")))
-      .unionByName(qAnnIvfpq(s, d).select(lit("ivfpq").as("method"),
-        col("query_id"), col("vec_id"), col("rk")))
-      .unionByName(qEmbedBitsim(s, d).select(lit("bitsim").as("method"),
-        col("query_id"), col("vec_id"), col("rk")))
+    val approx = annApproxRanked(s, d)
     val dArr = array(NdcgDiscountPpb.map(lit): _*)
     val perQ = approx.join(bf, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method"), col("query_id"))
@@ -1226,8 +1263,16 @@ object DedupSim {
     * at small k. */
   def qAnnKmeansElbow(s: SparkSession, d: String): DataFrame = {
     val emb = embParallel(s, d).localCheckpoint()
+    // round 15: ONE corpus top-k pick seeds every ladder point —
+    // ivfCentroids orders by (md5-fraction, id), so its k smallest
+    // rows for k ≤ max(KmeansElbowKs) ARE ivfCentroids(emb, k)
+    // (identical cell_ids, identical vectors); each chain's refinement
+    // is unchanged via kmeansRefineFrom.
+    val seedsMax = Similarity.ivfCentroids(emb, KmeansElbowKs.max)
+      .localCheckpoint()
     KmeansElbowKs.map { k =>
-      val cent = Similarity.kmeansRefine(emb, k = k, iters = KmeansIters,
+      val cent = Similarity.kmeansRefineFrom(
+        seedsMax.where(col("cell_id") <= k), emb, iters = KmeansIters,
         cosineFn = Similarity.cosineIn(s))
       val best = array_max(Similarity.scoredCells(
         col("embedding"), col("_cents"), Similarity.cosineIn(s)))

@@ -258,14 +258,25 @@ object Graph {
     * "Parts within 3 co-purchase hops of these parts" is the
     * recommendation-radius / blast-radius query. */
   def qGraphKhop(s: SparkSession, d: String): DataFrame = {
-    val edges = edgeParts(s, d)._1.localCheckpoint()
-    val adj = edges.select(col("pa").as("u"), col("pb").as("v"))
-      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+    // round 15: the adjacency is symmetrized with ONE explode (one
+    // scan of the pair build instead of a union's two) and
+    // checkpointed ALREADY PARTITIONED on u — the per-round join key —
+    // so every BFS round streams it with no exchange and no sort; the
+    // bounded frontier is the SHUFFLE_HASH build side (the lpaLabels
+    // r14 pattern). The seed distinct also rides the hash(u) layout.
+    val adj = edgeParts(s, d)._1
+      .select(explode(array(
+        struct(col("pa").as("u"), col("pb").as("v")),
+        struct(col("pb").as("u"), col("pa").as("v")))).as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .repartition(col("u"))
+      .localCheckpoint()
     var reached = adj.select(col("u").as("node")).where(col("node") <= LinkQueryCap)
       .distinct().select(col("node"), lit(0).as("hop"))
     for (k <- 1 to KhopLimit) {
-      val next = reached.where(col("hop") === (k - 1))
-        .join(adj, col("node") === col("u"))
+      val next = adj
+        .join(reached.where(col("hop") === (k - 1)).hint("shuffle_hash"),
+          col("u") === col("node"))
         .select(col("v").as("node"), lit(k).as("hop"))
       reached = reached.unionAll(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
@@ -445,21 +456,51 @@ object Graph {
     * of re-deriving the whole peel lineage three times over. Nothing
     * quadratic, no windows. */
   def qGraphKcore(s: SparkSession, d: String): DataFrame = {
-    val edges = edgeParts(s, d)._1.localCheckpoint()
-    val deg0 = degreesOf(edges)
-    val kdf = edges.agg(count(lit(1)).as("ecnt"))
+    // Round 15 (guide §2.4 remove shuffles / §3.1 deliberate strategy):
+    // the peel runs on the SYMMETRIZED adjacency, checkpointed ALREADY
+    // PARTITIONED on its first endpoint (the lpaLabels r14 pattern).
+    // Because the list is symmetric, grouping by EITHER endpoint gives
+    // the node degrees, so each round (a) reads the per-round degree
+    // aggregate exchange-free off the carried partitioning, (b) drops
+    // non-core a-endpoints with a SHUFFLE_HASH semi join on that same
+    // partitioning (zero exchanges — the keep set derives from the
+    // same layout), and (c) pays exactly ONE full-width exchange for
+    // the b-endpoint filter — whose output partitioning becomes the
+    // next round's grouping key by swapping the (symmetric) roles.
+    // The old shape paid three per round (union-all degree rollup +
+    // both semi joins) plus SMJ sorts. The final round needs only the
+    // keep set, so its edge filter (2 exchanges + an eager checkpoint
+    // the output never reads) is skipped outright — the oracle's
+    // unused e3 CTE was never evaluated either. Same k derivation
+    // (1.5·|E|/|V| on exact integers; |sym| div 2 == |E|), same
+    // KcoreRounds peel, row-identical output.
+    val edges = edgeParts(s, d)._1
+    val sym = edges.select(col("pa").as("a"), col("pb").as("b"))
+      .unionByName(edges.select(col("pb").as("a"), col("pa").as("b")))
+      .repartition(col("a"))
+      .localCheckpoint()
+    val deg0 = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+    val kdf = sym.agg(expr("count(1) div 2").as("ecnt"))
       .crossJoin(deg0.agg(count(lit(1)).as("ncnt")))
       .select(floor(lit(1.5) * col("ecnt") / col("ncnt")).as("k"))
-    var ecur = edges
+    var cur = sym
     var keep: DataFrame = null
-    for (_ <- 1 to KcoreRounds) {
-      keep = degreesOf(ecur).crossJoin(broadcast(kdf))
+    for (r <- 1 to KcoreRounds) {
+      keep = cur.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kdf))
         .where(col("deg") >= col("k"))
-        .select(col("node"))
-      ecur = ecur
-        .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
-        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
-        .localCheckpoint()
+        .select(col("a").as("node"))
+      if (r < KcoreRounds)
+        cur = cur
+          .join(keep.select(col("node").as("a")).hint("shuffle_hash"),
+            Seq("a"), "left_semi")
+          .join(keep.select(col("node").as("b")).hint("shuffle_hash"),
+            Seq("b"), "left_semi")
+          // symmetric set: swapping roles re-labels rows onto the
+          // b-filter's hash(b) partitioning as next round's hash(a)
+          .select(col("b").as("a"), col("a").as("b"))
+          .localCheckpoint()
     }
     deg0
       .join(keep.select(col("node"), lit(true).as("in_core")),

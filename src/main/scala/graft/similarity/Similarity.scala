@@ -218,8 +218,21 @@ object Similarity {
   def kmeansRefine(
       corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame =
+    kmeansRefineFrom(ivfCentroids(corpus, k, idCol, vecCol),
+      corpus, iters, idCol, vecCol, cosineFn)
+
+  /** [[kmeansRefine]] from a PREBUILT seed table — lets a k-ladder
+    * query (q_ann_kmeans_elbow) derive all its seed sets from ONE
+    * corpus top-k pick: ivfCentroids orders by (md5-fraction, id), so
+    * the k smallest of a larger pick ARE ivfCentroids(corpus, k) rows
+    * for every smaller k. The one-argument form delegates here —
+    * identical refinement plan, identical declared results. */
+  def kmeansRefineFrom(
+      seeds: DataFrame, corpus: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
-    var cent = ivfCentroids(corpus, k, idCol, vecCol)
+    var cent = seeds
     for (_ <- 1 to iters) {
       val asg = ivfAssign(corpus, cent, idCol, vecCol, 1, cosineFn)
       cent = asg
@@ -326,6 +339,22 @@ object Similarity {
     val centroids = ivfCentroids(corpus, numCells, idCol, vecCol)
     val cells = ivfAssign(corpus, centroids, idCol, vecCol, 1, cosineFn)
       .select(col(idCol).as("vec_id"), col(vecCol).as("cv"), col("cell_id"))
+    ivfTopKFromIndex(queries, cells, centroids, k, nProbe,
+      idCol, vecCol, cosineFn)
+  }
+
+  /** [[ivfTopK]] from a PREBUILT index — `cells` is the corpus
+    * assignment (vec_id, cv, cell_id) and `centroids` the coarse
+    * quantizer. Lets an evaluation query that runs several IVF-family
+    * sub-pipelines build (and checkpoint) the index ONCE instead of
+    * re-deriving the K-cosine assignment pass per sub-pipeline; the
+    * one-argument form above delegates here, so the search plan —
+    * and therefore every declared result — is unchanged. */
+  def ivfTopKFromIndex(
+      queries: DataFrame, cells: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val probes = ivfAssign(queries, centroids, idCol, vecCol, nProbe, cosineFn)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -473,12 +502,28 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val centroids = ivfCentroids(corpus, numCells, idCol, vecCol)
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol, 1, cosineFn)
+    ivfPqTopKFromAssign(queries, asg, centroids, corpus, k, nProbe,
+      refineFactor, idCol, vecCol, cosineFn)
+  }
+
+  /** [[ivfPqTopK]] from a PREBUILT coarse index — `asg` is the corpus
+    * IVF assignment (corpus columns + cell_id) and `centroids` the
+    * coarse quantizer, so an evaluation query can share ONE assignment
+    * pass between its ivf and ivfpq sub-pipelines (the PQ encode and
+    * ADC stay per-pipeline). The one-argument form delegates here:
+    * identical search plan, identical declared results. */
+  def ivfPqTopKFromAssign(
+      queries: DataFrame, asg: DataFrame, centroids: DataFrame,
+      corpus: DataFrame, k: Int,
+      nProbe: Int, refineFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val cbRow = pqCodebookRow(corpus, idCol, vecCol)
     // the "index": cell + codes only — the full vector is dropped,
     // which is the whole point at scale
     val index = pqEncode(
-      ivfAssign(corpus, centroids, idCol, vecCol, 1, cosineFn)
-        .crossJoin(broadcast(cbRow)), vecCol)
+      asg.crossJoin(broadcast(cbRow)), vecCol)
       .select(col(idCol).as("vec_id"), col("cell_id"), col("codes"))
     val probes = ivfAssign(queries, centroids, idCol, vecCol, nProbe, cosineFn)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cell_id"))

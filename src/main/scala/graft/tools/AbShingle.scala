@@ -79,8 +79,11 @@ object AbShingle {
         () => Dedup.shingleRows(docs, "doc_id", "text",
           Seq("lang", "source"), 3)))
     cases.foreach { case (name, a, b) =>
-      val as = (1 to 3).map(_ => run(a()))
-      val bs = (1 to 3).map(_ => run(b()))
+      // truly interleaved A,B,A,B,… (round 15 ADVICE fix — the r14
+      // loop ran all A reps then all B reps, which the header's
+      // rig-drift claim did not match)
+      val reps = (1 to 3).map(_ => (run(a()), run(b())))
+      val (as, bs) = (reps.map(_._1), reps.map(_._2))
       println(f"[ab] $name old=${as.min}%.3f new=${bs.min}%.3f " +
         f"ratio=${bs.min / as.min}%.2f")
     }
